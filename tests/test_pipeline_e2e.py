@@ -1,0 +1,79 @@
+"""End-to-end Ray Dataset pipeline: read -> segment -> extract -> assemble.
+
+Verifies byte-identity via the groupby-url pass and quarantine routing on a
+seeded corpus written to /tmp (t1-smoke scale, FIXTURES.md §Scale points).
+"""
+
+import os
+
+import pytest
+import ray.data
+
+from webextract import corpus
+from webextract.pipelines.extract_pipeline import extract_pages
+from webextract.sources.pages import pages_from_documents, read_pages
+
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages"))
+    corpus.write_corpus(path, N_ROWS, rows_per_file=50)
+    return path
+
+
+@pytest.fixture(scope="module")
+def result_df(corpus_dir):
+    ds = read_pages(corpus_dir)
+    out = extract_pages(
+        ds, segment_concurrency=(1, 2), extract_concurrency=(1, 2), batch_size=64
+    )
+    return out.to_pandas()
+
+
+def test_row_count_preserved(result_df):
+    assert len(result_df) == N_ROWS
+
+
+def test_output_schema(result_df):
+    for col in ["url", "text", "gold_text", "n_blocks", "status", "error", "doctype"]:
+        assert col in result_df.columns
+    assert "html" not in result_df.columns
+
+
+def test_byte_identity_all_ok_rows(result_df):
+    ok = result_df[result_df.status == "ok"]
+    mismatches = ok[ok.text != ok.gold_text]
+    assert len(mismatches) == 0, mismatches[["url"]].head()
+
+
+def test_quarantine_exactly_corrupt_rows(result_df):
+    err = set(result_df[result_df.status == "error"].url)
+    expected = {corpus.url_of(i) for i in range(N_ROWS) if corpus.is_corrupt(i)}
+    assert err == expected
+    assert (result_df[result_df.status == "error"].error == "utf8-decode").all()
+
+
+def test_pdf_branch_routed(result_df):
+    pdf = result_df[result_df.doctype == "pdf"]
+    expected = {corpus.url_of(i) for i in range(N_ROWS) if corpus.is_pdf(i)}
+    assert set(pdf.url) == expected
+    assert (pdf.status == "ok").all()
+
+
+def test_parquet_files_are_sharded(corpus_dir):
+    files = [f for f in os.listdir(corpus_dir) if f.endswith(".parquet")]
+    assert len(files) == N_ROWS // 50
+
+
+def test_documents_derived_pages(ray_session):
+    out = extract_pages(
+        pages_from_documents("/root/testdata/sf0.001"),
+        segment_concurrency=(1, 2),
+        extract_concurrency=(1, 2),
+    )
+    df = out.to_pandas()
+    assert len(df) == 500
+    ok = df[df.status == "ok"]
+    assert (ok.text == ok.gold_text).all()

@@ -1,0 +1,263 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
+
+Gold-first construction: the generator creates the gold main-content text
+FIRST, then wraps it in boilerplate — the analog of the reference system test
+rendering known text onto a blank image before OCR-ing it back
+(`tests/st/test_online_infer.py:10-44`). So `text` is known byte-exactly by
+construction and the extractor must reproduce it byte-identically.
+
+Two entry points:
+
+* :func:`render_page` — pure function `(doc_id, text, lang) -> html bytes`
+  used to derive a `pages` table from the driver's `documents.parquet`
+  (same split/render in SQL-oracle form lives in `__ray_entry__.oracle_sql`).
+* :func:`generate_pages` / :func:`write_corpus` — standalone seeded corpus
+  with a skewed host distribution, a giant-page tail, embedded-PDF rows and
+  malformed rows, used by pytest and `bench.py`.
+
+Determinism: no `random` module — a hand-rolled 64-bit SplitMix mixer keyed
+by `doc_id` drives every choice, so output is stable across Python versions
+and processes (the extract path itself contains NO randomness at all;
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import datetime
+from html import escape
+from typing import List, Optional
+
+# --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def mix(doc_id: int, stream: int = 0) -> int:
+    """Stable 64-bit hash of (doc_id, stream)."""
+    return _mix(_mix(doc_id) ^ _mix(stream + 0xD1B54A32D192ED03))
+
+
+# --- row-class predicates (shared with the SQL oracles) ---------------------
+
+CORRUPT_MOD, CORRUPT_REM = 50, 7  # rows with undecodable truncated bytes
+PDF_MOD, PDF_REM = 25, 3  # rows carried as fake-PDF payloads
+
+
+def is_corrupt(doc_id: int) -> bool:
+    return doc_id % CORRUPT_MOD == CORRUPT_REM
+
+
+def is_pdf(doc_id: int) -> bool:
+    return doc_id % PDF_MOD == PDF_REM
+
+
+# --- gold construction ------------------------------------------------------
+
+
+def split_paragraphs(text: str, doc_id: int) -> List[str]:
+    """Split canonical text into k = doc_id%3+1 word chunks.
+
+    MUST stay in lockstep with the DuckDB oracle in `__ray_entry__.py`
+    (words[i*n//k : (i+1)*n//k] joined by ' ').
+    """
+    words = text.split(" ")
+    k = doc_id % 3 + 1
+    n = len(words)
+    return [" ".join(words[i * n // k : (i + 1) * n // k]) for i in range(k)]
+
+
+def gold_text(text: str, doc_id: int) -> str:
+    """The byte-exact text the extractor must emit ('' for corrupt rows)."""
+    if is_corrupt(doc_id):
+        return ""
+    return "\n".join(split_paragraphs(text, doc_id))
+
+
+# --- url / timestamp --------------------------------------------------------
+
+_BASE_TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def host_of(doc_id: int) -> int:
+    """Deliberately skewed host assignment: ~30% of rows on one hot host
+    (exercises salted repartition; FIXTURES.md §1)."""
+    if doc_id % 10 < 3:
+        return 0
+    return 1 + mix(doc_id, 1) % 96
+
+
+def url_of(doc_id: int) -> str:
+    return f"https://host{host_of(doc_id)}.example/doc/{doc_id}"
+
+
+def ts_of(doc_id: int) -> datetime.datetime:
+    return _BASE_TS + datetime.timedelta(seconds=doc_id)
+
+
+# --- HTML rendering ---------------------------------------------------------
+
+_NAV_WORDS = ["Home", "About", "Products", "Blog", "Contact", "Careers", "Support", "News"]
+_AD_WORDS = ["Deals", "Sale", "Trending", "Sponsored", "Hot", "New", "Top", "Featured"]
+
+
+def _decorate(paragraph: str, doc_id: int, idx: int) -> str:
+    """Inject markup noise that the decode rules must invert exactly:
+    inline tags (strip_tags), a numeric entity (unescape), a whitespace run
+    (collapse_ws). Gold text is untouched by construction."""
+    content = escape(paragraph)
+    if idx == 0:
+        if doc_id % 7 == 0:
+            words = content.split(" ")
+            if len(words) > 3:
+                words[2] = "<em>" + words[2] + "</em>"
+                content = " ".join(words)
+        if doc_id % 13 == 0 and "a" in content:
+            content = content.replace("a", "&#97;", 1)
+        if doc_id % 11 == 0 and " " in content:
+            content = content.replace(" ", "\n      ", 1)
+    return content
+
+
+def render_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Deterministically wrap gold paragraphs in boilerplate."""
+    paras = split_paragraphs(text, doc_id)
+    h = host_of(doc_id)
+    out: List[str] = []
+    a = out.append
+    a(f'<!DOCTYPE html>\n<html lang="{escape(lang)}">\n<head>\n')
+    a(f"<title>Doc {doc_id} — host{h}</title>\n")
+    a('<meta charset="utf-8">\n')
+    a("<style>body { margin: 0; } .nav a { color: #00c; }</style>\n")
+    a(f"<script>var docId = {doc_id}; if (docId < 0) console.log('<p>never</p>');</script>\n")
+    a("</head>\n<body>\n")
+    # header: contains real-looking <p> text that MUST be excluded (container rule)
+    a(f'<header class="site-header"><h1>Site host{h}</h1>'
+      f"<p>Welcome to host{h}.example — the number {doc_id % 1000} source for documents.</p></header>\n")
+    # nav link farm: link density 1.0
+    n_nav = 3 + doc_id % 5
+    a('<nav class="nav"><ul>')
+    for i in range(n_nav):
+        a(f'<li><a href="/p{i}">{_NAV_WORDS[(doc_id + i) % 8]}</a></li>')
+    a("</ul></nav>\n")
+    a('<div class="content"><article>\n')
+    a(f"<!-- article {doc_id} rendered {doc_id % 97} -->\n")
+    for i, p in enumerate(paras):
+        a("  <p>\n    ")
+        a(_decorate(p, doc_id, i))
+        a("\n  </p>\n")
+    a("</article></div>\n")
+    # sidebar ad/link farm
+    a('<aside class="sidebar"><p>')
+    for i in range(4 + doc_id % 3):
+        a(f'<a href="/ad{i}">{_AD_WORDS[(doc_id * 3 + i) % 8]}</a> ')
+    a("</p></aside>\n")
+    # comments: boilerplate by class hint
+    a('<div class="comments"><p class="comment-body">'
+      f"Great post, thanks for sharing number {doc_id % 9}!</p></div>\n")
+    a(f'<footer class="footer"><p>Copyright 2024 host{h}.example. '
+      "All rights reserved.</p></footer>\n")
+    a("</body>\n</html>\n")
+    return "".join(out).encode("utf-8")
+
+
+# --- fake PDF rendering (deterministic stand-in; real PDF libs absent) ------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def render_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic fake PDF: one `BT (...) Tj ET` text op per paragraph.
+
+    Stand-in for a real PDF layout parse (libs not in this container); the
+    Ray-side plumbing — binary payload column, branch routing, span offsets,
+    actor signature — is real and tested (see stages/extract.py).
+    """
+    paras = split_paragraphs(text, doc_id)
+    body = "\n".join(
+        f"BT /F1 12 Tf 72 {720 - 14 * i} Td ({_pdf_escape(p)}) Tj ET"
+        for i, p in enumerate(paras)
+    )
+    return (
+        "%PDF-1.4\n% fake deterministic fixture\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        f"3 0 obj << /Length {len(body)} >> stream\n{body}\nendstream endobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("utf-8")
+
+
+def render_page(doc_id: int, text: str, lang: str) -> bytes:
+    """Dispatch: corrupt / pdf / html payload for one document."""
+    if is_corrupt(doc_id):
+        good = render_html(doc_id, text, lang)
+        return good[: len(good) // 2] + b"\xff\xfe\xff<div"
+    if is_pdf(doc_id):
+        return render_pdf(doc_id, text)
+    return render_html(doc_id, text, lang)
+
+
+# --- standalone corpus (pytest + bench) -------------------------------------
+
+_POOL = (
+    "the data stream sort merge join filter scan table index hash key value "
+    "row column batch block shard spark ray arrow parquet vector query plan "
+    "group window agg count sum page crawl text span block host link anchor"
+).split()
+
+
+def make_text(doc_id: int, min_words: int = 40, max_words: int = 400) -> str:
+    """Seeded canonical text (single-space separated pool words)."""
+    span = max_words - min_words + 1
+    n = min_words + mix(doc_id, 2) % span
+    if mix(doc_id, 3) % 200 == 0:  # giant-page tail for skew tests
+        n *= 50
+    pool = _POOL
+    np_ = len(pool)
+    return " ".join(pool[mix(doc_id, 4 + i) % np_] for i in range(n))
+
+
+_LANGS = ["en", "zh", "de", "fr", "es"]
+
+
+def generate_pages(n_rows: int, start_id: int = 0):
+    """Yield dict rows of the `pages` table (PAGES_SCHEMA) deterministically."""
+    for doc_id in range(start_id, start_id + n_rows):
+        text = make_text(doc_id)
+        lang = _LANGS[mix(doc_id, 99) % len(_LANGS)]
+        yield {
+            "url": url_of(doc_id),
+            "warc_ts": ts_of(doc_id),
+            "html": render_page(doc_id, text, lang),
+            "text": gold_text(text, doc_id),
+            "lang": lang,
+        }
+
+
+def write_corpus(path: str, n_rows: int, rows_per_file: int = 20000) -> str:
+    """Write a seeded `pages` corpus as partitioned Parquet (resumable layout:
+    one file per shard, never one giant file)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webextract.schema import PAGES_SCHEMA
+
+    os.makedirs(path, exist_ok=True)
+    shard = 0
+    for base in range(0, n_rows, rows_per_file):
+        cnt = min(rows_per_file, n_rows - base)
+        rows = list(generate_pages(cnt, start_id=base))
+        table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        pq.write_table(table, os.path.join(path, f"pages-{shard:05d}.parquet"))
+        shard += 1
+    return path

@@ -1,0 +1,44 @@
+"""Canonical text decode rules — the CTC-decode analog.
+
+`RecCTCLabelDecode.decode` (reference `mindocr/postprocess/rec_postprocess.py:
+104-166`) turns a model sequence into text via an exactly-specified rule order
+(argmax → collapse repeats → drop blank → join). Byte-identical output demands
+the same discipline here, so the canonicalization order is fixed and tested:
+
+1. drop comments (``<!-- -->``),
+2. strip tags (the "drop blank token" analog),
+3. decode HTML entities (AFTER tag stripping, so ``&lt;b&gt;`` in source text
+   can never be re-parsed as markup),
+4. collapse every run of ASCII whitespace to one space — the "collapse
+   repeats" analog — EXCEPT in ``pre`` blocks, where whitespace is verbatim,
+5. strip leading/trailing whitespace (except ``pre``).
+
+Any change to this order breaks the byte-identity gate by design.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def strip_tags(fragment: str) -> str:
+    """Remove comments then markup tags, keeping text content verbatim."""
+    return _TAG_RE.sub("", _COMMENT_RE.sub("", fragment))
+
+
+def collapse_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip the ends."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+def decode_fragment(fragment: str, kind: str = "p") -> str:
+    """Decode one block's HTML fragment to canonical text (rules above)."""
+    text = unescape(strip_tags(fragment))
+    if kind == "pre":
+        return text
+    return collapse_ws(text)

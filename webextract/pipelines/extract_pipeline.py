@@ -1,0 +1,93 @@
+"""The flagship detect-then-extract pipeline as a Ray Data graph.
+
+Replaces the reference's hand-built process-per-stage pipeline
+(`deploy/py_infer/src/parallel/framework/pipeline_manager.py:40-65`:
+HandoutNode -> DecodeNode -> Det* -> Rec* -> CollectNode wired with
+`multiprocessing.Queue(16)`) with a streaming Dataset graph — Ray's executor
+provides the queues, backpressure, replica scheduling and keyed collection
+for free (SURVEY.md §3.3):
+
+    read_parquet -> map_batches(BlockSegmenter)   # detect (actor pool)
+                 -> map_batches(SpanExtractor)    # extract (actor pool)
+                 -> map_batches(assemble_batch)   # collect (stateless)
+
+Blocks stay NESTED per document row (list<struct> spans / list<string>
+texts), so detect->extract is shuffle-free — the preferred mapping of the
+reference's det->rec fan-out/re-join (`predict_system.py:277-336`), which
+itself keeps crops attached to the per-image record.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import ray.data
+
+from webextract.stages.assemble import assemble_batch
+from webextract.stages.extract import SpanExtractor, decode_span
+from webextract.stages.segment import BlockSegmenter, SegmentConfig, segment_html
+
+Concurrency = Union[int, Tuple[int, int], None]
+
+
+def extract_pages(
+    ds: "ray.data.Dataset",
+    *,
+    cfg: Optional[SegmentConfig] = None,
+    drop_score: float = 0.5,
+    batch_size: int = 256,
+    segment_concurrency: Concurrency = (1, 8),
+    extract_concurrency: Concurrency = (1, 8),
+    keep_spans: bool = False,
+) -> "ray.data.Dataset":
+    """pages Dataset (url, warc_ts, html, [text], lang, ...) -> results.
+
+    Output columns: input passthrough (gold slot renamed `gold_text`) plus
+    `text` (extracted), `n_blocks`, `status`, `error`, `doctype`
+    (schema.OUTPUT_FIELDS). Lazy — caller consumes via write/iter/aggregate.
+    """
+    ds = ds.map_batches(
+        BlockSegmenter,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=segment_concurrency,
+    )
+    ds = ds.map_batches(
+        SpanExtractor,
+        fn_constructor_kwargs={"drop_score": drop_score},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=extract_concurrency,
+    )
+    return ds.map_batches(
+        functools.partial(assemble_batch, keep_spans=keep_spans),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def extract_one(
+    html: bytes,
+    *,
+    cfg: Optional[SegmentConfig] = None,
+    drop_score: float = 0.5,
+) -> str:
+    """Driver-side single-document reference path (serial oracle, the
+    `predict_system.py` analog) — used by tests to pin pipeline semantics."""
+    cfg = cfg or SegmentConfig()
+    try:
+        if html[:5] != b"%PDF-":
+            html.decode("utf-8", "strict")
+    except UnicodeDecodeError:
+        return ""
+    texts = []
+    for span in segment_html(html, cfg):
+        if span["score"] < drop_score:
+            continue
+        t = decode_span(html, span["start"], span["end"], span["kind"])
+        if t:
+            texts.append(t)
+    return "\n".join(texts)

@@ -1,0 +1,59 @@
+"""Sources: the `pages` table reader and the documents->pages deriver.
+
+The reference reads `img\\tjson` annotation files plus an image dir
+(`mindocr/data/det_dataset.py:114-146`); our source is Parquet shards of
+(url, warc_ts, html, text, lang) — `ray.data.read_parquet` with column
+pruning pushed to the read (only needed columns leave storage).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+import ray.data
+
+from webextract import corpus
+from webextract.schema import PAGES_SCHEMA
+
+
+def read_pages(
+    path: str, *, columns: Optional[List[str]] = None, **kwargs
+) -> "ray.data.Dataset":
+    """Read a pages Parquet directory/file, pruning columns at the read."""
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def _render_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> pages rows (deterministic render; corpus.py)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, ts, htmls, golds = [], [], [], []
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        urls.append(corpus.url_of(doc_id))
+        ts.append(corpus.ts_of(doc_id))
+        htmls.append(corpus.render_page(doc_id, text, lang))
+        golds.append(corpus.gold_text(text, doc_id))
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.int64()),
+            pa.array(urls, type=pa.string()),
+            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(htmls, type=pa.binary()),
+            pa.array(golds, type=pa.string()),
+            pa.array(langs, type=pa.string()),
+        ],
+        names=["doc_id", "url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+def pages_from_documents(sf_dir: str, *, batch_size: int = 256) -> "ray.data.Dataset":
+    """Derive the BASELINE-shaped pages table from the driver's documents
+    table (deterministic at any scale; keeps `doc_id` as a join key)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        _render_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,227 @@
+"""Detect stage: block segmentation over raw HTML/PDF bytes.
+
+The analog of DBNet detection + `DBPostprocess`
+(`mindocr/postprocess/det_db_postprocess.py:16-184`): where the reference
+thresholds a probability map, finds contours, filters by per-contour mean
+score and unclips boxes, this stage walks the tokenizer event stream, scores
+candidate DOM blocks by text/link density, filters by score and container
+context (threshold + box_thresh analogs), suppresses non-leaf candidates
+(NMS-over-nested-boxes analog, cf. `layout_postprocess.py:_nms`), and emits
+byte-offset spans into the ORIGINAL buffer (round/clip only at the end,
+`det_base_postprocess.py:110-128` discipline).
+
+Runs as `map_batches(BlockSegmenter, batch_format="pyarrow", concurrency=N)`
+— an actor pool like the reference's detector replicas
+(`deploy/py_infer/src/parallel/module/detection/det_pre_node.py:12-16`);
+state (config, compiled patterns) lives in `__init__`, once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import FrozenSet, List, Optional, Tuple
+
+import pyarrow as pa
+
+from webextract.html.tokenizer import VOID_TAGS, get_attr, iter_events
+from webextract.schema import SPAN_TYPE
+
+
+@dataclass(frozen=True)
+class SegmentConfig:
+    """Detect-stage thresholds (the `binary_thresh`/`box_thresh`/
+    `max_candidates` analogs of DBPostprocess, det_db_postprocess.py:18-35)."""
+
+    block_tags: FrozenSet[str] = frozenset(
+        {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "td"}
+    )
+    # Containers whose entire subtree is boilerplate (readability-style).
+    boiler_containers: FrozenSet[str] = frozenset({"nav", "aside", "footer", "header"})
+    # class/id substrings that mark a subtree as boilerplate.
+    boiler_class_hints: Tuple[str, ...] = (
+        "comment", "sidebar", "nav", "footer", "banner", "advert", "promo",
+    )
+    max_link_density: float = 0.35  # box_thresh analog: drop link-farm blocks
+    min_text_len: int = 1
+    max_candidates: int = 1000  # max_candidates analog (det_db_postprocess.py:36)
+
+
+_PDF_MAGIC = b"%PDF-"
+# Fake-PDF text op: `( ... ) Tj` with PDF string escapes (corpus.render_pdf).
+_PDF_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", re.DOTALL)
+
+_WS_BYTES = b" \t\r\n\f\v"
+
+
+@dataclass
+class _Block:
+    tag: str
+    start: int  # content start (byte offset past the open tag)
+    text_len: int = 0
+    link_len: int = 0
+    boiler: bool = False
+    has_child: bool = False
+
+
+def _is_boiler_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]) -> bool:
+    if a1 <= a0:
+        return False
+    for name in ("class", "id"):
+        val = get_attr(html, a0, a1, name)
+        if val:
+            low = val.lower()
+            for h in hints:
+                if h.encode("ascii") in low:
+                    return True
+    return False
+
+
+def segment_pdf(html: bytes, cfg: SegmentConfig) -> List[dict]:
+    """PDF branch: spans over the parenthesized `Tj` string payloads."""
+    spans = []
+    for m in _PDF_TJ_RE.finditer(html):
+        spans.append(
+            {"start": m.start(1), "end": m.end(1), "kind": "pdf", "score": 1.0}
+        )
+        if len(spans) >= cfg.max_candidates:
+            break
+    return spans
+
+
+def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict]:
+    """Pure per-document segmentation: bytes -> list of span dicts.
+
+    Single pass; maintains an open-block stack. Text is attributed to the
+    innermost open block; blocks that contain a finalized child block are
+    suppressed (leaf-preference = nested-box NMS).
+    """
+    if html[:5] == _PDF_MAGIC:
+        return segment_pdf(html, cfg)
+
+    block_tags = cfg.block_tags
+    boiler_containers = cfg.boiler_containers
+    hints = cfg.boiler_class_hints
+
+    candidates: List[Tuple[int, int, str, float]] = []  # start, end, kind, score
+    stack: List[_Block] = []  # open candidate blocks, innermost last
+    boiler_depth = 0
+    anchor_depth = 0
+    boiler_stack: List[str] = []  # tags opened while marking boiler subtrees
+    anchor_open = 0
+
+    for ev in iter_events(html):
+        k = ev[0]
+        if k == "text":
+            if stack:
+                tl = len(html[ev[1] : ev[2]].strip(_WS_BYTES))
+                if tl:
+                    blk = stack[-1]
+                    blk.text_len += tl
+                    if anchor_depth > 0:
+                        blk.link_len += tl
+        elif k == "open":
+            tag, a0, a1 = ev[1], ev[2], ev[3]
+            if tag in VOID_TAGS:
+                continue
+            boiler_here = tag in boiler_containers or _is_boiler_attrs(html, a0, a1, hints)
+            if boiler_here:
+                boiler_depth += 1
+                boiler_stack.append(tag)
+            if tag == "a":
+                anchor_depth += 1
+            if tag in block_tags:
+                if stack:
+                    stack[-1].has_child = True
+                stack.append(
+                    _Block(tag=tag, start=ev[5], boiler=boiler_depth > 0 or boiler_here)
+                )
+        elif k == "close":
+            tag = ev[1]
+            if tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if boiler_stack and boiler_stack[-1] == tag:
+                boiler_stack.pop()
+                boiler_depth -= 1
+            if stack and any(b.tag == tag for b in stack):
+                # close innermost matching block (pop unclosed inner blocks too)
+                while stack:
+                    blk = stack.pop()
+                    done = blk.tag == tag
+                    if done:
+                        end = ev[2]  # close-tag start = content end
+                    else:
+                        end = ev[2]  # unclosed inner block ends here as well
+                    if (
+                        not blk.boiler
+                        and not blk.has_child
+                        and blk.text_len >= cfg.min_text_len
+                    ):
+                        ld = blk.link_len / blk.text_len
+                        if ld <= cfg.max_link_density:
+                            candidates.append((blk.start, end, blk.tag, 1.0 - ld))
+                    if done:
+                        break
+        # "skip" events (script/style/comment payloads) contribute nothing.
+        if len(candidates) >= cfg.max_candidates:
+            break
+
+    candidates.sort(key=lambda c: c[0])  # reading order = byte order
+    return [
+        {"start": s, "end": e, "kind": t, "score": sc}
+        for (s, e, t, sc) in candidates[: cfg.max_candidates]
+    ]
+
+
+class BlockSegmenter:
+    """Actor-pool batch UDF: pages batch -> pages + spans/status/doctype.
+
+    Rows whose payload fails strict UTF-8 validation (and is not PDF) are
+    quarantined via `status='error'` instead of crashing the job — the
+    deterministic replacement for the reference's skip-corrupt-record path
+    (`deploy/py_infer/src/parallel/module/common/decode_node.py:27-42`);
+    its random-resample-on-error (`det_dataset.py:105-110`) is deliberately
+    NOT ported (nondeterministic).
+    """
+
+    def __init__(self, cfg: Optional[SegmentConfig] = None):
+        self.cfg = cfg or SegmentConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        spans_col: List[List[dict]] = []
+        status_col: List[str] = []
+        error_col: List[str] = []
+        doctype_col: List[str] = []
+        for buf in batch.column("html"):
+            html = buf.as_py()
+            if html is None:
+                spans_col.append([])
+                status_col.append("error")
+                error_col.append("null-payload")
+                doctype_col.append("")
+                continue
+            if html[:5] == _PDF_MAGIC:
+                spans_col.append(segment_pdf(html, cfg))
+                status_col.append("ok")
+                error_col.append("")
+                doctype_col.append("pdf")
+                continue
+            try:
+                html.decode("utf-8", "strict")
+            except UnicodeDecodeError:
+                spans_col.append([])
+                status_col.append("error")
+                error_col.append("utf8-decode")
+                doctype_col.append("")
+                continue
+            spans_col.append(segment_html(html, cfg))
+            status_col.append("ok")
+            error_col.append("")
+            doctype_col.append("html")
+        return (
+            batch.append_column("spans", pa.array(spans_col, type=SPAN_TYPE))
+            .append_column("status", pa.array(status_col, type=pa.string()))
+            .append_column("error", pa.array(error_col, type=pa.string()))
+            .append_column("doctype", pa.array(doctype_col, type=pa.string()))
+        )
