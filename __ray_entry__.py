@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship detect-then-extract pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names — the driver hashes values after
+sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+The flagship queries derive a BASELINE-shaped pages table
+(url, warc_ts, html, text, lang) deterministically from the driver's
+``documents`` table (webextract/corpus.py render; FIXTURES.md §1), extract
+main content through the full Ray pipeline, and the oracle reconstructs the
+expected byte-exact text in pure SQL — mirroring
+``corpus.split_paragraphs``: k = doc_id%3+1 word-chunks, '\\n'-joined.
 """
 
 from __future__ import annotations
@@ -18,27 +22,449 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# Concurrency kept modest: the correctness driver runs at sf=0.01 on a
+# shared local Ray; bench.py owns the full-width settings.
+_CONC = (1, 4)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Flagship: detect-then-extract with byte-identity oracle
+# --------------------------------------------------------------------------
+
+
+def _extract_ds(sf_dir: str):
+    from webextract.pipelines.extract_pipeline import extract_pages
+    from webextract.sources.pages import pages_from_documents
+
+    return extract_pages(pages_from_documents(sf_dir), concurrency=_CONC)
+
+
+def q_extract_text(sf_dir: str):
+    """Byte-identical extracted text per document (ok rows)."""
+    ds = _extract_ds(sf_dir).filter(expr="status == 'ok'")
+    return ds.select_columns(["doc_id", "text"])
+
+
+_SQL_GOLD_TEXT = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, (doc_id % 3 + 1)::INT AS k
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(range(0, k), i ->
+      array_to_string(words[(i*len(words))//k + 1 : ((i+1)*len(words))//k], ' ')
+    ), chr(10)) AS text
+FROM w
+WHERE doc_id % 50 <> 7
+"""
+
+
+def q_extract_block_counts(sf_dir: str):
+    """Detect-stage block counts + branch routing + quarantine status."""
+    ds = _extract_ds(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_blocks": pc.cast(b.column("n_blocks"), pa.int64()),
+                "doctype": b.column("doctype"),
+                "status": b.column("status"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_BLOCK_COUNTS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 50 = 7 THEN 0 ELSE doc_id % 3 + 1 END AS n_blocks,
+  CASE WHEN doc_id % 50 = 7 THEN ''
+       WHEN doc_id % 25 = 3 THEN 'pdf' ELSE 'html' END AS doctype,
+  CASE WHEN doc_id % 50 = 7 THEN 'error' ELSE 'ok' END AS status
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from webextract.functions.textstats import fingerprint_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fp"])
+
+
+def q_quality_stats(sf_dir: str):
+    from webextract.functions.textstats import quality_stats_batch
+
+    def project(b: pa.Table) -> pa.Table:
+        b = quality_stats_batch(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars_c"),
+                "n_tokens": b.column("n_tokens"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(project, batch_format="pyarrow")
+
+
+def q_token_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from webextract.functions.textstats import quality_stats_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        quality_stats_batch, batch_format="pyarrow"
+    )
+    out = ds.groupby("lang").aggregate(
+        Count(), Sum("n_tokens"), Min("n_chars_c"), Max("n_chars_c")
+    )
+    return out.rename_columns(
+        {
+            "count()": "n_docs",
+            "sum(n_tokens)": "total_tokens",
+            "min(n_chars_c)": "min_chars",
+            "max(n_chars_c)": "max_chars",
+        }
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from webextract.functions.textstats import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from webextract.functions.dedup import exact_dedup
+    from webextract.functions.textstats import fingerprint_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    return exact_dedup(ds.select_columns(["fp", "doc_id"]), "fp", "doc_id")
+
+
+def q_dedup_events(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "event_id"]
+    )
+    return (
+        ds.groupby(["user_id", "event_type"])
+        .min("event_id")
+        .rename_columns({"min(event_id)": "event_id"})
+    )
+
+
+def q_minhash_signatures(sf_dir: str):
+    from webextract.functions.dedup import MinHasher
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=_CONC
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        sig0 = [int(s[0]) for s in b.column("minhash").to_pylist()]
+        band0 = [int(k[0]) for k in b.column("band_key").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "sig0": pa.array(sig0, type=pa.int64()),
+                "band0": pa.array(band0, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_neardup_pairs(sf_dir: str):
+    from webextract.functions.dedup import neardup_pairs
+
+    return neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from webextract.functions.dedup import simhash_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "simhash"])
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (groupby/agg, broadcast join, sort/limit, window)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity"), Count()
+    )
+    out = out.rename_columns(
+        {"sum(l_quantity)": "sum_qty", "count()": "count_order"}
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum_qty")
+        return b.set_column(i, "sum_qty", pc.round(b.column("sum_qty"), ndigits=2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: small customer side shipped once via ray.put."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(
+            zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist(),
+            )
+        )
+    )
+
+    class SegmentJoiner:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seg = [self.lookup.get(k) for k in b.column("o_custkey").to_pylist()]
+            return b.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    joined = orders.map_batches(
+        SegmentJoiner,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        concurrency=_CONC,
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_orders"})
+    )
+
+
+def q_top_docs_by_len(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1h window per event_type (count + int bounds; no float sums)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
+    )
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "window_start",
+            pc.floor_temporal(b.column("ts"), unit="hour").cast(pa.timestamp("us")),
+        ).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(), Min("event_id"), Max("event_id"))
+    )
+    out = out.rename_columns(
+        {
+            "count()": "n_events",
+            "min(event_id)": "first_event",
+            "max(event_id)": "last_event",
+        }
+    )
+
+    def recast(b: pa.Table) -> pa.Table:
+        # Ray's aggregate path downcasts timestamps to [s]; restore [us] so
+        # the Arrow schema matches the DuckDB oracle exactly.
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(
+            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q_similarity_topk(sf_dir: str):
+    import ray.data
+
+    from webextract.functions.similarity import topk_cosine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return topk_cosine(ds, _query_vec(sf_dir), k=10, concurrency=_CONC)
+
+
+def q_similarity_topk_lsh(sf_dir: str):
+    import ray.data
+
+    from webextract.functions.similarity import topk_cosine_lsh
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return topk_cosine_lsh(ds, _query_vec(sf_dir), k=5, n_planes=4,
+                           concurrency=_CONC)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from webextract.functions.similarity import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    dim = len(_query_vec(sf_dir))
+    return embedding_neardup(ds, tau=0.95, dim=dim, n_planes=6,
+                             concurrency=_CONC)
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (Ray pre-initialised)."""
+    return q_extract_text("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "extract_block_counts": q_extract_block_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "quality_stats": q_quality_stats,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "dedup_events": q_dedup_events,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_pairs": q_neardup_pairs,
+        "simhash": q_simhash,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_segment": q_orders_by_segment,
+        "top_docs_by_len": q_top_docs_by_len,
+        "events_window": q_events_window,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": _SQL_GOLD_TEXT,
+        "extract_block_counts": _SQL_BLOCK_COUNTS,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "token_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
+            "min(length(text)) AS min_chars, max(length(text)) AS max_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_events": (
+            "SELECT user_id, event_type, min(event_id) AS event_id "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "top_docs_by_len": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "events_window": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events, min(event_id) AS first_event, "
+            "max(event_id) AS last_event FROM events "
+            "GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "similarity_topk": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS score FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
+        # lang_id / minhash_signatures / neardup_pairs / simhash /
+        # similarity_topk_lsh / embedding_neardup: heuristic or
+        # approximate operators — not SQL-expressible; driver records the
+        # weaker rows-only check.
+    }

@@ -1,0 +1,184 @@
+"""Benchmark harness: headline extraction throughput + secondary pipelines.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": X, "bytes_per_sec": X}
+
+Headline = flagship detect-then-extract over a seeded pages corpus matched
+in row count to $GRAFT_SF_DIR's documents table (corpus cached under /tmp,
+generated once per scale). `--scaling` runs the headline twice in FRESH
+processes (num_cpus=8 then 32 — the sandbox stand-in for N / 4N node
+clusters) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Bench-tier corpus size: ~1 page per 6 lineitem rows (sf0.1 -> 100k
+    pages, the FIXTURES.md bench tier), floor 2000."""
+    import pyarrow.parquet as pq
+
+    lineitem = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    return max(2000, lineitem // 6)
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    """Generate (once) the seeded pages corpus for this scale under /tmp."""
+    from webextract.corpus import write_corpus
+
+    n = _corpus_rows(sf_dir)
+    path = f"/tmp/webextract_bench/pages_{n}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(path, n, rows_per_file=max(1000, n // 32))
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return path
+
+
+def run_headline(corpus_path: str, num_cpus: int, out_dir: str) -> dict:
+    import ray
+
+    from webextract.pipelines.extract_pipeline import extract_pages
+    from webextract.sources.pages import read_pages
+
+    # Leave CPU headroom for the read/write task stages beside the actor pool.
+    conc = max(2, num_cpus - max(2, num_cpus // 4))
+    ds = read_pages(corpus_path)
+    in_bytes = sum(
+        os.path.getsize(os.path.join(corpus_path, f))
+        for f in os.listdir(corpus_path)
+        if f.endswith(".parquet")
+    )
+    t0 = time.perf_counter()
+    result = extract_pages(ds, concurrency=conc, batch_size=256)
+    result.write_parquet(out_dir)
+    elapsed = time.perf_counter() - t0
+    import pyarrow.parquet as pq
+
+    docs = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return {
+        "seconds": elapsed,
+        "docs": docs,
+        "docs_per_sec": docs / elapsed,
+        "bytes_per_sec": in_bytes / elapsed,
+    }
+
+
+def run_secondary(sf_dir: str, num_cpus: int) -> dict:
+    """Time a representative slice of the non-flagship operators."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    conc_queries = {
+        "dedup_exact": entrymod.q_dedup_exact,
+        "minhash_signatures": entrymod.q_minhash_signatures,
+        "token_stats_by_lang": entrymod.q_token_stats_by_lang,
+        "similarity_topk": entrymod.q_similarity_topk,
+        "events_window": entrymod.q_events_window,
+        "pricing_summary": entrymod.q_pricing_summary,
+    }
+    times = {}
+    for name, fn in conc_queries.items():
+        t0 = time.perf_counter()
+        ds = fn(sf_dir)
+        # consume fully without materializing to the driver
+        for _ in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            pass
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_once(headline_only: bool = False) -> dict:
+    import ray
+
+    sf_dir = _sf_dir()
+    num_cpus = _num_cpus()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        corpus_path = ensure_corpus(sf_dir)
+        out_dir = f"/tmp/webextract_bench/out_{os.getpid()}"
+        head = run_headline(corpus_path, num_cpus, out_dir)
+        queries = {"extract": round(head["seconds"], 3)}
+        if not headline_only:
+            queries.update(run_secondary(sf_dir, num_cpus))
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {
+            "metric": "extract_pipeline_seconds",
+            "value": round(head["seconds"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": num_cpus,
+            "docs": head["docs"],
+            "docs_per_sec": round(head["docs_per_sec"], 1),
+            "bytes_per_sec": round(head["bytes_per_sec"], 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def bench_scaling() -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["docs_per_sec"]
+    t32 = results[32]["docs_per_sec"]
+    eff = (t32 / t8) / 4.0
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "extract_cpus8_sec": results[8]["value"],
+            "extract_cpus32_sec": results[32]["value"],
+        },
+        "sf": results[32]["sf"],
+        "num_cpus": 32,
+        "docs_per_sec_cpus8": t8,
+        "docs_per_sec_cpus32": t32,
+    }
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--headline-only", action="store_true")
+    args = p.parse_args()
+    if args.scaling:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_once(headline_only=args.headline_only)))

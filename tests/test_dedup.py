@@ -1,0 +1,77 @@
+"""Dedup operator tests: minhash/simhash determinism + LSH pipeline on
+constructed duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from webextract.functions.dedup import (
+    MinHasher,
+    band_keys,
+    est_jaccard,
+    exact_dedup,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    neardup_pairs,
+    shingle_hashes,
+    simhash64,
+)
+
+TEXT_A = "the quick brown fox jumps over the lazy dog again and again today"
+TEXT_B = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+TEXT_C = "completely different content about ray data pipelines and arrow tables"
+
+
+def test_shingles_deterministic():
+    a1, a2 = shingle_hashes(TEXT_A), shingle_hashes(TEXT_A)
+    assert np.array_equal(a1, a2)
+    assert len(a1) > 0
+
+
+def test_minhash_similar_texts_agree_more():
+    sa, sb, sc = (minhash_signature(t) for t in (TEXT_A, TEXT_B, TEXT_C))
+    assert est_jaccard(sa, sb) > est_jaccard(sa, sc)
+    assert est_jaccard(sa, sa) == 1.0
+
+
+def test_jaccard_exact():
+    assert jaccard(TEXT_A, TEXT_A) == 1.0
+    assert jaccard(TEXT_A, TEXT_C) < 0.1
+
+
+def test_band_keys_match_for_identical_sigs():
+    sa = minhash_signature(TEXT_A)
+    assert band_keys(sa) == band_keys(minhash_signature(TEXT_A))
+
+
+def test_simhash_properties():
+    h1, h2, h3 = simhash64(TEXT_A), simhash64(TEXT_B), simhash64(TEXT_C)
+    assert h1 == simhash64(TEXT_A)
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert simhash64("") == 0
+
+
+def test_exact_dedup_dataset():
+    t = pa.table({"fp": ["x", "x", "y"], "doc_id": [5, 2, 9]})
+    out = exact_dedup(ray.data.from_arrow(t), "fp", "doc_id").take_all()
+    assert sorted((r["fp"], r["doc_id"]) for r in out) == [("x", 2), ("y", 9)]
+
+
+def test_neardup_pairs_finds_planted_dups():
+    rows = {"doc_id": [1, 2, 3, 4], "text": [TEXT_A, TEXT_B, TEXT_C, TEXT_A]}
+    ds = ray.data.from_arrow(pa.table(rows))
+    # bands=16 (r=4): P(collide) for est-jaccard 0.75 pair is ~99.8%, so the
+    # near-dup reliably surfaces; with the default 8 bands it's a coin flip.
+    pairs = neardup_pairs(ds, threshold=0.5, bands=16, concurrency=1).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 4) in found  # exact duplicate pair must surface
+    assert (1, 2) in found  # near duplicate
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_minhasher_batch_udf():
+    batch = pa.table({"doc_id": [1], "text": [TEXT_A]})
+    out = MinHasher()(batch)
+    assert out.column("minhash")[0].as_py() == minhash_signature(TEXT_A).tolist()
+    assert len(out.column("band_key")[0].as_py()) == 8

@@ -26,10 +26,24 @@ def corpus_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def result_df(corpus_dir):
     ds = read_pages(corpus_dir)
-    out = extract_pages(
-        ds, segment_concurrency=(1, 2), extract_concurrency=(1, 2), batch_size=64
-    )
+    out = extract_pages(ds, concurrency=(1, 2), batch_size=64)
     return out.to_pandas()
+
+
+def test_staged_topology_matches_fused(corpus_dir, result_df):
+    """The deploy-pipeline topology (separate detect/extract actor pools)
+    must produce the same rows as the fused fast path."""
+    out = extract_pages(
+        read_pages(corpus_dir),
+        fused=False,
+        segment_concurrency=1,
+        extract_concurrency=1,
+        batch_size=64,
+    ).to_pandas()
+    a = out.sort_values("url", ignore_index=True)
+    b = result_df.sort_values("url", ignore_index=True)
+    assert (a.text == b.text).all()
+    assert (a.status == b.status).all()
 
 
 def test_row_count_preserved(result_df):
@@ -69,9 +83,7 @@ def test_parquet_files_are_sharded(corpus_dir):
 
 def test_documents_derived_pages(ray_session):
     out = extract_pages(
-        pages_from_documents("/root/testdata/sf0.001"),
-        segment_concurrency=(1, 2),
-        extract_concurrency=(1, 2),
+        pages_from_documents("/root/testdata/sf0.001"), concurrency=(1, 2)
     )
     df = out.to_pandas()
     assert len(df) == 500

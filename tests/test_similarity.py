@@ -1,0 +1,83 @@
+"""Similarity-search operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from webextract.functions.similarity import (
+    LshBucketer,
+    _hyperplanes,
+    embedding_neardup,
+    lsh_bucket_of,
+    topk_cosine,
+    topk_cosine_lsh,
+)
+
+
+def _embeddings(n=50, d=8, seed_stream=0):
+    from webextract.corpus import mix
+
+    vecs = np.array(
+        [[(mix(i * d + j, seed_stream) % 1000) / 1000.0 - 0.5 for j in range(d)]
+         for i in range(n)]
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    ), vecs
+
+
+def test_topk_cosine_matches_numpy():
+    t, vecs = _embeddings()
+    q = vecs[0]
+    out = topk_cosine(ray.data.from_arrow(t), q, k=5, concurrency=1).take_all()
+    # numpy reference (float32 storage round-trip like the table)
+    m = vecs.astype(np.float32).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = mn @ qn
+    expect = list(np.argsort([(-s, i) for i, s in enumerate(scores)], axis=0)[:, 0][:5])
+    got_ids = [r["vec_id"] for r in out]
+    assert got_ids[0] == 0  # query vector itself is its own nearest
+    assert set(got_ids) == set(int(i) for i in np.argsort(-scores)[:5])
+    assert out[0]["score"] >= out[-1]["score"]
+
+
+def test_hyperplanes_deterministic():
+    assert np.array_equal(_hyperplanes(8, 4), _hyperplanes(8, 4))
+
+
+def test_lsh_bucket_consistency():
+    planes = _hyperplanes(8, 4)
+    v = np.ones((1, 8))
+    b1 = lsh_bucket_of(v, planes)
+    assert 0 <= b1[0] < 16
+    assert lsh_bucket_of(v, planes)[0] == b1[0]
+
+
+def test_topk_lsh_contains_query_vector():
+    t, vecs = _embeddings()
+    out = topk_cosine_lsh(
+        ray.data.from_arrow(t), vecs[0], k=3, n_planes=3, concurrency=1
+    ).take_all()
+    assert [r["vec_id"] for r in out][0] == 0
+
+
+def test_embedding_neardup_finds_planted_pair():
+    t, vecs = _embeddings(n=20)
+    # plant an exact duplicate of vec 0 as vec 99
+    dup = pa.table(
+        {
+            "vec_id": pa.array([99], type=pa.int64()),
+            "embedding": pa.array([vecs[0].astype(np.float32).tolist()],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    full = pa.concat_tables([t, dup])
+    pairs = embedding_neardup(
+        ray.data.from_arrow(full), tau=0.999, dim=8, n_planes=4, concurrency=1
+    ).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(0, 99)}

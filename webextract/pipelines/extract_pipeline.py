@@ -31,14 +31,38 @@ from webextract.stages.segment import BlockSegmenter, SegmentConfig, segment_htm
 Concurrency = Union[int, Tuple[int, int], None]
 
 
+class FusedExtractor:
+    """Detect+extract+assemble in ONE actor (`fused=True` fast path).
+
+    The reference offers the same two topologies: the serial online system
+    runs det->rec in one process (`predict_system.py:255-355`) while the
+    deploy pipeline splits them into replicated stage processes
+    (`pipeline_manager.py:40-65`). Measured here, the fused pool runs at the
+    framework floor (read+write bound) because block fragments never cross
+    the object store between stages; the staged mode remains for
+    heterogeneous pools (e.g. a GPU-weighted extract stage).
+    """
+
+    def __init__(self, cfg: Optional[SegmentConfig] = None,
+                 drop_score: float = 0.5, keep_spans: bool = False):
+        self.seg = BlockSegmenter(cfg)
+        self.ext = SpanExtractor(drop_score)
+        self.keep_spans = keep_spans
+
+    def __call__(self, batch):
+        return assemble_batch(self.ext(self.seg(batch)), keep_spans=self.keep_spans)
+
+
 def extract_pages(
     ds: "ray.data.Dataset",
     *,
     cfg: Optional[SegmentConfig] = None,
     drop_score: float = 0.5,
     batch_size: int = 256,
-    segment_concurrency: Concurrency = (1, 8),
-    extract_concurrency: Concurrency = (1, 8),
+    fused: bool = True,
+    concurrency: Concurrency = (1, 8),
+    segment_concurrency: Concurrency = None,
+    extract_concurrency: Concurrency = None,
     keep_spans: bool = False,
 ) -> "ray.data.Dataset":
     """pages Dataset (url, warc_ts, html, [text], lang, ...) -> results.
@@ -46,20 +70,36 @@ def extract_pages(
     Output columns: input passthrough (gold slot renamed `gold_text`) plus
     `text` (extracted), `n_blocks`, `status`, `error`, `doctype`
     (schema.OUTPUT_FIELDS). Lazy — caller consumes via write/iter/aggregate.
+
+    `fused=True` (default): one actor pool running detect+extract+assemble
+    per batch — the throughput path. `fused=False`: one actor pool per
+    stage (`segment_concurrency` / `extract_concurrency`), the reference's
+    deploy-pipeline topology; size the pools to leave CPU headroom for the
+    read/write task stages or the job will starve.
     """
+    if fused and segment_concurrency is None and extract_concurrency is None:
+        return ds.map_batches(
+            FusedExtractor,
+            fn_constructor_kwargs={
+                "cfg": cfg, "drop_score": drop_score, "keep_spans": keep_spans,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     ds = ds.map_batches(
         BlockSegmenter,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=segment_concurrency,
+        concurrency=segment_concurrency or concurrency,
     )
     ds = ds.map_batches(
         SpanExtractor,
         fn_constructor_kwargs={"drop_score": drop_score},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=extract_concurrency,
+        concurrency=extract_concurrency or concurrency,
     )
     return ds.map_batches(
         functools.partial(assemble_batch, keep_spans=keep_spans),

@@ -1,0 +1,214 @@
+"""Named-operator registry + config-driven pipeline compiler.
+
+The reference instantiates YAML transform chains by `eval(name)(**params)`
+(`mindocr/data/transforms/transforms_factory.py:23-57`; same pattern for
+postprocess and datasets). Here the registry is an explicit dict — no eval
+of config strings — and a pipeline spec is a list of
+`{"op": name, **params}` dicts compiled onto a Dataset:
+
+    spec = [
+        {"op": "segment", "concurrency": 8},
+        {"op": "extract", "drop_score": 0.5},
+        {"op": "assemble"},
+    ]
+    ds = build_pipeline(ds, spec)
+
+Ops register with :func:`register`; each op is a function
+`(ds, **params) -> ds` so any Dataset verb (map_batches chains, groupbys,
+filters) can hide behind a name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str) -> Callable:
+    def deco(fn: Callable) -> Callable:
+        if name in _REGISTRY:
+            raise ValueError(f"operator {name!r} already registered")
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_op(name: str) -> Callable:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown operator {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def list_ops() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def build_pipeline(ds, spec: List[Dict[str, Any]]):
+    """Compile a spec (list of {"op": name, **params}) onto a Dataset."""
+    for step in spec:
+        params = dict(step)
+        name = params.pop("op")
+        ds = get_op(name)(ds, **params)
+    return ds
+
+
+# --- built-in operator registrations ----------------------------------------
+
+
+@register("segment")
+def _op_segment(ds, *, batch_size: int = 256, concurrency=(1, 8), **cfg_kwargs):
+    from webextract.stages.segment import BlockSegmenter, SegmentConfig
+
+    cfg = SegmentConfig(**cfg_kwargs) if cfg_kwargs else None
+    return ds.map_batches(
+        BlockSegmenter,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+@register("extract")
+def _op_extract(ds, *, drop_score: float = 0.5, batch_size: int = 256,
+                concurrency=(1, 8)):
+    from webextract.stages.extract import SpanExtractor
+
+    return ds.map_batches(
+        SpanExtractor,
+        fn_constructor_kwargs={"drop_score": drop_score},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+@register("assemble")
+def _op_assemble(ds, *, keep_spans: bool = False, batch_size: int = 256):
+    import functools
+
+    from webextract.stages.assemble import assemble_batch
+
+    return ds.map_batches(
+        functools.partial(assemble_batch, keep_spans=keep_spans),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+@register("filter")
+def _op_filter(ds, *, expr: str):
+    return ds.filter(expr=expr)
+
+
+@register("select")
+def _op_select(ds, *, columns: List[str]):
+    return ds.select_columns(columns)
+
+
+@register("limit")
+def _op_limit(ds, *, n: int):
+    return ds.limit(n)
+
+
+@register("repartition")
+def _op_repartition(ds, *, num_blocks: int, shuffle: bool = False):
+    return ds.repartition(num_blocks, shuffle=shuffle)
+
+
+@register("salted_repartition")
+def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
+                           salt_buckets: int = 16):
+    """Skew defense: spread hot keys (giant hosts) by hashing (key, salt).
+
+    Adds a transient salt column from a stable hash of the key plus a
+    round-robin bucket, then hash-shuffles on it — giant-host rows land in
+    `salt_buckets` different blocks instead of one (SURVEY.md §4 skew row).
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    counter = {"i": 0}
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_pylist()
+        salts = []
+        for k in keys:
+            counter["i"] += 1
+            salts.append(
+                (zlib.crc32((k or "").encode("utf-8")) + counter["i"] % salt_buckets)
+                % (2**31)
+            )
+        return batch.append_column("_salt", pa.array(salts, type=pa.int64()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    return salted.repartition(num_blocks, shuffle=True).drop_columns(["_salt"])
+
+
+@register("minhash")
+def _op_minhash(ds, *, text_col: str = "text", num_perm: int = 64,
+                bands: int = 8, k: int = 3, concurrency=(1, 4)):
+    from webextract.functions.dedup import MinHasher
+
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "bands": bands,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+@register("simhash")
+def _op_simhash(ds, *, text_col: str = "text"):
+    import functools
+
+    from webextract.functions.dedup import simhash_batch
+
+    return ds.map_batches(
+        functools.partial(simhash_batch, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+@register("quality_stats")
+def _op_quality(ds, *, text_col: str = "text"):
+    import functools
+
+    from webextract.functions.textstats import quality_stats_batch
+
+    return ds.map_batches(
+        functools.partial(quality_stats_batch, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+@register("lang_id")
+def _op_lang_id(ds, *, text_col: str = "text"):
+    import functools
+
+    from webextract.functions.textstats import lang_id_batch
+
+    return ds.map_batches(
+        functools.partial(lang_id_batch, text_col=text_col),
+        batch_format="pyarrow",
+    )
+
+
+@register("fingerprint")
+def _op_fingerprint(ds, *, text_col: str = "text"):
+    import functools
+
+    from webextract.functions.textstats import fingerprint_batch
+
+    return ds.map_batches(
+        functools.partial(fingerprint_batch, text_col=text_col),
+        batch_format="pyarrow",
+    )

@@ -21,13 +21,12 @@ import pyarrow.compute as pc
 def assemble_batch(batch: pa.Table, keep_spans: bool = False) -> pa.Table:
     texts = []
     n_blocks = []
-    for blocks in batch.column("block_texts"):
-        lst = blocks.as_py()
+    for lst in batch.column("block_texts").to_pylist():
         texts.append("\n".join(lst))
         n_blocks.append(len(lst))
     batch = batch.append_column("extracted_text", pa.array(texts, type=pa.string()))
     batch = batch.append_column("n_blocks", pa.array(n_blocks, type=pa.int32()))
-    drop = ["html", "block_texts"]
+    drop = ["html", "block_html", "block_texts"]
     if not keep_spans:
         drop.append("spans")
     batch = batch.drop_columns([c for c in drop if c in batch.column_names])

@@ -174,14 +174,25 @@ def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict
 
 
 class BlockSegmenter:
-    """Actor-pool batch UDF: pages batch -> pages + spans/status/doctype.
+    """Actor-pool batch UDF: pages batch -> spans + cropped block fragments.
+
+    Emits `spans` (byte offsets into the original payload) plus `block_html`
+    (the sliced fragment bytes per span) and DROPS the heavy `html` column --
+    the faithful mapping of the reference's det stage, which crops sub-images
+    and ships only the crops downstream to recognition
+    (`deploy/py_infer/src/parallel/module/detection/det_post_node.py:19-52`,
+    including its explicit `data`/`frame` free for memory). Only the compact
+    fragments cross the object store to the extract stage.
 
     Rows whose payload fails strict UTF-8 validation (and is not PDF) are
-    quarantined via `status='error'` instead of crashing the job — the
+    quarantined via `status='error'` instead of crashing the job -- the
     deterministic replacement for the reference's skip-corrupt-record path
-    (`deploy/py_infer/src/parallel/module/common/decode_node.py:27-42`);
-    its random-resample-on-error (`det_dataset.py:105-110`) is deliberately
-    NOT ported (nondeterministic).
+    (`decode_node.py:27-42`); its random-resample-on-error
+    (`det_dataset.py:105-110`) is deliberately NOT ported (nondeterministic).
+
+    Output columns are built from flat value arrays + offsets
+    (`pa.ListArray.from_arrays`) -- no per-row Python dict materialization in
+    the hot path.
     """
 
     def __init__(self, cfg: Optional[SegmentConfig] = None):
@@ -189,38 +200,62 @@ class BlockSegmenter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        spans_col: List[List[dict]] = []
+        offsets = [0]
+        f_starts: List[int] = []
+        f_ends: List[int] = []
+        f_kinds: List[str] = []
+        f_scores: List[float] = []
+        f_frags: List[bytes] = []
         status_col: List[str] = []
         error_col: List[str] = []
         doctype_col: List[str] = []
-        for buf in batch.column("html"):
-            html = buf.as_py()
+        for html in batch.column("html").to_pylist():
             if html is None:
-                spans_col.append([])
                 status_col.append("error")
                 error_col.append("null-payload")
                 doctype_col.append("")
+                offsets.append(len(f_starts))
                 continue
             if html[:5] == _PDF_MAGIC:
-                spans_col.append(segment_pdf(html, cfg))
-                status_col.append("ok")
-                error_col.append("")
+                spans = segment_pdf(html, cfg)
                 doctype_col.append("pdf")
-                continue
-            try:
-                html.decode("utf-8", "strict")
-            except UnicodeDecodeError:
-                spans_col.append([])
-                status_col.append("error")
-                error_col.append("utf8-decode")
-                doctype_col.append("")
-                continue
-            spans_col.append(segment_html(html, cfg))
+            else:
+                try:
+                    html.decode("utf-8", "strict")
+                except UnicodeDecodeError:
+                    status_col.append("error")
+                    error_col.append("utf8-decode")
+                    doctype_col.append("")
+                    offsets.append(len(f_starts))
+                    continue
+                spans = segment_html(html, cfg)
+                doctype_col.append("html")
             status_col.append("ok")
             error_col.append("")
-            doctype_col.append("html")
+            for s in spans:
+                f_starts.append(s["start"])
+                f_ends.append(s["end"])
+                f_kinds.append(s["kind"])
+                f_scores.append(s["score"])
+                f_frags.append(html[s["start"] : s["end"]])
+            offsets.append(len(f_starts))
+
+        off = pa.array(offsets, type=pa.int32())
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(f_starts, type=pa.int64()),
+                pa.array(f_ends, type=pa.int64()),
+                pa.array(f_kinds, type=pa.string()),
+                pa.array(f_scores, type=pa.float64()),
+            ],
+            names=["start", "end", "kind", "score"],
+        )
+        spans_arr = pa.ListArray.from_arrays(off, struct)
+        frags_arr = pa.ListArray.from_arrays(off, pa.array(f_frags, type=pa.binary()))
         return (
-            batch.append_column("spans", pa.array(spans_col, type=SPAN_TYPE))
+            batch.drop_columns(["html"])
+            .append_column("spans", spans_arr)
+            .append_column("block_html", frags_arr)
             .append_column("status", pa.array(status_col, type=pa.string()))
             .append_column("error", pa.array(error_col, type=pa.string()))
             .append_column("doctype", pa.array(doctype_col, type=pa.string()))
