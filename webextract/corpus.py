@@ -125,12 +125,21 @@ def _decorate(paragraph: str, doc_id: int, idx: int) -> str:
     return content
 
 
-def render_html(doc_id: int, text: str, lang: str) -> bytes:
-    """Deterministically wrap gold paragraphs in boilerplate."""
+def _render_parts(doc_id: int, text: str, lang: str):
+    """Render piece list + block marks (single source of truth for both the
+    html bytes and the blocks_gold span fixture).
+
+    Returns (parts, marks) where marks = [(part_idx, kind, gold_text,
+    ignore)]: `part_idx` points at the part holding exactly the content
+    between a block's open and close tags (FIXTURES.md §2 `blocks_gold`;
+    ignore=True marks boilerplate blocks the detector may legally include
+    or exclude — the ###/ignore_tags convention, det_transforms.py:77-80).
+    """
     paras = split_paragraphs(text, doc_id)
     h = host_of(doc_id)
-    out: List[str] = []
-    a = out.append
+    parts: List[str] = []
+    marks: List[tuple] = []
+    a = parts.append
     a(f'<!DOCTYPE html>\n<html lang="{escape(lang)}">\n<head>\n')
     a(f"<title>Doc {doc_id} — host{h}</title>\n")
     a('<meta charset="utf-8">\n')
@@ -138,8 +147,11 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     a(f"<script>var docId = {doc_id}; if (docId < 0) console.log('<p>never</p>');</script>\n")
     a("</head>\n<body>\n")
     # header: contains real-looking <p> text that MUST be excluded (container rule)
-    a(f'<header class="site-header"><h1>Site host{h}</h1>'
-      f"<p>Welcome to host{h}.example — the number {doc_id % 1000} source for documents.</p></header>\n")
+    welcome = f"Welcome to host{h}.example — the number {doc_id % 1000} source for documents."
+    a(f'<header class="site-header"><h1>Site host{h}</h1><p>')
+    marks.append((len(parts), "p", welcome, True))
+    a(welcome)
+    a("</p></header>\n")
     # nav link farm: link density 1.0
     n_nav = 3 + doc_id % 5
     a('<nav class="nav"><ul>')
@@ -149,9 +161,10 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     a('<div class="content"><article>\n')
     a(f"<!-- article {doc_id} rendered {doc_id % 97} -->\n")
     for i, p in enumerate(paras):
-        a("  <p>\n    ")
-        a(_decorate(p, doc_id, i))
-        a("\n  </p>\n")
+        a("  <p>")
+        marks.append((len(parts), "p", p, False))
+        a("\n    " + _decorate(p, doc_id, i) + "\n  ")
+        a("</p>\n")
     a("</article></div>\n")
     # sidebar ad/link farm
     a('<aside class="sidebar"><p>')
@@ -159,12 +172,44 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
         a(f'<a href="/ad{i}">{_AD_WORDS[(doc_id * 3 + i) % 8]}</a> ')
     a("</p></aside>\n")
     # comments: boilerplate by class hint
-    a('<div class="comments"><p class="comment-body">'
-      f"Great post, thanks for sharing number {doc_id % 9}!</p></div>\n")
-    a(f'<footer class="footer"><p>Copyright 2024 host{h}.example. '
-      "All rights reserved.</p></footer>\n")
+    comment = f"Great post, thanks for sharing number {doc_id % 9}!"
+    a('<div class="comments"><p class="comment-body">')
+    marks.append((len(parts), "p", comment, True))
+    a(comment)
+    a("</p></div>\n")
+    copyright_ = f"Copyright 2024 host{h}.example. All rights reserved."
+    a('<footer class="footer"><p>')
+    marks.append((len(parts), "p", copyright_, True))
+    a(copyright_)
+    a("</p></footer>\n")
     a("</body>\n</html>\n")
-    return "".join(out).encode("utf-8")
+    return parts, marks
+
+
+def render_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Deterministically wrap gold paragraphs in boilerplate."""
+    parts, _ = _render_parts(doc_id, text, lang)
+    return "".join(parts).encode("utf-8")
+
+
+def gold_blocks(doc_id: int, text: str, lang: str) -> List[dict]:
+    """blocks_gold rows for one doc: byte-offset spans of every rendered
+    block, ignore=True for boilerplate (FIXTURES.md §2)."""
+    parts, marks = _render_parts(doc_id, text, lang)
+    lens = [len(p.encode("utf-8")) for p in parts]
+    starts = [0]
+    for n in lens:
+        starts.append(starts[-1] + n)
+    return [
+        {
+            "start": starts[idx],
+            "end": starts[idx] + lens[idx],
+            "kind": kind,
+            "text": gold,
+            "ignore": ignore,
+        }
+        for idx, kind, gold, ignore in marks
+    ]
 
 
 # --- fake PDF rendering (deterministic stand-in; real PDF libs absent) ------
@@ -260,4 +305,36 @@ def write_corpus(path: str, n_rows: int, rows_per_file: int = 20000) -> str:
         table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
         pq.write_table(table, os.path.join(path, f"pages-{shard:05d}.parquet"))
         shard += 1
+    return path
+
+
+def write_corpus_ray(path: str, n_rows: int, rows_per_file: int = 20000) -> str:
+    """Ray-parallel corpus writer (same rows as write_corpus, any sharding).
+
+    Rendering is a pure function of doc_id, so generation distributes as
+    `range(n) -> map_batches(render)` — used by bench.py for the large
+    scaling corpora. Requires an initialised Ray session.
+    """
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.schema import PAGES_SCHEMA
+
+    os.makedirs(path, exist_ok=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = [
+            next(generate_pages(1, start_id=i))
+            for i in batch.column("id").to_pylist()
+        ]
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    (
+        ray.data.range(n_rows)
+        .repartition(max(1, n_rows // rows_per_file))
+        .map_batches(gen, batch_format="pyarrow", batch_size=rows_per_file)
+        .write_parquet(path)
+    )
     return path

@@ -1,0 +1,155 @@
+"""Multimodal payload stages: opaque binary columns + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with typed
+metadata columns — exactly how `html` bytes do. The decode kernels
+themselves (JPEG decode, resample, frame extraction) need libraries absent
+from this container, so each stage exposes a REAL Ray-side surface (schema,
+actor pool, batch sizing for large payloads, output layout) around either:
+
+* a clearly marked ``NotImplementedError`` when ``strict=True``, or
+* a deterministic fake decode (default) driven by the payload bytes, so
+  the plumbing is testable end-to-end.
+
+The reference analog is `DecodeImage` (cv2.imdecode behind a per-record
+transform, `mindocr/data/transforms/general_transforms.py:56-86`) and the
+resize/normalize family; swapping the fake for cv2/PIL/ffmpeg is a
+one-function change per stage.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from webextract.corpus import mix
+
+
+def _fake_dims(payload: bytes) -> tuple:
+    """Deterministic fake "decode": dimensions derived from a stable hash
+    of the payload bytes (stands in for actual header parsing)."""
+    from hashlib import blake2b
+
+    h = int.from_bytes(blake2b(payload, digest_size=8).digest(), "little")
+    return 64 + h % 1920, 64 + (h >> 16) % 1080
+
+
+class ImageDecoder:
+    """Actor-pool UDF: `image` binary -> width/height/format metadata +
+    optional thumbnail feature vector.
+
+    Keep `batch_size` SMALL for large payloads (batch bytes = batch_size x
+    payload size must fit the worker heap — SURVEY.md §7.4 wide-row note).
+    """
+
+    def __init__(self, strict: bool = False, feature_dim: int = 16,
+                 payload_col: str = "image"):
+        self.strict = strict
+        self.feature_dim = feature_dim
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real image decode requires cv2/PIL (not in this container); "
+                "run with strict=False for the deterministic fake"
+            )
+        widths: List[int] = []
+        heights: List[int] = []
+        feats: List[List[float]] = []
+        for payload in batch.column(self.payload_col).to_pylist():
+            if not payload:
+                widths.append(0)
+                heights.append(0)
+                feats.append([0.0] * self.feature_dim)
+                continue
+            w, h = _fake_dims(payload)
+            widths.append(w)
+            heights.append(h)
+            # fake "feature extract": byte-histogram folded to feature_dim
+            arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+            hist = np.bincount(arr % self.feature_dim, minlength=self.feature_dim)
+            total = hist.sum() or 1
+            feats.append((hist / total).astype(np.float64).tolist())
+        return (
+            batch.append_column("width", pa.array(widths, type=pa.int32()))
+            .append_column("height", pa.array(heights, type=pa.int32()))
+            .append_column(
+                "features", pa.array(feats, type=pa.list_(pa.float64()))
+            )
+        )
+
+
+class ImageResizer:
+    """Actor-pool UDF: records target dims per row (fake resize keeps the
+    payload; a real impl would re-encode). Mirrors DetResize's contract of
+    recording the scale metadata needed for inverse mapping
+    (`det_transforms.py:375-551` `shape_list`)."""
+
+    def __init__(self, max_side: int = 512):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out_w, out_h, scale = [], [], []
+        for w, h in zip(widths, heights):
+            s = min(1.0, self.max_side / max(w, h, 1))
+            out_w.append(int(w * s))
+            out_h.append(int(h * s))
+            scale.append(s)
+        return (
+            batch.append_column("resized_w", pa.array(out_w, type=pa.int32()))
+            .append_column("resized_h", pa.array(out_h, type=pa.int32()))
+            .append_column("scale", pa.array(scale, type=pa.float64()))
+        )
+
+
+class FrameSampler:
+    """Actor-pool UDF: `video` binary -> one row PER SAMPLED FRAME
+    (flat_map-style row expansion, the VQA chunking pattern,
+    `layoutlm_transforms.py:315-535`). Fake: frame count derived from
+    payload length; real impl would call ffmpeg."""
+
+    def __init__(self, every_n: int = 10, id_col: str = "doc_id",
+                 payload_col: str = "video"):
+        self.every_n = every_n
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: List[int] = []
+        frame_idx: List[int] = []
+        ts_ms: List[int] = []
+        ids = batch.column(self.id_col).to_pylist()
+        for i, payload in enumerate(batch.column(self.payload_col).to_pylist()):
+            n_frames = 0 if not payload else 1 + len(payload) // 1000
+            for f in range(0, n_frames, self.every_n):
+                ids_out.append(ids[i])
+                frame_idx.append(f)
+                ts_ms.append(f * 33)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "ts_ms": pa.array(ts_ms, type=pa.int32()),
+            }
+        )
+
+
+def audio_features_batch(batch: pa.Table, payload_col: str = "audio",
+                         n_mfcc: int = 8) -> pa.Table:
+    """Stateless fake audio feature extract: stable per-payload vector
+    (stands in for MFCC; real impl needs librosa/ffmpeg)."""
+    feats = []
+    for payload in batch.column(payload_col).to_pylist():
+        if not payload:
+            feats.append([0.0] * n_mfcc)
+            continue
+        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        feats.append(
+            [((mix(seed & 0x7FFFFFFF, 300 + j) % 10_000) / 10_000.0)
+             for j in range(n_mfcc)]
+        )
+    return batch.append_column("mfcc", pa.array(feats, type=pa.list_(pa.float64())))
