@@ -25,7 +25,6 @@ from typing import FrozenSet, List, Optional, Tuple
 import pyarrow as pa
 
 from webextract.html.tokenizer import VOID_TAGS, get_attr, iter_events
-from webextract.schema import SPAN_TYPE
 
 
 @dataclass(frozen=True)
