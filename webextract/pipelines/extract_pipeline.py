@@ -87,6 +87,49 @@ def extract_pages(
             batch_size=batch_size,
             concurrency=concurrency,
         )
+    return _staged(ds, cfg=cfg, drop_score=drop_score, batch_size=batch_size,
+                   concurrency=concurrency,
+                   segment_concurrency=segment_concurrency,
+                   extract_concurrency=extract_concurrency,
+                   keep_spans=keep_spans)
+
+
+def extract_pages_tiered(
+    ds: "ray.data.Dataset",
+    *,
+    giant_bytes: int = 1_000_000,
+    giant_batch_size: int = 4,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Skew-hardened variant: route giant pages to a batch_size-limited pool.
+
+    One multi-MB page in a 256-row batch makes the whole batch a straggler
+    and balloons the worker heap (SURVEY.md §4 skew row; the reference
+    splits many-crop images into independently processed chunks,
+    `rec_pre_node.py:43-57`). Here rows are split by payload size into two
+    sub-pipelines — normal batches vs tiny batches — and unioned; both use
+    the same extractor, so results are identical to the untiered run.
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def tag(batch):
+        return batch.append_column(
+            "_sz", _pc.binary_length(batch.column("html")).cast(_pa.int64())
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    small = tagged.filter(expr=f"_sz < {giant_bytes}").drop_columns(["_sz"])
+    giant = tagged.filter(expr=f"_sz >= {giant_bytes}").drop_columns(["_sz"])
+    out_small = extract_pages(small, **kwargs)
+    giant_kwargs = dict(kwargs)
+    giant_kwargs["batch_size"] = giant_batch_size
+    out_giant = extract_pages(giant, **giant_kwargs)
+    return out_small.union(out_giant)
+
+
+def _staged(ds, *, cfg, drop_score, batch_size, concurrency,
+            segment_concurrency, extract_concurrency, keep_spans):
     ds = ds.map_batches(
         BlockSegmenter,
         fn_constructor_kwargs={"cfg": cfg},
