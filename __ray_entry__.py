@@ -291,6 +291,21 @@ def q_orders_by_segment(sf_dir: str):
     )
 
 
+def q_orders_customers_join(sf_dir: str):
+    """Big-big hash join (one shuffle, per-key cross product)."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).rename_columns({"o_custkey": "c_custkey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return hash_join(orders, cust, on="c_custkey")
+
+
 def q_top_docs_by_len(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
+        "orders_customers_join": q_orders_customers_join,
         "top_docs_by_len": q_top_docs_by_len,
         "events_window": q_events_window,
         "chunk_documents": q_chunk_documents,
@@ -501,6 +517,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "orders_customers_join": (
+            "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "top_docs_by_len": (
             "SELECT doc_id, n_chars FROM documents "

@@ -1,0 +1,41 @@
+"""Join operator tests: broadcast and big-big hash join."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from webextract.functions.joins import broadcast_join, hash_join
+
+
+def test_broadcast_join_left_semantics(ray_session):
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
+    small = pa.table({"k": [1, 2], "name": ["one", "two"], "rank": [10, 20]})
+    out = broadcast_join(big, small, key="k", concurrency=1).to_pandas()
+    out = out.sort_values("v", ignore_index=True)
+    assert out.name.tolist() == ["one", "two", None, "two"]
+    assert out["rank"].tolist()[0] == 10
+
+
+def test_hash_join_inner(ray_session):
+    left = ray.data.from_arrow(pa.table({"k": [1, 1, 2, 4], "lv": ["a", "b", "c", "z"]}))
+    right = ray.data.from_arrow(pa.table({"k": [1, 2, 2, 3], "rv": [10, 20, 21, 30]}))
+    rows = hash_join(left, right, on="k").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert got == [
+        (1, "a", 10), (1, "b", 10),
+        (2, "c", 20), (2, "c", 21),
+    ]  # k=4 and k=3 have no match -> dropped (inner)
+
+
+def test_hash_join_rejects_overlap(ray_session):
+    left = ray.data.from_arrow(pa.table({"k": [1], "v": [1]}))
+    right = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="overlapping"):
+        hash_join(left, right, on="k")
+
+
+def test_hash_join_max_group_guard(ray_session):
+    left = ray.data.from_arrow(pa.table({"k": [1] * 20, "lv": list(range(20))}))
+    right = ray.data.from_arrow(pa.table({"k": [1] * 20, "rv": list(range(20))}))
+    rows = hash_join(left, right, on="k", max_group=100).take_all()
+    assert rows == []  # 400 > 100: hot key skipped, not quadratic-exploded

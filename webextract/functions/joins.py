@@ -1,0 +1,131 @@
+"""Relational joins as Ray Data primitives.
+
+Two strategies, chosen by side size (SURVEY.md §2.4 — the reference has no
+relational joins; a 100 TB pipeline needs them for metadata enrichment):
+
+* :func:`broadcast_join` — small side shipped ONCE via `ray.put`, looked up
+  inside `map_batches` (no shuffle at all). Use when one side fits in a
+  worker heap.
+* :func:`hash_join` — big-big inner join: both sides are tagged, padded to
+  a common schema, unioned, and hash-partitioned by key with ONE shuffle
+  (`groupby(key).map_groups`); each group emits the per-key cross product.
+  The shuffle moves only the selected columns — project before joining.
+
+Skew note: a pathological hot key makes one group giant; `max_group` guards
+against quadratic blowup (the salted-repartition op is the mitigation for
+such keys upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_table: pa.Table, *, key: str,
+                   value_cols: Optional[List[str]] = None, concurrency=(1, 4)):
+    """Enrich `ds` rows with columns from `small_table` matched on `key`
+    (left join; misses become nulls). Small side crosses the cluster once."""
+    import ray
+
+    value_cols = value_cols or [c for c in small_table.column_names if c != key]
+    lookup = {}
+    keys = small_table.column(key).to_pylist()
+    cols = {c: small_table.column(c).to_pylist() for c in value_cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(cols[c][i] for c in value_cols)
+    ref = ray.put(lookup)
+
+    value_types = [small_table.schema.field(c).type for c in value_cols]
+
+    class Joiner:
+        def __init__(self, ref, key, value_cols, value_types):
+            self.lookup = ray.get(ref)
+            self.key = key
+            self.value_cols = value_cols
+            self.value_types = value_types
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            misses = (None,) * len(self.value_cols)
+            rows = [self.lookup.get(k, misses)
+                    for k in batch.column(self.key).to_pylist()]
+            for j, (c, t) in enumerate(zip(self.value_cols, self.value_types)):
+                batch = batch.append_column(
+                    c, pa.array([r[j] for r in rows], type=t)
+                )
+            return batch
+
+    return ds.map_batches(
+        Joiner,
+        fn_constructor_kwargs={"ref": ref, "key": key, "value_cols": value_cols,
+                               "value_types": value_types},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def hash_join(left, right, *, on: str, max_group: int = 100_000):
+    """Big-big INNER join on `on`: one hash shuffle, per-key cross product.
+
+    Column name collisions (other than the key) must be resolved by the
+    caller beforehand (select/rename) — overlapping names raise.
+    """
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = lschema.names
+    rcols = rschema.names
+    overlap = (set(lcols) & set(rcols)) - {on}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    payload_l = [c for c in lcols if c != on]
+    payload_r = [c for c in rcols if c != on]
+    types: Dict[str, pa.DataType] = {}
+    for c in lcols:
+        types[c] = lschema.field(c).type
+    for c in rcols:
+        types[c] = rschema.field(c).type
+
+    def pad(side_cols, src):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [batch.column(on)], [on]
+            for c in payload_l + payload_r:
+                arrays.append(
+                    batch.column(c) if c in side_cols
+                    else pa.nulls(n, type=types[c])
+                )
+                names.append(c)
+            arrays.append(pa.array([src] * n, type=pa.int8()))
+            names.append("_src")
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return fn
+
+    lpad = left.map_batches(pad(payload_l, 0), batch_format="pyarrow")
+    rpad = right.map_batches(pad(payload_r, 1), batch_format="pyarrow")
+    unioned = lpad.union(rpad)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        src = group.column("_src").to_pylist()
+        li = [i for i, s in enumerate(src) if s == 0]
+        ri = [i for i, s in enumerate(src) if s == 1]
+        if not li or not ri or len(li) * len(ri) > max_group:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
+                names=[on] + payload_l + payload_r,
+            )
+        # cross product: repeat left rows x tile right rows
+        idx_l = pa.array([i for i in li for _ in ri], type=pa.int64())
+        idx_r = pa.array([j for _ in li for j in ri], type=pa.int64())
+        out_arrays = [group.column(on).take(idx_l)]
+        out_names = [on]
+        for c in payload_l:
+            out_arrays.append(group.column(c).take(idx_l))
+            out_names.append(c)
+        for c in payload_r:
+            out_arrays.append(group.column(c).take(idx_r))
+            out_names.append(c)
+        return pa.Table.from_arrays(out_arrays, names=out_names)
+
+    return unioned.groupby(on).map_groups(join_group, batch_format="pyarrow")

@@ -212,3 +212,45 @@ def _op_fingerprint(ds, *, text_col: str = "text"):
         functools.partial(fingerprint_batch, text_col=text_col),
         batch_format="pyarrow",
     )
+
+
+@register("classify")
+def _op_classify(ds, *, text_col: str = "text", concurrency=(1, 4)):
+    from webextract.stages.classify import LangClassifier
+
+    return ds.map_batches(
+        LangClassifier,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+@register("chunk")
+def _op_chunk(ds, *, max_tokens: int = 64, id_col: str = "doc_id",
+              text_col: str = "text"):
+    from webextract.functions.chunking import chunk_documents
+
+    return chunk_documents(ds, max_tokens=max_tokens, id_col=id_col,
+                           text_col=text_col)
+
+
+@register("sessionize")
+def _op_sessionize(ds, *, gap_minutes: int = 30):
+    from webextract.functions.sessions import sessionize
+
+    return sessionize(ds, gap_minutes=gap_minutes)
+
+
+@register("image_decode")
+def _op_image_decode(ds, *, strict: bool = False, batch_size: int = 16,
+                     concurrency=(1, 4), payload_col: str = "image"):
+    from webextract.stages.multimodal import ImageDecoder
+
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"strict": strict, "payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payload bytes x batch must fit heap
+        concurrency=concurrency,
+    )
