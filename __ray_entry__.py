@@ -149,6 +149,26 @@ def q_token_stats_by_lang(sf_dir: str):
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    from webextract.functions.textstats import bpe_token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q_quality_scores(sf_dir: str):
+    from webextract.functions.textstats import quality_score_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality"]
+    )
+
+
 def q_lang_id(sf_dir: str):
     from webextract.functions.textstats import lang_id_batch
 
@@ -468,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "token_stats_by_lang": q_token_stats_by_lang,
         "lang_id": q_lang_id,
+        "bpe_token_counts": q_bpe_token_counts,
+        "quality_scores": q_quality_scores,
         "dedup_exact": q_dedup_exact,
         "dedup_events": q_dedup_events,
         "minhash_signatures": q_minhash_signatures,
@@ -500,6 +522,10 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
             "min(length(text)) AS min_chars, max(length(text)) AS max_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "bpe_token_counts": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS doc_id "

@@ -47,3 +47,31 @@ def test_rolling_hashes():
     h3 = rolling_hashes("xabcdefgh", window=4)
     assert set(h1) & set(h3)
     assert rolling_hashes("ab", window=4)  # short input still hashes
+
+
+def test_bpe_tokens():
+    from webextract.functions.textstats import bpe_tokens, bpe_token_count_batch
+
+    assert bpe_tokens("don't stop-me now!") == [
+        "don", "'", "t", "stop", "-", "me", "now", "!"
+    ]
+    b = pa.table({"text": ["a, b", ""]})
+    out = bpe_token_count_batch(b)
+    assert out.column("n_bpe_tokens").to_pylist() == [3, 0]
+
+
+def test_quality_score_ranges():
+    from webextract.functions.textstats import quality_score
+
+    clean = quality_score("the quick brown fox jumps over the lazy dog")
+    junk = quality_score("@@@@ #### !!!! %%%% ^^^^ &&&& **** ((((")
+    assert clean["quality"] > 0.9
+    assert junk["quality"] < 0.3
+    assert junk["punct_ratio"] > clean["punct_ratio"]
+    assert quality_score("")["quality"] == 0.0
+
+
+def test_quality_score_stopwords():
+    from webextract.functions.textstats import quality_score
+
+    assert quality_score("the cat and the dog")["stopword_ratio"] == 0.6

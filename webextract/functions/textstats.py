@@ -31,6 +31,80 @@ def quality_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# --- BPE-ish regex tokenization ----------------------------------------------
+
+# word runs OR single non-word-non-space chars — the classic pre-BPE split.
+# Mirrored by the DuckDB oracle regexp_extract_all(text, '\w+|[^\w\s]').
+_BPE_RE = None
+
+
+def _bpe_re():
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(r"\w+|[^\w\s]")
+    return _BPE_RE
+
+
+def bpe_tokens(text: str) -> List[str]:
+    return _bpe_re().findall(text)
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    pat = _bpe_re()
+    counts = [len(pat.findall(s or "")) for s in batch.column(text_col).to_pylist()]
+    return batch.append_column(
+        "n_bpe_tokens", pa.array(counts, type=pa.int64())
+    )
+
+
+# --- composite quality score --------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was for with on at by it this that".split()
+)
+
+
+def quality_score(text: str) -> dict:
+    """Length / punctuation / stopword heuristics (C4/Gopher-style filters).
+
+    Returns ratios in [0,1] plus a composite `quality` in [0,1]. Pure,
+    deterministic; thresholds live with the caller (a filter op decides).
+    """
+    if not text:
+        return {"alpha_ratio": 0.0, "punct_ratio": 0.0, "stopword_ratio": 0.0,
+                "mean_word_len": 0.0, "quality": 0.0}
+    n = len(text)
+    alpha = sum(ch.isalpha() or ch == " " for ch in text) / n
+    punct = sum(not ch.isalnum() and not ch.isspace() for ch in text) / n
+    words = text.lower().split()
+    stop = sum(w in _STOPWORDS for w in words) / len(words) if words else 0.0
+    mwl = sum(len(w) for w in words) / len(words) if words else 0.0
+    # composite: alphabetic, lightly punctuated, plausible word lengths
+    quality = max(
+        0.0,
+        min(1.0, alpha - 2.0 * max(0.0, punct - 0.1)
+            - (0.3 if not 2.0 <= mwl <= 12.0 else 0.0)),
+    )
+    return {"alpha_ratio": alpha, "punct_ratio": punct, "stopword_ratio": stop,
+            "mean_word_len": mwl, "quality": quality}
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    cols: Dict[str, List[float]] = {
+        "alpha_ratio": [], "punct_ratio": [], "stopword_ratio": [],
+        "mean_word_len": [], "quality": [],
+    }
+    for s in batch.column(text_col).to_pylist():
+        r = quality_score(s or "")
+        for k in cols:
+            cols[k].append(round(r[k], 6))
+    for k, v in cols.items():
+        batch = batch.append_column(k, pa.array(v, type=pa.float64()))
+    return batch
+
+
 # --- content fingerprint ----------------------------------------------------
 
 
