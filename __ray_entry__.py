@@ -98,6 +98,47 @@ FROM documents
 """
 
 
+def q_training_prep(sf_dir: str):
+    """Full prep composition: extract -> quality filter -> 64-token chunks.
+
+    All synthetic docs pass the quality gate deterministically (word-soup
+    alpha ratio ~1.0 >> 0.5), so the oracle is gold-text chunking over the
+    non-corrupt docs.
+    """
+    from webextract.pipelines.prep_pipeline import prep_training_data
+    from webextract.sources.pages import pages_from_documents
+
+    return prep_training_data(
+        pages_from_documents(sf_dir), chunk_tokens=64, min_quality=0.5,
+        concurrency=_CONC,
+    )
+
+
+_SQL_TRAINING_PREP = r"""
+WITH g AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, (doc_id % 3 + 1)::INT), i ->
+        array_to_string(
+          string_split(text, ' ')[(i*len(string_split(text, ' ')))//((doc_id % 3 + 1)) + 1
+                                  : ((i+1)*len(string_split(text, ' ')))//((doc_id % 3 + 1))],
+          ' ')
+      ), chr(10)) AS gold
+  FROM documents WHERE doc_id % 50 <> 7
+),
+w AS (
+  SELECT doc_id, string_split(gold, ' ') AS words FROM g
+),
+e AS (
+  SELECT doc_id, words, unnest(range(0, (len(words)-1)//64 + 1)) AS i FROM w
+)
+SELECT doc_id, i::INT AS chunk_idx,
+  array_to_string(words[i*64 + 1 : least((i+1)*64, len(words))], ' ') AS chunk_text,
+  (least((i+1)*64, len(words)) - i*64)::BIGINT AS n_tokens
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -484,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
         "extract_block_counts": q_extract_block_counts,
+        "training_prep": q_training_prep,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_stats": q_quality_stats,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -512,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": _SQL_GOLD_TEXT,
         "extract_block_counts": _SQL_BLOCK_COUNTS,
+        "training_prep": _SQL_TRAINING_PREP,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "quality_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
