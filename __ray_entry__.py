@@ -63,9 +63,10 @@ WITH w AS (
 )
 SELECT doc_id,
   array_to_string(
-    list_transform(range(0, k), i ->
-      array_to_string(words[(i*len(words))//k + 1 : ((i+1)*len(words))//k], ' ')
-    ), chr(10)) AS text
+    list_filter(
+      list_transform(range(0, k), i ->
+        array_to_string(words[(i*len(words))//k + 1 : ((i+1)*len(words))//k], ' ')
+      ), c -> c <> ''), chr(10)) AS text
 FROM w
 WHERE doc_id % 50 <> 7
 """
@@ -90,7 +91,8 @@ def q_extract_block_counts(sf_dir: str):
 
 _SQL_BLOCK_COUNTS = """
 SELECT doc_id,
-  CASE WHEN doc_id % 50 = 7 THEN 0 ELSE doc_id % 3 + 1 END AS n_blocks,
+  CASE WHEN doc_id % 50 = 7 THEN 0
+       ELSE least(doc_id % 3 + 1, len(string_split(text, ' '))) END AS n_blocks,
   CASE WHEN doc_id % 50 = 7 THEN ''
        WHEN doc_id % 25 = 3 THEN 'pdf' ELSE 'html' END AS doctype,
   CASE WHEN doc_id % 50 = 7 THEN 'error' ELSE 'ok' END AS status
@@ -118,12 +120,13 @@ _SQL_TRAINING_PREP = r"""
 WITH g AS (
   SELECT doc_id,
     array_to_string(
-      list_transform(range(0, (doc_id % 3 + 1)::INT), i ->
-        array_to_string(
-          string_split(text, ' ')[(i*len(string_split(text, ' ')))//((doc_id % 3 + 1)) + 1
-                                  : ((i+1)*len(string_split(text, ' ')))//((doc_id % 3 + 1))],
-          ' ')
-      ), chr(10)) AS gold
+      list_filter(
+        list_transform(range(0, (doc_id % 3 + 1)::INT), i ->
+          array_to_string(
+            string_split(text, ' ')[(i*len(string_split(text, ' ')))//((doc_id % 3 + 1)) + 1
+                                    : ((i+1)*len(string_split(text, ' ')))//((doc_id % 3 + 1))],
+            ' ')
+        ), c -> c <> ''), chr(10)) AS gold
   FROM documents WHERE doc_id % 50 <> 7
 ),
 w AS (

@@ -63,3 +63,26 @@ def test_extract_one_total_function(html):
 def test_decode_fragment_idempotent_on_plain_text(s):
     once = decode_fragment(s.replace("<", "").replace("&", ""))
     assert decode_fragment(once.replace("<", "").replace("&", "")) == once
+
+
+# --- the big one: render->extract byte-identity over arbitrary text ---------
+
+def _canonical(s: str) -> str:
+    # corpus contract: single-line, single-space canonical text
+    words = s.split()
+    return " ".join(w for w in words if w)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(min_size=1, max_size=400),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_render_extract_roundtrip_arbitrary_text(raw, doc_id):
+    from webextract import corpus
+
+    text = _canonical(raw)
+    if not text:
+        return
+    html = corpus.render_page(doc_id, text, "en")
+    assert extract_one(html) == corpus.gold_text(text, doc_id)

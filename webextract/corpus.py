@@ -74,10 +74,16 @@ def split_paragraphs(text: str, doc_id: int) -> List[str]:
 
 
 def gold_text(text: str, doc_id: int) -> str:
-    """The byte-exact text the extractor must emit ('' for corrupt rows)."""
+    """The byte-exact text the extractor must emit ('' for corrupt rows).
+
+    Empty chunks (texts shorter than k words) are dropped — empty blocks
+    vanish under the decode rules (the CTC blank analog), so gold must not
+    contain them. Mirrored by `list_filter(..., c -> c <> '')` in the SQL
+    oracles.
+    """
     if is_corrupt(doc_id):
         return ""
-    return "\n".join(split_paragraphs(text, doc_id))
+    return "\n".join(p for p in split_paragraphs(text, doc_id) if p)
 
 
 # --- url / timestamp --------------------------------------------------------
@@ -118,7 +124,9 @@ def _decorate(paragraph: str, doc_id: int, idx: int) -> str:
             if len(words) > 3:
                 words[2] = "<em>" + words[2] + "</em>"
                 content = " ".join(words)
-        if doc_id % 13 == 0 and "a" in content:
+        if doc_id % 13 == 0 and "a" in paragraph and content == paragraph:
+            # only when escape() was the identity — otherwise the 'a' we
+            # replace could sit inside an entity like &amp; and corrupt it
             content = content.replace("a", "&#97;", 1)
         if doc_id % 11 == 0 and " " in content:
             content = content.replace(" ", "\n      ", 1)
@@ -135,7 +143,7 @@ def _render_parts(doc_id: int, text: str, lang: str):
     ignore=True marks boilerplate blocks the detector may legally include
     or exclude — the ###/ignore_tags convention, det_transforms.py:77-80).
     """
-    paras = split_paragraphs(text, doc_id)
+    paras = [p for p in split_paragraphs(text, doc_id) if p]
     h = host_of(doc_id)
     parts: List[str] = []
     marks: List[tuple] = []
@@ -226,7 +234,7 @@ def render_pdf(doc_id: int, text: str) -> bytes:
     Ray-side plumbing — binary payload column, branch routing, span offsets,
     actor signature — is real and tested (see stages/extract.py).
     """
-    paras = split_paragraphs(text, doc_id)
+    paras = [p for p in split_paragraphs(text, doc_id) if p]
     body = "\n".join(
         f"BT /F1 12 Tf 72 {720 - 14 * i} Td ({_pdf_escape(p)}) Tj ET"
         for i, p in enumerate(paras)
