@@ -43,10 +43,10 @@ def ensure_corpus(sf_dir: str, mult: int = 1) -> str:
     """Generate (once) the seeded pages corpus for this scale under /tmp.
 
     Requires an initialised Ray session (generation is Ray-parallel)."""
-    from webextract.corpus import write_corpus_ray
+    from webextract.corpus import CORPUS_VERSION, write_corpus_ray
 
     n = _corpus_rows(sf_dir) * mult
-    path = f"/tmp/webextract_bench/pages_{n}"
+    path = f"/tmp/webextract_bench/pages_{n}_v{CORPUS_VERSION}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         write_corpus_ray(path, n, rows_per_file=max(1000, n // 64))
@@ -88,6 +88,36 @@ def run_headline(corpus_path: str, num_cpus: int, out_dir: str) -> dict:
     }
 
 
+def run_host_stats(corpus_path: str) -> float:
+    """Wide-op data point: per-host doc/byte totals over the bench corpus.
+
+    Pre-aggregates inside map_batches (the combiner pattern) so the shuffle
+    moves one row per (block, host) instead of one per document.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = pc.extract_regex(batch.column("url"), r"https://(?P<host>[^/]+)/")
+        host = hosts.field("host") if hasattr(hosts, "field") else hosts.combine_chunks().field("host")
+        sizes = pc.binary_length(batch.column("html")).cast(pa.int64())
+        t = pa.table({"host": host, "n": pa.array([1] * batch.num_rows, type=pa.int64()),
+                      "bytes": sizes})
+        return t.group_by("host").aggregate([("n", "sum"), ("bytes", "sum")]).rename_columns(
+            ["host", "n", "bytes"])
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("host").aggregate(
+        Sum("n"), Sum("bytes")
+    )
+    for _ in out.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        pass
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_secondary(sf_dir: str, num_cpus: int) -> dict:
     """Time a representative slice of the non-flagship operators."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -124,7 +154,9 @@ def bench_once(headline_only: bool = False, mult: int = 1) -> dict:
         # Untimed warmup: spin up the actor pool + worker processes on a
         # small slice so the timed run measures SUSTAINED throughput (the
         # scaling criterion), not process cold-start.
-        warm_path = "/tmp/webextract_bench/warmup_2000"
+        from webextract.corpus import CORPUS_VERSION as _CV
+
+        warm_path = f"/tmp/webextract_bench/warmup_2000_v{_CV}"
         if not os.path.exists(os.path.join(warm_path, "_DONE")):
             from webextract.corpus import write_corpus
 
@@ -138,6 +170,7 @@ def bench_once(headline_only: bool = False, mult: int = 1) -> dict:
         head = run_headline(corpus_path, num_cpus, out_dir)
         queries = {"extract": round(head["seconds"], 3)}
         if not headline_only:
+            queries["host_stats"] = run_host_stats(corpus_path)
             queries.update(run_secondary(sf_dir, num_cpus))
         import shutil
 

@@ -29,6 +29,9 @@ from typing import List, Optional
 
 # --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
 
+# bump when generator output changes — bench corpus cache paths embed this
+CORPUS_VERSION = 2
+
 _MASK = (1 << 64) - 1
 
 
