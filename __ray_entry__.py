@@ -213,6 +213,28 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_pii_scan(sf_dir: str):
+    """PII span counts per doc (oracle asserts zero false positives on the
+    clean synthetic text — PII precision, not recall; recall is pytest-side
+    with planted entities)."""
+    from webextract.functions.pii import PiiScanner
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScanner,
+        fn_constructor_kwargs={"redact_col": False},
+        batch_format="pyarrow",
+        concurrency=_CONC,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        n = [len(s) for s in b.column("pii_spans").to_pylist()]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_pii": pa.array(n, type=pa.int64())}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     from webextract.functions.textstats import lang_id_batch
 
@@ -535,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
+        "pii_scan": q_pii_scan,
         "dedup_exact": q_dedup_exact,
         "dedup_events": q_dedup_events,
         "minhash_signatures": q_minhash_signatures,
@@ -568,6 +591,9 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
             "min(length(text)) AS min_chars, max(length(text)) AS max_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "pii_scan": (
+            "SELECT doc_id, 0::BIGINT AS n_pii FROM documents"
         ),
         "bpe_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT "
