@@ -299,6 +299,55 @@ def q_neardup_pairs(sf_dir: str):
     return neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
+def q_neardup_pairs_exact(sf_dir: str):
+    """LSH candidates verified with EXACT n-gram Jaccard (the verify step
+    the estimate-only pipeline skips)."""
+    import ray
+
+    from webextract.functions.dedup import jaccard, neardup_pairs
+
+    cand = neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.4)
+    # verification side: broadcast the (small) text lookup once
+    texts_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    lookup_ref = ray.put(
+        dict(zip(texts_tbl.column("doc_id").to_pylist(),
+                 texts_tbl.column("text").to_pylist()))
+    )
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ja = [
+                round(jaccard(self.texts[a], self.texts[bb]), 6)
+                for a, bb in zip(b.column("id_a").to_pylist(),
+                                 b.column("id_b").to_pylist())
+            ]
+            return b.append_column("jaccard", pa.array(ja, type=pa.float64()))
+
+    return cand.map_batches(
+        Verify, fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow", concurrency=1,
+    )
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    """Winnowing-style doc fingerprint: min rolling-window hash per doc."""
+    from webextract.functions.textstats import rolling_hashes
+
+    def fp(b: pa.Table) -> pa.Table:
+        vals = [min(rolling_hashes(s or "", window=32))
+                for s in b.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "fp_rolling": pa.array(vals, type=pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     from webextract.functions.dedup import simhash_batch
 
@@ -562,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_events": q_dedup_events,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "neardup_pairs_exact": q_neardup_pairs_exact,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import datetime
 from html import escape
-from typing import List, Optional
+from typing import List
 
 # --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
 

@@ -14,7 +14,7 @@ runs on extracted text).
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Pattern, Tuple
+from typing import List, Pattern, Tuple
 
 import pyarrow as pa
 

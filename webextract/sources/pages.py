@@ -14,8 +14,6 @@ import pyarrow as pa
 import ray.data
 
 from webextract import corpus
-from webextract.schema import PAGES_SCHEMA
-
 
 def read_pages(
     path: str, *, columns: Optional[List[str]] = None, **kwargs

@@ -15,7 +15,6 @@ for the same reason, `det_post_node.py:44-48`).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def assemble_batch(batch: pa.Table, keep_spans: bool = False) -> pa.Table:

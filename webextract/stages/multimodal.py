@@ -18,7 +18,7 @@ one-function change per stage.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa

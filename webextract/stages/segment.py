@@ -19,7 +19,7 @@ state (config, compiled patterns) lives in `__init__`, once per actor.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import FrozenSet, List, Optional, Tuple
 
 import pyarrow as pa
@@ -107,7 +107,6 @@ def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict
     boiler_depth = 0
     anchor_depth = 0
     boiler_stack: List[str] = []  # tags opened while marking boiler subtrees
-    anchor_open = 0
 
     for ev in iter_events(html):
         k = ev[0]

@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import pyarrow as pa
 import pyarrow.parquet as pq
