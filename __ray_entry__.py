@@ -573,6 +573,17 @@ def q_similarity_topk_lsh(sf_dir: str):
                            concurrency=_CONC)
 
 
+def q_similarity_topk_ivf(sf_dir: str):
+    import ray.data
+
+    from webextract.functions.similarity import topk_cosine_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return topk_cosine_ivf(ds, _query_vec(sf_dir), k=5, n_centroids=8,
+                           nprobe=2, concurrency=_CONC)
+
+
 def q_embedding_neardup(sf_dir: str):
     import ray.data
 
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
     }
 

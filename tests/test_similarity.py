@@ -81,3 +81,24 @@ def test_embedding_neardup_finds_planted_pair():
         ray.data.from_arrow(full), tau=0.999, dim=8, n_planes=4, concurrency=1
     ).take_all()
     assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(0, 99)}
+
+
+def test_kmeans_deterministic():
+    from webextract.functions.similarity import kmeans_centroids
+
+    _, vecs = _embeddings(n=40)
+    c1 = kmeans_centroids(vecs, 4)
+    c2 = kmeans_centroids(vecs, 4)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 8)
+
+
+def test_topk_ivf_contains_query_vector(ray_session):
+    from webextract.functions.similarity import topk_cosine_ivf
+
+    t, vecs = _embeddings(n=60)
+    out = topk_cosine_ivf(
+        ray.data.from_arrow(t), vecs[0], k=3, n_centroids=4, nprobe=2,
+        concurrency=1,
+    ).take_all()
+    assert out[0]["vec_id"] == 0

@@ -52,3 +52,18 @@ def test_classifier_stage(ray_session):
     )
     assert out.lang_pred.tolist() == ["en", "de", "zh", "und"]
     assert out.charset.tolist() == ["ascii", "ascii", "utf-8", "empty"]
+
+
+def test_prep_pipeline_lang_filter(ray_session):
+    from webextract.pipelines.prep_pipeline import prep_training_data
+
+    t = _pages(40)
+    out = prep_training_data(
+        ray.data.from_arrow(t), chunk_tokens=32, langs=["en", "de"],
+        id_col="url", concurrency=1,
+    ).to_pandas()
+    assert len(out) > 0
+    src = t.to_pandas()
+    allowed_urls = set(src[src.lang.isin(["en", "de"])].url)
+    assert set(out.url) <= allowed_urls  # chunks only from kept languages
+    assert (out.n_tokens <= 32).all()

@@ -17,10 +17,11 @@ import pyarrow as pa
 def chunk_batch(batch: pa.Table, *, max_tokens: int = 64,
                 id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Explode each row into ceil(n_words/max_tokens) chunk rows."""
-    ids_out: List[int] = []
+    ids_out: List = []
     idx_out: List[int] = []
     text_out: List[str] = []
     ntok_out: List[int] = []
+    id_type = batch.schema.field(id_col).type  # id keeps its source type
     ids = batch.column(id_col).to_pylist()
     for rid, text in zip(ids, batch.column(text_col).to_pylist()):
         words = (text or "").split(" ")
@@ -34,7 +35,7 @@ def chunk_batch(batch: pa.Table, *, max_tokens: int = 64,
             ntok_out.append(hi - lo)
     return pa.table(
         {
-            id_col: pa.array(ids_out, type=pa.int64()),
+            id_col: pa.array(ids_out, type=id_type),
             "chunk_idx": pa.array(idx_out, type=pa.int32()),
             "chunk_text": pa.array(text_out, type=pa.string()),
             "n_tokens": pa.array(ntok_out, type=pa.int64()),

@@ -151,6 +151,79 @@ def topk_cosine_lsh(ds, query: np.ndarray, k: int = 10, *, dim: Optional[int] = 
                        round_to=round_to, concurrency=concurrency)
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means: init = first k distinct sample rows,
+    fixed iteration count, ties to the lowest centroid index."""
+    sample = np.asarray(sample, dtype=np.float64)
+    cent = sample[:k].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+class IvfBucketer:
+    """Batch UDF: add `centroid` = nearest-centroid index per row.
+
+    Centroids are broadcast ONCE via ray.put (never re-shipped per batch).
+    """
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.centroids = (
+            centroids_ref if isinstance(centroids_ref, np.ndarray)
+            else ray.get(centroids_ref)
+        )
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        if len(m):
+            d = ((m[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1).astype(np.int64)
+        else:
+            assign = np.array([], dtype=np.int64)
+        return batch.append_column("centroid", pa.array(assign, type=pa.int64()))
+
+
+def topk_cosine_ivf(ds, query: np.ndarray, k: int = 10, *, n_centroids: int = 16,
+                    nprobe: int = 2, sample_size: int = 4096,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6, concurrency=(1, 4)):
+    """IVF ANN: train centroids on a bounded head sample (driver-side, tiny),
+    bucket every row by nearest centroid (one map pass), then brute-force
+    only the `nprobe` buckets nearest the query.
+
+    The scale path when LSH bucket balance is poor: centroids adapt to the
+    data distribution. Approximate by construction.
+    """
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    head = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in head], dtype=np.float64)
+    cent = kmeans_centroids(sample, min(n_centroids, len(sample)))
+    cent_ref = ray.put(cent)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(qd)[:nprobe].tolist()
+    bucketed = ds.map_batches(
+        IvfBucketer,
+        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).filter(expr=f"centroid in [{', '.join(str(int(p)) for p in probe)}]")
+    return topk_cosine(bucketed, q, k, id_col=id_col, vec_col=vec_col,
+                       round_to=round_to, concurrency=concurrency)
+
+
 def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       concurrency=(1, 4), max_bucket: int = 2000):

@@ -40,7 +40,8 @@ def prep_training_data(
     ds = ds.filter(expr="status == 'ok'")
     if langs:
         quoted = ", ".join(f"'{l}'" for l in langs)
-        ds = ds.filter(expr=f"lang in ({quoted})")
+        ds = ds.filter(expr=f"lang in [{quoted}]")  # bracket list: paren
+        # tuples are rejected by Ray's expression evaluator
     ds = ds.map_batches(quality_score_batch, batch_format="pyarrow")
     ds = ds.filter(expr=f"quality >= {min_quality}")
     return ds.map_batches(
