@@ -89,3 +89,26 @@ def test_documents_derived_pages(ray_session):
     assert len(df) == 500
     ok = df[df.status == "ok"]
     assert (ok.text == ok.gold_text).all()
+
+
+def test_encoding_fallback_latin1(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.stages.segment import SegmentConfig
+
+    latin = "caf\xe9 cr\xe8me".encode("latin-1")
+    html = b"<body><p>" + latin + b"</p></body>"
+    t = pa.table({"url": ["u"], "html": pa.array([html], type=pa.binary())})
+    # default: quarantined
+    strict = extract_pages(ray.data.from_arrow(t), concurrency=1).to_pandas()
+    assert strict.status[0] == "error"
+    # opt-in fallback: decoded via latin-1
+    loose = extract_pages(
+        ray.data.from_arrow(t),
+        cfg=SegmentConfig(fallback_encoding="latin-1"),
+        concurrency=1,
+    ).to_pandas()
+    assert loose.status[0] == "ok"
+    assert loose.text[0] == "café crème"
+    assert loose.encoding[0] == "latin-1"

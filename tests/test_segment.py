@@ -89,3 +89,24 @@ def test_pdf_spans():
 def test_unclosed_block_at_eof_dropped():
     html = b"<p>closed</p><p>never closed"
     assert texts(html, segment_html(html)) == ["closed"]
+
+
+def test_div_soup_fallback():
+    # no semantic block tags at all: leaf divs with enough text win
+    html = (b"<body><div class='wrap'><div>this is the real article content "
+            b"of the page</div></div>"
+            b"<div><a href=x>m</a><a href=y>n</a></div></body>")
+    spans = segment_html(html)
+    assert texts(html, spans) == ["this is the real article content of the page"]
+    assert kinds(spans) == ["div"]
+
+
+def test_div_fallback_not_used_when_blocks_exist():
+    html = b"<p>real</p><div>ignored because p exists and won</div>"
+    assert texts(html, segment_html(html)) == ["real"]
+
+
+def test_div_fallback_disabled():
+    cfg = SegmentConfig(div_fallback=False)
+    html = b"<div>only divs here with plenty of text</div>"
+    assert segment_html(html, cfg) == []

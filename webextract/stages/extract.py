@@ -34,16 +34,17 @@ def _pdf_unescape(raw: bytes) -> str:
     return _PDF_UNESCAPE_RE.sub(rb"\1", raw).decode("utf-8", "replace")
 
 
-def decode_span(html: bytes, start: int, end: int, kind: str) -> str:
+def decode_span(html: bytes, start: int, end: int, kind: str,
+                encoding: str = "utf-8") -> str:
     """Decode one block span (offsets are byte offsets into `html`)."""
-    return decode_block(html[start:end], kind)
+    return decode_block(html[start:end], kind, encoding)
 
 
-def decode_block(raw: bytes, kind: str) -> str:
+def decode_block(raw: bytes, kind: str, encoding: str = "utf-8") -> str:
     """Decode one cropped block fragment to canonical text."""
     if kind == "pdf":
         return _pdf_unescape(raw)
-    return decode_fragment(raw.decode("utf-8", "strict"), kind)
+    return decode_fragment(raw.decode(encoding or "utf-8", "strict"), kind)
 
 
 def _combined(col) -> pa.Array:
@@ -73,6 +74,10 @@ class SpanExtractor:
         f_kind = sv.field("kind").to_pylist()
         f_score = sv.field("score").to_pylist()
         f_frag = frags.values.to_pylist()
+        if "encoding" in batch.column_names:
+            encodings = batch.column("encoding").to_pylist()
+        else:
+            encodings = ["utf-8"] * batch.num_rows
 
         n_starts: List[int] = []
         n_ends: List[int] = []
@@ -83,10 +88,11 @@ class SpanExtractor:
         new_off = [0]
         for row in range(batch.num_rows):
             lo, hi = span_off[row], span_off[row + 1]
+            enc = encodings[row] or "utf-8"
             for j in range(lo, hi):
                 if f_score[j] < drop_score:
                     continue
-                text = decode_block(f_frag[j], f_kind[j])
+                text = decode_block(f_frag[j], f_kind[j], enc)
                 if not text:
                     continue
                 n_starts.append(f_start[j])

@@ -44,6 +44,14 @@ class SegmentConfig:
     max_link_density: float = 0.35  # box_thresh analog: drop link-farm blocks
     min_text_len: int = 1
     max_candidates: int = 1000  # max_candidates analog (det_db_postprocess.py:36)
+    # div-soup fallback: when no semantic block tag yields a candidate,
+    # rescan treating leaf <div>s as blocks (with a higher text floor).
+    div_fallback: bool = True
+    fallback_min_text_len: int = 10
+    # opt-in legacy-charset fallback: payloads that fail strict UTF-8 are
+    # decoded with this encoding instead of being quarantined (e.g.
+    # "latin-1"). Default None = quarantine (deterministic corpus contract).
+    fallback_encoding: object = None
 
 
 _PDF_MAGIC = b"%PDF-"
@@ -94,11 +102,23 @@ def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict
     Single pass; maintains an open-block stack. Text is attributed to the
     innermost open block; blocks that contain a finalized child block are
     suppressed (leaf-preference = nested-box NMS).
+
+    Pages with no semantic block tags at all (div-soup) fall back to a
+    second pass over leaf `div`s with a text-length floor — the
+    density-over-generic-regions behavior of readability-style extractors
+    (and of DBPostprocess scoring arbitrary contours, not known shapes).
     """
     if html[:5] == _PDF_MAGIC:
         return segment_pdf(html, cfg)
+    spans = _scan_blocks(html, cfg, cfg.block_tags, cfg.min_text_len)
+    if not spans and cfg.div_fallback:
+        spans = _scan_blocks(
+            html, cfg, frozenset({"div"}), cfg.fallback_min_text_len
+        )
+    return spans
 
-    block_tags = cfg.block_tags
+
+def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int) -> List[dict]:
     boiler_containers = cfg.boiler_containers
     hints = cfg.boiler_class_hints
 
@@ -153,7 +173,7 @@ def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict
                     if (
                         not blk.boiler
                         and not blk.has_child
-                        and blk.text_len >= cfg.min_text_len
+                        and blk.text_len >= min_text_len
                     ):
                         ld = blk.link_len / blk.text_len
                         if ld <= cfg.max_link_density:
@@ -207,27 +227,36 @@ class BlockSegmenter:
         status_col: List[str] = []
         error_col: List[str] = []
         doctype_col: List[str] = []
+        encoding_col: List[str] = []
         for html in batch.column("html").to_pylist():
             if html is None:
                 status_col.append("error")
                 error_col.append("null-payload")
                 doctype_col.append("")
+                encoding_col.append("")
                 offsets.append(len(f_starts))
                 continue
             if html[:5] == _PDF_MAGIC:
                 spans = segment_pdf(html, cfg)
                 doctype_col.append("pdf")
+                encoding_col.append("utf-8")
             else:
+                encoding = "utf-8"
                 try:
                     html.decode("utf-8", "strict")
                 except UnicodeDecodeError:
-                    status_col.append("error")
-                    error_col.append("utf8-decode")
-                    doctype_col.append("")
-                    offsets.append(len(f_starts))
-                    continue
+                    if cfg.fallback_encoding:
+                        encoding = str(cfg.fallback_encoding)
+                    else:
+                        status_col.append("error")
+                        error_col.append("utf8-decode")
+                        doctype_col.append("")
+                        encoding_col.append("")
+                        offsets.append(len(f_starts))
+                        continue
                 spans = segment_html(html, cfg)
                 doctype_col.append("html")
+                encoding_col.append(encoding)
             status_col.append("ok")
             error_col.append("")
             for s in spans:
@@ -257,4 +286,5 @@ class BlockSegmenter:
             .append_column("status", pa.array(status_col, type=pa.string()))
             .append_column("error", pa.array(error_col, type=pa.string()))
             .append_column("doctype", pa.array(doctype_col, type=pa.string()))
+            .append_column("encoding", pa.array(encoding_col, type=pa.string()))
         )
