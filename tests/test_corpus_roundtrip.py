@@ -58,3 +58,27 @@ def test_split_matches_oracle_contract():
     text = "a b c d e f g"
     assert corpus.split_paragraphs(text, 2) == ["a b", "c d", "e f g"]
     assert corpus.gold_text(text, 0) == text
+
+
+def test_ray_corpus_writer_parity(ray_session, tmp_path):
+    """write_corpus_ray must produce the same logical rows as write_corpus."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob
+
+    from webextract.corpus import write_corpus, write_corpus_ray
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_corpus(a_dir, 80, rows_per_file=40)
+    write_corpus_ray(b_dir, 80, rows_per_file=40)
+
+    def load(d):
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in sorted(glob.glob(d + "/*.parquet"))]
+        )
+        return t.to_pandas().sort_values("url", ignore_index=True)
+
+    da, db = load(a_dir), load(b_dir)
+    assert len(da) == len(db) == 80
+    for col in ["url", "warc_ts", "html", "text", "lang"]:
+        assert (da[col] == db[col]).all(), col
