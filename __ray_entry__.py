@@ -441,6 +441,12 @@ def q_orders_customers_join(sf_dir: str):
     return hash_join(orders, cust, on="c_custkey")
 
 
+def q_distinct_langs(sf_dir: str):
+    """Set op: distinct values via Ray `unique` (shuffle on the key only)."""
+    langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(langs, type=pa.string())})
+
+
 def q_top_docs_by_len(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
@@ -629,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "orders_customers_join": q_orders_customers_join,
         "top_docs_by_len": q_top_docs_by_len,
+        "distinct_langs": q_distinct_langs,
         "events_window": q_events_window,
         "chunk_documents": q_chunk_documents,
         "sessionize": q_sessionize,
@@ -683,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "top_docs_by_len": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
