@@ -72,6 +72,31 @@ WHERE doc_id % 50 <> 7
 """
 
 
+def q_verify_pass(sf_dir: str):
+    """The north-rule verification pass as a query: byte-equality flags
+    reduced to global counters (RecMetric partial+AllReduce pattern). The
+    oracle pins n_match == n_ok — 100% byte-identity is itself the assertion.
+    """
+    from webextract.functions.metrics import verify_extraction
+
+    m = verify_extraction(_extract_ds(sf_dir))
+    return pa.table(
+        {
+            "n_docs": pa.array([m["n_docs"]], type=pa.int64()),
+            "n_ok": pa.array([m["n_ok"]], type=pa.int64()),
+            "n_match": pa.array([m["n_match"]], type=pa.int64()),
+        }
+    )
+
+
+_SQL_VERIFY_PASS = """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id % 50 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+       sum(CASE WHEN doc_id % 50 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_match
+FROM documents
+"""
+
+
 def q_extract_block_counts(sf_dir: str):
     """Detect-stage block counts + branch routing + quarantine status."""
     ds = _extract_ds(sf_dir)
@@ -617,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q_extract_text,
         "extract_block_counts": q_extract_block_counts,
         "training_prep": q_training_prep,
+        "verify_pass": q_verify_pass,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_stats": q_quality_stats,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -651,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": _SQL_GOLD_TEXT,
         "extract_block_counts": _SQL_BLOCK_COUNTS,
         "training_prep": _SQL_TRAINING_PREP,
+        "verify_pass": _SQL_VERIFY_PASS,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "quality_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
