@@ -30,7 +30,8 @@ def _pipeline(ds):
 def test_fresh_run_processes_all(in_dir, tmp_path):
     out = str(tmp_path / "out")
     stats = run_resumable(in_dir, out, _pipeline)
-    assert stats == {"processed": 4, "skipped": 0, "rows": 120}
+    assert (stats["processed"], stats["skipped"], stats["rows"]) == (4, 0, 120)
+    assert "Operator" in stats["last_shard_stats"]  # ds.stats() observability
     manifest = read_manifest(out)
     assert sorted(manifest) == [0, 1, 2, 3]
     for rec in manifest.values():

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--verify", action="store_true",
                    help="after extraction, run the byte-identity pass "
                         "against the gold_text column and print metrics")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-operator ds.stats() of the last shard "
+                        "to stderr (observability)")
     args = p.parse_args(argv)
 
     import ray
@@ -69,6 +72,9 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         stats = run_resumable(args.input, args.output, pipeline)
         elapsed = time.perf_counter() - t0
+        op_stats = stats.pop("last_shard_stats", "")
+        if args.stats and op_stats:
+            print(op_stats, file=sys.stderr)
         report = {
             "elapsed_sec": round(elapsed, 2),
             "docs_per_sec": round(stats["rows"] / elapsed, 1) if elapsed else None,

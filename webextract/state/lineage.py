@@ -94,6 +94,7 @@ def run_resumable(
     done = read_manifest(output_dir)
     shards = input_shards(input_dir)
     processed = skipped = total_rows = 0
+    last_stats = ""
     for shard_id, path in enumerate(shards):
         if shard_id in done:
             skipped += 1
@@ -108,6 +109,10 @@ def run_resumable(
         ds = ray.data.read_parquet(path)
         out = pipeline_fn(ds)
         out.write_parquet(part_dir)
+        try:
+            last_stats = out.stats()  # per-operator wall/cpu observability
+        except Exception:  # noqa: BLE001 - stats are best-effort
+            last_stats = ""
         row_count = 0
         acc = 0
         for f in sorted(os.listdir(part_dir)):
@@ -128,4 +133,9 @@ def run_resumable(
         )
         processed += 1
         total_rows += row_count
-    return {"processed": processed, "skipped": skipped, "rows": total_rows}
+    return {
+        "processed": processed,
+        "skipped": skipped,
+        "rows": total_rows,
+        "last_shard_stats": last_stats,
+    }
