@@ -91,3 +91,34 @@ def test_input_shards_sorted(in_dir):
     shards = input_shards(in_dir)
     assert shards == sorted(shards)
     assert len(shards) == 4
+
+
+def test_wave_mode_matches_serial(in_dir, tmp_path):
+    """wave_size>1 must produce identical partitions, hashes, and resume
+    behavior as shard-at-a-time mode."""
+    out_serial = str(tmp_path / "serial")
+    out_wave = str(tmp_path / "wave")
+    run_resumable(in_dir, out_serial, _pipeline)
+    stats = run_resumable(in_dir, out_wave, _pipeline, wave_size=4)
+    assert (stats["processed"], stats["rows"]) == (4, 120)
+    ms, mw = read_manifest(out_serial), read_manifest(out_wave)
+    assert sorted(ms) == sorted(mw) == [0, 1, 2, 3]
+    for sid in ms:
+        assert ms[sid]["content_hash"] == mw[sid]["content_hash"], sid
+        assert ms[sid]["row_count"] == mw[sid]["row_count"]
+    # resume after dropping one shard works in wave mode too
+    import json as _json
+
+    mpath = os.path.join(out_wave, MANIFEST_NAME)
+    with open(mpath) as f:
+        recs = [_json.loads(l) for l in f if l.strip()]
+    with open(mpath, "w") as f:
+        for r in recs:
+            if r["shard_id"] != 1:
+                f.write(_json.dumps(r) + "\n")
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(out_wave, "part-00001"))
+    stats2 = run_resumable(in_dir, out_wave, _pipeline, wave_size=4)
+    assert stats2["processed"] == 1 and stats2["skipped"] == 3
+    assert read_manifest(out_wave)[1]["content_hash"] == ms[1]["content_hash"]

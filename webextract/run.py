@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     p.add_argument("--stats", action="store_true",
                    help="print per-operator ds.stats() of the last shard "
                         "to stderr (observability)")
+    p.add_argument("--wave-size", type=int, default=1,
+                   help="pending shards per streaming execution (raise when "
+                        "shards are small; lineage stays per-shard)")
     args = p.parse_args(argv)
 
     import ray
@@ -70,7 +73,8 @@ def main(argv=None) -> int:
             return 2
 
         t0 = time.perf_counter()
-        stats = run_resumable(args.input, args.output, pipeline)
+        stats = run_resumable(args.input, args.output, pipeline,
+                              wave_size=args.wave_size)
         elapsed = time.perf_counter() - t0
         op_stats = stats.pop("last_shard_stats", "")
         if args.stats and op_stats:

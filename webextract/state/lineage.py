@@ -71,6 +71,30 @@ def input_shards(input_dir: str) -> List[str]:
     )
 
 
+def _commit_shard(output_dir: str, shard_id: int, path: str, part_dir: str,
+                  key_col: str, text_col: str) -> int:
+    """Hash + manifest-append one finished partition; returns its row count."""
+    row_count = 0
+    acc = 0
+    for f in sorted(os.listdir(part_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(part_dir, f), columns=None)
+        row_count += t.num_rows
+        acc ^= _row_hash_fold(t, key_col, text_col)
+    _append_manifest(
+        output_dir,
+        {
+            "shard_id": shard_id,
+            "input_file": path,
+            "row_count": row_count,
+            "content_hash": f"{acc:032x}",
+            "status": "done",
+        },
+    )
+    return row_count
+
+
 def run_resumable(
     input_dir: str,
     output_dir: str,
@@ -78,16 +102,28 @@ def run_resumable(
     *,
     key_col: str = "url",
     text_col: str = "text",
+    wave_size: int = 1,
 ) -> dict:
-    """Run `pipeline_fn(Dataset) -> Dataset` shard-by-shard with lineage.
+    """Run `pipeline_fn(Dataset) -> Dataset` with per-shard lineage.
 
-    Each input shard executes with full intra-shard parallelism (at crawl
-    scale one shard is many blocks); completed shards are skipped on
-    restart. The manifest line is written ONLY after the shard's output
-    parquet is fully on disk (write-then-commit ordering).
+    `wave_size=1`: one streaming execution per input shard (full intra-shard
+    parallelism; right when shards are big). `wave_size=W>1`: up to W pending
+    shards run in ONE streaming execution — rows are tagged with their source
+    shard (`include_paths`) and the sink partitions on it
+    (`write_parquet(partition_cols=["_shard"])`), so the output layout and
+    manifest stay PER SHARD and resume granularity is unchanged. Use waves
+    when shards are small and the ~seconds-per-execution fixed cost would
+    dominate (measured: 64 small shards cost ~3 s each standalone).
 
-    Returns {"processed": n, "skipped": n, "rows": total_rows}.
+    The manifest line for a shard is written ONLY after its partition is
+    fully on disk (write-then-commit); a killed wave leaves uncommitted
+    partitions that the next run deletes and recomputes.
+
+    Returns {"processed", "skipped", "rows", "last_shard_stats"}.
     """
+    import shutil
+
+    import pyarrow as pa
     import ray.data
 
     os.makedirs(output_dir, exist_ok=True)
@@ -95,44 +131,57 @@ def run_resumable(
     shards = input_shards(input_dir)
     processed = skipped = total_rows = 0
     last_stats = ""
+    pending = []
     for shard_id, path in enumerate(shards):
         if shard_id in done:
             skipped += 1
             total_rows += done[shard_id]["row_count"]
-            continue
-        part_dir = os.path.join(output_dir, f"part-{shard_id:05d}")
-        # A half-written partition from a killed run is recreated whole.
-        if os.path.exists(part_dir):
-            import shutil
+        else:
+            pending.append((shard_id, path))
 
-            shutil.rmtree(part_dir)
-        ds = ray.data.read_parquet(path)
-        out = pipeline_fn(ds)
-        out.write_parquet(part_dir)
+    def part_dir_of(shard_id: int) -> str:
+        return os.path.join(output_dir, f"part-{shard_id:05d}")
+
+    for wstart in range(0, len(pending), max(1, wave_size)):
+        wave = pending[wstart : wstart + max(1, wave_size)]
+        for shard_id, _ in wave:
+            if os.path.exists(part_dir_of(shard_id)):
+                shutil.rmtree(part_dir_of(shard_id))  # half-written: redo
+        if len(wave) == 1:
+            shard_id, path = wave[0]
+            out = pipeline_fn(ray.data.read_parquet(path))
+            out.write_parquet(part_dir_of(shard_id))
+        else:
+            sid_of = {path: sid for sid, path in wave}
+            ds = ray.data.read_parquet([p for _, p in wave], include_paths=True)
+
+            def tag(batch: pa.Table) -> pa.Table:
+                sids = [sid_of[p] for p in batch.column("path").to_pylist()]
+                return batch.drop_columns(["path"]).append_column(
+                    "_shard", pa.array(sids, type=pa.int64())
+                )
+
+            out = pipeline_fn(ds.map_batches(tag, batch_format="pyarrow"))
+            wave_dir = os.path.join(output_dir, "_wave_tmp")
+            shutil.rmtree(wave_dir, ignore_errors=True)
+            out.write_parquet(wave_dir, partition_cols=["_shard"])
+            for shard_id, _ in wave:
+                src = os.path.join(wave_dir, f"_shard={shard_id}")
+                if os.path.exists(src):
+                    os.rename(src, part_dir_of(shard_id))
+                else:  # shard produced zero rows
+                    os.makedirs(part_dir_of(shard_id), exist_ok=True)
+            shutil.rmtree(wave_dir, ignore_errors=True)
         try:
             last_stats = out.stats()  # per-operator wall/cpu observability
         except Exception:  # noqa: BLE001 - stats are best-effort
             last_stats = ""
-        row_count = 0
-        acc = 0
-        for f in sorted(os.listdir(part_dir)):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(part_dir, f), columns=None)
-            row_count += t.num_rows
-            acc ^= _row_hash_fold(t, key_col, text_col)
-        _append_manifest(
-            output_dir,
-            {
-                "shard_id": shard_id,
-                "input_file": path,
-                "row_count": row_count,
-                "content_hash": f"{acc:032x}",
-                "status": "done",
-            },
-        )
-        processed += 1
-        total_rows += row_count
+        for shard_id, path in wave:
+            total_rows += _commit_shard(
+                output_dir, shard_id, path, part_dir_of(shard_id),
+                key_col, text_col,
+            )
+            processed += 1
     return {
         "processed": processed,
         "skipped": skipped,
