@@ -59,3 +59,46 @@ def test_norm_edit_distance():
     assert norm_edit_distance("abc", "abc") == 1.0
     assert norm_edit_distance("abc", "abd") == pytest.approx(2 / 3)
     assert norm_edit_distance("", "abc") == 0.0
+
+
+def test_eval_rec_fixture():
+    """spans_rec-style evaluation: fragments with known gold (FIXTURES §3)."""
+    import ray.data
+
+    from webextract.functions.metrics import eval_rec
+
+    rows = [
+        {"block_html": b"<b>exact</b> match", "gold_text": "exact match",
+         "case": "nested-inline"},
+        {"block_html": b"fish &amp; chips", "gold_text": "fish & chips",
+         "case": "entity-refs"},
+        {"block_html": b"  a \n b  ", "gold_text": "a b",
+         "case": "whitespace-runs"},
+        {"block_html": b"wrong", "gold_text": "right", "case": "miss"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    m = eval_rec(ds)
+    assert m["n"] == 4
+    assert m["acc"] == pytest.approx(0.75)
+    # "wrong" vs "right" is 5 substitutions -> ned 0; mean = 3/4 exactly
+    assert m["norm_edit_dis"] == pytest.approx(0.75)
+
+
+def test_eval_rec_via_converter(tmp_path):
+    """Full spans_rec path: rec label lines -> converter -> eval_rec."""
+    import base64
+
+    import ray.data
+
+    from webextract.functions.metrics import eval_rec
+    from webextract.sources.converters import rec_labels_to_spans
+
+    lines = [
+        base64.b64encode(b"<p>hello</p>").decode() + "\thello",
+        base64.b64encode(b"caf\xc3\xa9").decode() + "\tcafé",
+    ]
+    ds = ray.data.from_arrow(pa.table({"line": lines})).map_batches(
+        rec_labels_to_spans, batch_format="pyarrow"
+    )
+    m = eval_rec(ds)
+    assert m["n"] == 2 and m["acc"] == 1.0

@@ -144,6 +144,52 @@ def span_metrics(ds, *, pred_col: str = "spans", gold_col: str = "gold_spans",
             "precision": precision, "recall": recall, "f1": f1}
 
 
+def eval_rec(ds, *, frag_col: str = "block_html", gold_col: str = "gold_text",
+             kind: str = "p") -> Dict[str, float]:
+    """Recognition-only evaluation over a spans_rec fragments table
+    (FIXTURES.md §3) — the `deploy/eval_utils/eval_rec.py` analog reusing
+    RecMetric semantics: exact-match count + summed normalized edit
+    distance as partials, one Sum reduction, final divide."""
+    from ray.data.aggregate import Sum
+
+    from webextract.stages.extract import decode_block
+
+    def partials(batch: pa.Table) -> pa.Table:
+        correct = 0
+        ned_sum = 0.0
+        frags = batch.column(frag_col).to_pylist()
+        golds = batch.column(gold_col).to_pylist()
+        for frag, gold in zip(frags, golds):
+            try:
+                got = decode_block(frag or b"", kind)
+            except UnicodeDecodeError:
+                got = ""
+            if got == gold:
+                correct += 1
+                ned_sum += 1.0
+            else:
+                ned_sum += norm_edit_distance(got, gold or "")
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "correct": pa.array([correct], type=pa.int64()),
+                "ned": pa.array([ned_sum], type=pa.float64()),
+            }
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("n"), Sum("correct"), Sum("ned")
+    )
+    n = agg["sum(n)"] or 0
+    correct = agg["sum(correct)"] or 0
+    ned = agg["sum(ned)"] or 0.0
+    return {
+        "n": n,
+        "acc": correct / n if n else 0.0,
+        "norm_edit_dis": ned / n if n else 0.0,
+    }
+
+
 # --- normalized edit distance (RecMetric analog) ----------------------------
 
 
