@@ -35,7 +35,8 @@ def test_hash_join_rejects_overlap(ray_session):
 
 
 def test_hash_join_max_group_guard(ray_session):
+    # 400 > 100: the hot key RAISES (no silent empty result — round-2 fix)
     left = ray.data.from_arrow(pa.table({"k": [1] * 20, "lv": list(range(20))}))
     right = ray.data.from_arrow(pa.table({"k": [1] * 20, "rv": list(range(20))}))
-    rows = hash_join(left, right, on="k", max_group=100).take_all()
-    assert rows == []  # 400 > 100: hot key skipped, not quadratic-exploded
+    with pytest.raises(Exception, match="exceeds max_group"):
+        hash_join(left, right, on="k", max_group=100).take_all()

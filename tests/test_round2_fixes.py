@@ -1,0 +1,190 @@
+"""Round-2 fixes: boiler scope depth, hash_join oversize, salted repartition,
+lineage relative paths, top-k precision."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from webextract.stages.segment import SegmentConfig, segment_html
+
+
+def _texts(html: bytes, cfg=SegmentConfig()):
+    from webextract.stages.extract import decode_span
+
+    return [
+        decode_span(html, s["start"], s["end"], s["kind"])
+        for s in segment_html(html, cfg)
+    ]
+
+
+class TestBoilerScopeDepth:
+    """Boiler scope must survive nested same-tag children (ADVICE repro:
+    a plain <div> inside <div class="sidebar"> used to pop the container's
+    scope, leaking later sidebar blocks as content)."""
+
+    def test_nested_same_tag_stays_boiler(self):
+        html = (
+            b'<div class="sidebar"><div>inner</div>'
+            b"<p>sponsored junk you must not extract</p></div>"
+            b'<div class="content"><p>real content text</p></div>'
+        )
+        assert _texts(html) == ["real content text"]
+
+    def test_deeply_nested_divs_in_nav(self):
+        html = (
+            b"<nav><div><div><div>x</div></div></div>"
+            b"<p>nav link soup</p></nav>"
+            b"<p>article body words</p>"
+        )
+        assert _texts(html) == ["article body words"]
+
+    def test_stray_close_tag_ignored(self):
+        # a </div> with no open div must not underflow any scope
+        html = b"</div><aside><p>ad</p></aside><p>body text</p>"
+        assert _texts(html) == ["body text"]
+
+    def test_boiler_scope_ends_at_matching_depth(self):
+        # content AFTER the closed sidebar is extracted normally
+        html = (
+            b'<div class="sidebar"><div><p>ad one</p></div><p>ad two</p></div>'
+            b"<p>after sidebar</p>"
+        )
+        assert _texts(html) == ["after sidebar"]
+
+    def test_implicit_close_of_unclosed_boiler_child(self):
+        # <aside> left unclosed inside a div: closing the div ends both
+        html = b"<div><aside><p>ad</p></div><p>body words</p>"
+        assert _texts(html) == ["body words"]
+
+
+class TestHashJoinOversize:
+    def test_oversized_key_raises_not_silent(self, ray_session):
+        import ray.data
+
+        from webextract.functions.joins import hash_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": [1] * 30, "l": list(range(30))})
+        )
+        right = ray.data.from_arrow(
+            pa.table({"k": [1] * 30, "r": list(range(30))})
+        )
+        joined = hash_join(left, right, on="k", max_group=100)
+        with pytest.raises(Exception, match="exceeds max_group"):
+            joined.take_all()
+
+    def test_normal_join_unchanged(self, ray_session):
+        import ray.data
+
+        from webextract.functions.joins import hash_join
+
+        left = ray.data.from_arrow(pa.table({"k": [1, 2, 2], "l": [10, 20, 21]}))
+        right = ray.data.from_arrow(pa.table({"k": [2, 3], "r": [200, 300]}))
+        rows = sorted(
+            (r["k"], r["l"], r["r"])
+            for r in hash_join(left, right, on="k").take_all()
+        )
+        assert rows == [(2, 20, 200), (2, 21, 200)]
+
+
+def _block_map(ds):
+    """Materialize and return {url: block_index} using whole-block batches."""
+    out = {}
+    mat = ds.materialize()
+    for bi, batch in enumerate(mat.iter_batches(batch_size=None, batch_format="pyarrow")):
+        for u in batch.column("url").to_pylist():
+            out[u] = bi
+    return out
+
+
+class TestSaltedRepartition:
+    @pytest.fixture(scope="class")
+    def pages_ds(self, ray_session):
+        import ray.data
+
+        from webextract import corpus
+
+        rows = list(corpus.generate_pages(1000))
+        tbl = pa.table(
+            {
+                "url": [r["url"] for r in rows],
+                "host": [f"host{corpus.host_of(i)}" for i in range(1000)],
+            }
+        )
+        return ray.data.from_arrow(tbl)
+
+    def test_hot_host_spreads_and_is_deterministic(self, pages_ds):
+        from webextract.pipelines.registry import get_op
+
+        op = get_op("salted_repartition")
+
+        def run():
+            out = op(
+                pages_ds,
+                key="url",
+                key_extract=r"https://([^/]+)/",
+                subkey="url",
+                num_blocks=32,
+                salt_buckets=8,
+            )
+            return _block_map(out)
+
+        m1 = run()
+        m2 = run()
+        # determinism: identical row -> block assignment across runs
+        assert m1 == m2
+        # hot host (host0 holds ~30% of rows) spread across >= salt_buckets blocks
+        host0_blocks = {b for u, b in m1.items() if u.startswith("https://host0.")}
+        assert len(host0_blocks) >= 8
+        # no rows lost, schema preserved
+        assert len(m1) == 1000
+
+
+class TestLineageRelativeInput:
+    def test_wave_mode_with_relative_input_dir(self, ray_session, tmp_path):
+        """Ray's include_paths emits filesystem-resolved paths; a relative
+        --input dir must still map rows back to their shard ids (ADVICE:
+        sid_of used to KeyError on the absolute path)."""
+        from webextract import corpus
+        from webextract.pipelines.extract_pipeline import extract_pages
+        from webextract.state.lineage import read_manifest, run_resumable
+
+        in_dir = tmp_path / "rel_in"
+        corpus.write_corpus(str(in_dir), 60, rows_per_file=20)  # 3 shards
+        out = str(tmp_path / "rel_out")
+        # relative path valid from the current cwd (workers inherit the
+        # ray.init cwd, so we must not chdir)
+        rel = os.path.relpath(str(in_dir), os.getcwd())
+        stats = run_resumable(
+            rel, out,
+            lambda ds: extract_pages(ds, concurrency=1, batch_size=32),
+            wave_size=3,
+        )
+        assert (stats["processed"], stats["rows"]) == (3, 60)
+        manifest = read_manifest(out)
+        assert sorted(manifest) == [0, 1, 2]
+        for rec in manifest.values():
+            assert len(rec["content_hash"]) == 32
+
+
+class TestTopkPrecision:
+    def test_sorts_on_unrounded_scores(self, ray_session):
+        """Two vectors whose cosines differ only past 1e-6 must rank by the
+        exact value, not tie after rounding."""
+        import numpy as np
+        import ray.data
+
+        from webextract.functions.similarity import topk_cosine
+
+        q = np.array([1.0, 0.0])
+        # score(a) = cos(theta_a) slightly above score(b); both round to 1.0
+        a = np.array([1.0, 1.2e-4])  # cos ~ 1 - 7.2e-9
+        b = np.array([1.0, 5.0e-4])  # cos ~ 1 - 1.25e-7
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": [5, 1], "embedding": [b.tolist(), a.tolist()]})
+        )
+        rows = topk_cosine(ds, q, k=1).take_all()
+        # exact order puts vec_id=1 (higher true cosine) first despite the
+        # rounded scores being identical and 5 < 1 breaking ties the other way
+        assert rows[0]["vec_id"] == 1

@@ -204,6 +204,18 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         a_col, b_col, j_col = [], [], []
+        if n > max_bucket:
+            # No silent caps: a skipped degenerate bucket must be visible.
+            import logging
+
+            logging.getLogger("webextract.dedup").warning(
+                "neardup_pairs: skipping LSH bucket of %d rows "
+                "(> max_bucket=%d) — band (%s, %s); pairs in it are LOST. "
+                "Salt or pre-filter degenerate shingles upstream.",
+                n, max_bucket,
+                group.column("band_idx")[0].as_py(),
+                group.column("band_key")[0].as_py(),
+            )
         if 2 <= n <= max_bucket:
             ids = group.column(id_col).to_pylist()
             sigs = [np.asarray(s, dtype=np.uint64)

@@ -70,6 +70,12 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000):
 
     Column name collisions (other than the key) must be resolved by the
     caller beforehand (select/rename) — overlapping names raise.
+
+    A key whose cross product exceeds `max_group` RAISES (never a silent
+    empty result — "no silent caps"): a hot key that would emit a quadratic
+    row blowup is a data/modeling problem the caller must see. Mitigations:
+    pre-aggregate one side, broadcast_join if one side is small, or salt
+    the hot key upstream (`salted_repartition`) and join on (key, salt).
     """
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
@@ -110,10 +116,16 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000):
         src = group.column("_src").to_pylist()
         li = [i for i, s in enumerate(src) if s == 0]
         ri = [i for i, s in enumerate(src) if s == 1]
-        if not li or not ri or len(li) * len(ri) > max_group:
+        if not li or not ri:
             return pa.Table.from_arrays(
                 [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
                 names=[on] + payload_l + payload_r,
+            )
+        if len(li) * len(ri) > max_group:
+            raise ValueError(
+                f"hash_join: key {group.column(on)[0].as_py()!r} cross product "
+                f"{len(li)}x{len(ri)} exceeds max_group={max_group}; "
+                "pre-aggregate a side, use broadcast_join, or salt the key"
             )
         # cross product: repeat left rows x tile right rows
         idx_l = pa.array([i for i in li for _ in ri], type=pa.int64())

@@ -41,15 +41,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _TopKScorer:
-    """Batch UDF: cosine vs the broadcast query vector, local top-k only."""
+    """Batch UDF: cosine vs the broadcast query vector, local top-k only.
 
-    def __init__(self, query_ref, k: int, id_col: str, vec_col: str, round_to: int):
+    Emits FULL-PRECISION scores — the global sort must order by the exact
+    value (the oracle's ORDER BY uses the unrounded score); rounding happens
+    only in the final projection. Round-before-sort can flip membership at
+    the k boundary for vectors whose true scores differ past the rounding
+    precision ("round only at the end", det_base_postprocess.py:110-128).
+    """
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
         import ray
 
         q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
         q = np.asarray(q, dtype=np.float64)
         self.q = q / (np.linalg.norm(q) or 1.0)
-        self.k, self.id_col, self.vec_col, self.round_to = k, id_col, vec_col, round_to
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.vec_col))
@@ -60,7 +67,7 @@ class _TopKScorer:
         return pa.table(
             {
                 self.id_col: ids,
-                "score": pa.array(np.round(scores[idx], self.round_to), type=pa.float64()),
+                "score": pa.array(scores[idx], type=pa.float64()),
             }
         )
 
@@ -68,6 +75,7 @@ class _TopKScorer:
 def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
                 vec_col: str = "embedding", round_to: int = 6, concurrency=(1, 4)):
     """Brute-force cosine top-k (the ANN baseline). Returns (id, score)."""
+    import pyarrow.compute as pc
     import ray
 
     query_ref = ray.put(np.asarray(query, dtype=np.float64))
@@ -75,14 +83,23 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
         _TopKScorer,
         fn_constructor_kwargs={
             "query_ref": query_ref, "k": k, "id_col": id_col,
-            "vec_col": vec_col, "round_to": round_to,
+            "vec_col": vec_col,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    # Global finish over <= k * n_blocks rows: tiny sort, deterministic
-    # tie-break on id.
-    return partial.sort(["score", id_col], descending=[True, False]).limit(k)
+    # Global finish over <= k * n_blocks rows: tiny sort on the EXACT score,
+    # deterministic tie-break on id; round only in the final projection.
+    out = partial.sort(["score", id_col], descending=[True, False]).limit(k)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("score")
+        return b.set_column(
+            i, "score",
+            pc.round(b.column("score"), ndigits=round_to).cast(pa.float64()),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 # --- LSH-bucketed ANN (scale path) ------------------------------------------
@@ -232,6 +249,16 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         a_col, b_col, s_col = [], [], []
+        if n > max_bucket:
+            # No silent caps: a skipped bucket must be visible in logs.
+            import logging
+
+            logging.getLogger("webextract.similarity").warning(
+                "embedding_neardup: skipping LSH bucket %s of %d rows "
+                "(> max_bucket=%d) — pairs in it are LOST. Raise n_planes "
+                "or max_bucket for this data.",
+                group.column("bucket")[0].as_py(), n, max_bucket,
+            )
         if 2 <= n <= max_bucket:
             ids = group.column(id_col).to_pylist()
             m = _normalize(_batch_matrix(group, vec_col))

@@ -20,15 +20,32 @@ itself keeps crops attached to the per-image record.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
+import pyarrow as pa
 import ray.data
 
 from webextract.stages.assemble import assemble_batch
 from webextract.stages.extract import SpanExtractor, decode_span
-from webextract.stages.segment import BlockSegmenter, SegmentConfig, segment_html
+from webextract.stages.segment import (
+    _PDF_MAGIC,
+    BlockSegmenter,
+    SegmentConfig,
+    segment_html,
+)
 
 Concurrency = Union[int, Tuple[int, int], None]
+
+_SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+            ("kind", pa.string()),
+            ("score", pa.float64()),
+        ]
+    )
+)
 
 
 class FusedExtractor:
@@ -39,18 +56,106 @@ class FusedExtractor:
     deploy pipeline splits them into replicated stage processes
     (`pipeline_manager.py:40-65`). Measured here, the fused pool runs at the
     framework floor (read+write bound) because block fragments never cross
-    the object store between stages; the staged mode remains for
-    heterogeneous pools (e.g. a GPU-weighted extract stage).
+    the object store between stages.
+
+    Unlike the staged path, the fused kernel never MATERIALIZES the
+    intermediate `spans`/`block_html` list columns: each document goes
+    segment -> decode -> join in one pass, and only the final compact
+    columns are built (the det stage's explicit `data`/`frame` free,
+    `det_post_node.py:44-48`, taken to its logical end). Output schema is
+    identical to the staged path (pytest-pinned). The staged mode remains
+    for heterogeneous pools (e.g. a GPU-weighted extract stage).
     """
 
     def __init__(self, cfg: Optional[SegmentConfig] = None,
                  drop_score: float = 0.5, keep_spans: bool = False):
-        self.seg = BlockSegmenter(cfg)
-        self.ext = SpanExtractor(drop_score)
+        self.cfg = cfg or SegmentConfig()
+        self.drop_score = drop_score
         self.keep_spans = keep_spans
 
-    def __call__(self, batch):
-        return assemble_batch(self.ext(self.seg(batch)), keep_spans=self.keep_spans)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        drop_score = self.drop_score
+        keep_spans = self.keep_spans
+        texts: List[str] = []
+        n_blocks: List[int] = []
+        status_col: List[str] = []
+        error_col: List[str] = []
+        doctype_col: List[str] = []
+        encoding_col: List[str] = []
+        span_rows: List[Optional[list]] = [] if keep_spans else None
+
+        for html in batch.column("html").to_pylist():
+            kept_spans: list = []
+            if html is None:
+                status_col.append("error")
+                error_col.append("null-payload")
+                doctype_col.append("")
+                encoding_col.append("")
+                texts.append("")
+                n_blocks.append(0)
+                if keep_spans:
+                    span_rows.append(kept_spans)
+                continue
+            encoding = "utf-8"
+            if html[:5] == _PDF_MAGIC:
+                doctype_col.append("pdf")
+            else:
+                try:
+                    html.decode("utf-8", "strict")
+                except UnicodeDecodeError:
+                    if cfg.fallback_encoding:
+                        encoding = str(cfg.fallback_encoding)
+                    else:
+                        status_col.append("error")
+                        error_col.append("utf8-decode")
+                        doctype_col.append("")
+                        encoding_col.append("")
+                        texts.append("")
+                        n_blocks.append(0)
+                        if keep_spans:
+                            span_rows.append(kept_spans)
+                        continue
+                doctype_col.append("html")
+            status_col.append("ok")
+            error_col.append("")
+            encoding_col.append(encoding)
+            parts: List[str] = []
+            for span in segment_html(html, cfg):
+                if span["score"] < drop_score:
+                    continue
+                t = decode_span(html, span["start"], span["end"], span["kind"],
+                                encoding)
+                if t:
+                    parts.append(t)
+                    if keep_spans:
+                        kept_spans.append(span)
+            texts.append("\n".join(parts))
+            n_blocks.append(len(parts))
+            if keep_spans:
+                span_rows.append(kept_spans)
+
+        out = batch.drop_columns(["html"])
+        if keep_spans:
+            out = out.append_column(
+                "spans", pa.array(span_rows, type=_SPANS_TYPE)
+            )
+        out = (
+            out.append_column("status", pa.array(status_col, type=pa.string()))
+            .append_column("error", pa.array(error_col, type=pa.string()))
+            .append_column("doctype", pa.array(doctype_col, type=pa.string()))
+            .append_column("encoding", pa.array(encoding_col, type=pa.string()))
+            .append_column("extracted_text", pa.array(texts, type=pa.string()))
+            .append_column("n_blocks", pa.array(n_blocks, type=pa.int32()))
+        )
+        names = out.column_names
+        if "text" in names:
+            out = out.rename_columns(
+                ["gold_text" if n == "text" else n for n in names]
+            )
+        return out.rename_columns(
+            ["text" if n == "extracted_text" else n for n in out.column_names]
+        )
 
 
 def extract_pages(

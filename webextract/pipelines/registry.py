@@ -124,32 +124,57 @@ def _op_repartition(ds, *, num_blocks: int, shuffle: bool = False):
 
 @register("salted_repartition")
 def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
-                           salt_buckets: int = 16):
-    """Skew defense: spread hot keys (giant hosts) by hashing (key, salt).
+                           salt_buckets: int = 16, key_extract: str = None,
+                           subkey: str = None):
+    """Skew defense: DETERMINISTIC hash partition on (key, salt).
 
-    Adds a transient salt column from a stable hash of the key plus a
-    round-robin bucket, then hash-shuffles on it — giant-host rows land in
-    `salt_buckets` different blocks instead of one (SURVEY.md §4 skew row).
+    Every row gets a transient partition value whose HIGH bits are a
+    well-mixed hash of ``(partition_key, crc32(subkey) % salt_buckets)`` and
+    whose LOW bits order rows totally (crc32 of the subkey), then the
+    dataset is range-partitioned on it (``sort("_salt")`` + coalescing
+    ``repartition(num_blocks)``). A hot key's rows land in exactly
+    `salt_buckets` distinct hash regions spread uniformly over the 32-bit
+    space instead of one (SURVEY.md §4 skew row; the reference splits
+    many-crop images into independently processed chunks,
+    `rec_pre_node.py:43-57`). The low-bit total order makes the final
+    row->block assignment independent of sort-tie placement.
+
+    * `key_extract`: optional regex with ONE capture group applied to the key
+      column to derive the partition key (e.g. ``https://([^/]+)/`` buckets
+      by crawl host — the hot-host case).
+    * `subkey`: column providing the per-row salt component (defaults to the
+      raw `key` column, which is unique for url-keyed tables).
+
+    Everything is a pure function of row content — byte-identical partition
+    assignment across runs (the resume-determinism contract, SURVEY.md §7.4).
     """
     import zlib
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    counter = {"i": 0}
+    subkey_col = subkey or key
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
+        keys = batch.column(key)
+        if key_extract is not None:
+            ext = pc.extract_regex(keys, key_extract.replace("(", "(?P<k>", 1))
+            ext = ext.combine_chunks() if isinstance(ext, pa.ChunkedArray) else ext
+            pkeys = ext.field("k").to_pylist()
+        else:
+            pkeys = keys.to_pylist()
+        subs = batch.column(subkey_col).to_pylist()
         salts = []
-        for k in keys:
-            counter["i"] += 1
-            salts.append(
-                (zlib.crc32((k or "").encode("utf-8")) + counter["i"] % salt_buckets)
-                % (2**31)
+        for k, s in zip(pkeys, subs):
+            sub_h = zlib.crc32(str(s).encode("utf-8"))
+            region = zlib.crc32(
+                str(k).encode("utf-8") + b"\x00" + str(sub_h % salt_buckets).encode()
             )
+            salts.append((region << 31) | (sub_h >> 1))  # 63-bit, total order
         return batch.append_column("_salt", pa.array(salts, type=pa.int64()))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    return salted.repartition(num_blocks, shuffle=True).drop_columns(["_salt"])
+    return salted.sort("_salt").repartition(num_blocks).drop_columns(["_salt"])
 
 
 @register("minhash")

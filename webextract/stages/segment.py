@@ -126,7 +126,12 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
     stack: List[_Block] = []  # open candidate blocks, innermost last
     boiler_depth = 0
     anchor_depth = 0
-    boiler_stack: List[str] = []  # tags opened while marking boiler subtrees
+    # Full element stack of (tag, is_boiler) for EVERY open non-void tag.
+    # Boiler scope ends only when the element that STARTED it closes — a
+    # plain nested same-tag child (e.g. <div> inside <div class="sidebar">)
+    # pops its own entry, never the container's. Closing an element also
+    # implicitly closes any unclosed descendants above it on the stack.
+    elem_stack: List[Tuple[str, bool]] = []
 
     for ev in iter_events(html):
         k = ev[0]
@@ -143,24 +148,30 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
             if tag in VOID_TAGS:
                 continue
             boiler_here = tag in boiler_containers or _is_boiler_attrs(html, a0, a1, hints)
+            elem_stack.append((tag, boiler_here))
             if boiler_here:
                 boiler_depth += 1
-                boiler_stack.append(tag)
             if tag == "a":
                 anchor_depth += 1
             if tag in block_tags:
                 if stack:
                     stack[-1].has_child = True
                 stack.append(
-                    _Block(tag=tag, start=ev[5], boiler=boiler_depth > 0 or boiler_here)
+                    _Block(tag=tag, start=ev[5], boiler=boiler_depth > 0)
                 )
         elif k == "close":
             tag = ev[1]
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
-            if boiler_stack and boiler_stack[-1] == tag:
-                boiler_stack.pop()
-                boiler_depth -= 1
+            # Pop the innermost matching element plus unclosed descendants;
+            # a stray close tag with no open match is ignored.
+            for i in range(len(elem_stack) - 1, -1, -1):
+                if elem_stack[i][0] == tag:
+                    for j in range(len(elem_stack) - 1, i - 1, -1):
+                        if elem_stack[j][1]:
+                            boiler_depth -= 1
+                    del elem_stack[i:]
+                    break
             if stack and any(b.tag == tag for b in stack):
                 # close innermost matching block (pop unclosed inner blocks too)
                 while stack:

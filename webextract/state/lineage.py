@@ -9,9 +9,12 @@ entry is `done` and recomputes only the rest. Output partition layout is a
 pure function of input partitioning (one output dir per input shard; no
 dynamic repartition in between), per SURVEY.md §7.4.
 
-The content hash is an order-insensitive XOR-fold of per-row md5(url, text)
-— computed inside the pipeline as a batch aggregate, so no driver-side
-materialization of payloads.
+The content hash is an order-insensitive XOR-fold of per-row md5(url, text).
+It is computed by DISTRIBUTED Ray tasks — one per output Parquet file,
+reading only the key/text columns — so the driver never materializes any
+payload: it XORs the 16-byte digests the tasks return. (The reference's only
+cache-integrity analog is the file-list hash keying PublayNet's label cache,
+`mindocr/data/layout_dataset.py:491`.)
 """
 
 from __future__ import annotations
@@ -71,17 +74,37 @@ def input_shards(input_dir: str) -> List[str]:
     )
 
 
+def _hash_part_file(path: str, key_col: str, text_col: str):
+    """(rows, 128-bit fold) of one output file — runs as a Ray task, pruning
+    the read to the key/text columns. Plain function so tests can call it."""
+    schema_names = pq.read_schema(path).names
+    cols = [c for c in (key_col, text_col) if c in schema_names]
+    t = pq.read_table(path, columns=cols or None)
+    return t.num_rows, _row_hash_fold(t, key_col, text_col)
+
+
 def _commit_shard(output_dir: str, shard_id: int, path: str, part_dir: str,
                   key_col: str, text_col: str) -> int:
-    """Hash + manifest-append one finished partition; returns its row count."""
+    """Hash + manifest-append one finished partition; returns its row count.
+
+    Hashing is distributed: one Ray task per output file (each reads only
+    its own file's key/text columns); the driver combines the 16-byte
+    results. No driver-side read of output data, at any scale.
+    """
+    import ray
+
+    files = [
+        os.path.join(part_dir, f)
+        for f in sorted(os.listdir(part_dir))
+        if f.endswith(".parquet")
+    ]
+    hash_task = ray.remote(num_cpus=1)(_hash_part_file)
+    futures = [hash_task.remote(f, key_col, text_col) for f in files]
     row_count = 0
     acc = 0
-    for f in sorted(os.listdir(part_dir)):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(part_dir, f), columns=None)
-        row_count += t.num_rows
-        acc ^= _row_hash_fold(t, key_col, text_col)
+    for rows, fold in ray.get(futures):
+        row_count += rows
+        acc ^= fold
     _append_manifest(
         output_dir,
         {
@@ -152,11 +175,25 @@ def run_resumable(
             out = pipeline_fn(ray.data.read_parquet(path))
             out.write_parquet(part_dir_of(shard_id))
         else:
-            sid_of = {path: sid for sid, path in wave}
+            # Ray's include_paths emits filesystem-resolved paths; key by
+            # abspath AND basename so relative --input dirs resolve too
+            # (shard filenames are unique within one input dir).
+            sid_of = {}
+            for sid, path in wave:
+                sid_of[os.path.abspath(path)] = sid
+                sid_of[os.path.basename(path)] = sid
             ds = ray.data.read_parquet([p for _, p in wave], include_paths=True)
 
+            def _sid(p: str) -> int:
+                sid = sid_of.get(os.path.abspath(p))
+                if sid is None:
+                    sid = sid_of.get(os.path.basename(p))
+                if sid is None:
+                    raise KeyError(f"output row from unknown input shard: {p!r}")
+                return sid
+
             def tag(batch: pa.Table) -> pa.Table:
-                sids = [sid_of[p] for p in batch.column("path").to_pylist()]
+                sids = [_sid(p) for p in batch.column("path").to_pylist()]
                 return batch.drop_columns(["path"]).append_column(
                     "_shard", pa.array(sids, type=pa.int64())
                 )
