@@ -325,37 +325,80 @@ def q_neardup_pairs(sf_dir: str):
 
 
 def q_neardup_pairs_exact(sf_dir: str):
-    """LSH candidates verified with EXACT n-gram Jaccard (the verify step
-    the estimate-only pipeline skips)."""
-    import ray
+    """LSH candidates verified with EXACT n-gram Jaccard, fully distributed.
 
+    Candidate (id_a, id_b) pairs from MinHash+LSH (bands=16 for ~1.0 recall
+    at j>=0.9) are joined BACK to their texts with two hash joins — the
+    shuffle moves (doc_id, text) pairs, never a driver-side dict — then each
+    row computes exact word-3-gram Jaccard and keeps pairs >= 0.8. On the
+    deterministic corpus every planted near-dup sits at j>=0.9 and every
+    non-dup below 0.3, so the result equals the all-pairs SQL oracle.
+    """
     from webextract.functions.dedup import jaccard, neardup_pairs
+    from webextract.functions.joins import hash_join
 
-    cand = neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.4)
-    # verification side: broadcast the (small) text lookup once
-    texts_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
-    lookup_ref = ray.put(
-        dict(zip(texts_tbl.column("doc_id").to_pylist(),
-                 texts_tbl.column("text").to_pylist()))
+    cand = neardup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, bands=16
+    ).drop_columns(["est_jaccard"])
+    texts_a = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
+        {"text": "text_a"}
     )
-
-    class Verify:
-        def __init__(self, ref):
-            self.texts = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ja = [
-                round(jaccard(self.texts[a], self.texts[bb]), 6)
-                for a, bb in zip(b.column("id_a").to_pylist(),
-                                 b.column("id_b").to_pylist())
-            ]
-            return b.append_column("jaccard", pa.array(ja, type=pa.float64()))
-
-    return cand.map_batches(
-        Verify, fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow", concurrency=1,
+    texts_b = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
+        {"text": "text_b"}
     )
+    j1 = hash_join(
+        cand.rename_columns({"id_a": "doc_id"}), texts_a, on="doc_id"
+    ).rename_columns({"doc_id": "id_a"})
+    j2 = hash_join(
+        j1.rename_columns({"id_b": "doc_id"}), texts_b, on="doc_id"
+    ).rename_columns({"doc_id": "id_b"})
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_a = b.column("id_a").to_pylist()
+        ids_b = b.column("id_b").to_pylist()
+        ja = [
+            round(jaccard(ta, tb), 6)
+            for ta, tb in zip(b.column("text_a").to_pylist(),
+                              b.column("text_b").to_pylist())
+        ]
+        keep_a, keep_b, keep_j = [], [], []
+        for a, bb, jc in zip(ids_a, ids_b, ja):
+            if jc >= 0.8:
+                keep_a.append(a)
+                keep_b.append(bb)
+                keep_j.append(jc)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, type=pa.int64()),
+                "id_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard": pa.array(keep_j, type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+_SQL_NEARDUP_EXACT = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
+  FROM w, unnest(range(0, greatest(len(words) - 2, 1))) AS t(i)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(ix::DOUBLE / (ca.n + cb.n - ix), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE ix::DOUBLE / (ca.n + cb.n - ix) >= 0.8
+"""
 
 
 def q_rolling_fingerprint(sf_dir: str):
@@ -728,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
             "max(event_id) AS last_event FROM events "
             "GROUP BY event_type, date_trunc('hour', ts)"
         ),
+        "neardup_pairs_exact": _SQL_NEARDUP_EXACT,
         "chunk_documents": _SQL_CHUNKS,
         "sessionize": _SQL_SESSIONS,
         "similarity_topk": (

@@ -75,3 +75,22 @@ def test_quality_score_stopwords():
     from webextract.functions.textstats import quality_score
 
     assert quality_score("the cat and the dog")["stopword_ratio"] == 0.6
+
+
+def test_quality_score_batch_matches_scalar():
+    """Vectorized batch path must match the scalar reference exactly."""
+    import pyarrow as pa
+
+    from webextract import corpus
+    from webextract.functions.textstats import quality_score, quality_score_batch
+
+    texts = [corpus.make_text(i) for i in range(50)] + [
+        "", " ", "a", "Hello, World! 42", "@@@@ ####", "ünïcödé wörds",
+        "中文 文本 测试", "multi\nline\ttext here", None,
+    ]
+    out = quality_score_batch(pa.table({"text": pa.array(texts, type=pa.string())}))
+    for i, s in enumerate(texts):
+        r = quality_score(s or "")
+        for k in ("alpha_ratio", "punct_ratio", "stopword_ratio",
+                  "mean_word_len", "quality"):
+            assert abs(out.column(k)[i].as_py() - round(r[k], 6)) < 1e-9, (s, k)

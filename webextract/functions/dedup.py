@@ -9,13 +9,17 @@ Scale notes (100 TB discipline):
 * all hashing is deterministic (blake2b / seeded SplitMix64) so signatures
   are stable across processes and runs — required for resume.
 
-Hot-path hashing is one C call (`hashlib.blake2b`) per gram/word plus
-vectorized numpy; MinHash permutations use p = 2^31-1 so `a*h + b` fits in
+Hot-path hashing is fully vectorized: each UNIQUE word is hashed once
+(crc32, C-speed, memoized per process — crawl vocabularies are Zipfian so
+the cache hit rate is high), word k-grams combine the word hashes with a
+numpy multiply-add + SplitMix64 finalizer (no per-gram string building or
+digest calls), and MinHash permutations use p = 2^31-1 so `a*h + b` fits in
 uint64 and reduces with two Mersenne folds (no Python-int math per element).
 """
 
 from __future__ import annotations
 
+import zlib
 from hashlib import blake2b
 from typing import List, Tuple
 
@@ -30,6 +34,48 @@ _NUM_PERM_DEFAULT = 64
 
 def _hash64(data: bytes) -> int:
     return int.from_bytes(blake2b(data, digest_size=8).digest(), "little")
+
+
+# --- vectorized word/gram hashing -------------------------------------------
+
+_U64 = np.uint64
+_MIX_A = _U64(0x9E3779B97F4A7C15)
+_MIX_B = _U64(0xBF58476D1CE4E5B9)
+_MIX_C = _U64(0x94D049BB133111EB)
+
+
+def _mix_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer (same constants as corpus.mix)."""
+    x = x + _MIX_A
+    x = (x ^ (x >> _U64(30))) * _MIX_B
+    x = (x ^ (x >> _U64(27))) * _MIX_C
+    return x ^ (x >> _U64(31))
+
+
+# word -> 64-bit hash memo; bounded so a pathological vocabulary can't
+# balloon an actor's heap (clear-and-refill beats LRU bookkeeping here).
+_WORD_CACHE: dict = {}
+_WORD_CACHE_MAX = 1 << 20
+
+
+def _word_hashes(words: List[str]) -> np.ndarray:
+    """uint64 hash per word: crc32 of the utf-8 bytes, SplitMix64-mixed.
+    Deterministic across processes/runs (no PYTHONHASHSEED dependence)."""
+    cache = _WORD_CACHE
+    if len(cache) > _WORD_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = zlib.crc32(w.encode("utf-8"))
+            cache[w] = h
+        out[i] = h
+    return _mix_np(out)
+
+
+# per-position gram-combination constants (stable, from the corpus mixer)
+_GRAM_COEF = _mix_np(np.arange(1, 17, dtype=np.uint64) * _U64(0x2545F4914F6CDD1D))
 
 
 def _perm_params(num_perm: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -49,16 +95,23 @@ def _perms(num_perm: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Stable 31-bit hashes of the word k-gram set (unique, sorted)."""
+    """Stable 31-bit hashes of the word k-gram set (unique, sorted).
+
+    Vectorized: gram hash = SplitMix64( Σ_j coef_j * wordhash[i+j] ) over
+    uint64 (wrapping) — no per-gram string joins or digest calls. One text
+    shorter than k words contributes its single partial gram; empty text
+    contributes the empty-gram constant (the blank token analog).
+    """
     words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = _hash64(g.encode("utf-8"))
-    return np.unique(out % _P31)
+    n = len(words)
+    if n == 0:
+        return np.unique(_mix_np(np.zeros(1, dtype=np.uint64)) % _P31)
+    wh = _word_hashes(words)
+    kk = min(k, n)
+    acc = _GRAM_COEF[0] * wh[0 : n - kk + 1]
+    for j in range(1, kk):
+        acc = acc + _GRAM_COEF[j] * wh[j : n - kk + 1 + j]
+    return np.unique(_mix_np(acc) % _P31)
 
 
 def _mod_p31(x: np.ndarray) -> np.ndarray:
@@ -105,8 +158,7 @@ def simhash64(text: str) -> int:
     words = text.split()
     if not words:
         return 0
-    hs = np.fromiter((_hash64(w.encode("utf-8")) for w in words),
-                     dtype=np.uint64, count=len(words))
+    hs = _word_hashes(words)
     bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     out = np.uint64(0)
