@@ -72,7 +72,9 @@ def run_headline(corpus_path: str, num_cpus: int, out_dir: str) -> dict:
         if f.endswith(".parquet")
     )
     t0 = time.perf_counter()
-    result = extract_pages(ds, concurrency=conc, batch_size=256)
+    # bs512 measured best at 32 cpus (6.9 s vs 7.5 s at bs256, 14.8 s at
+    # bs128): fewer per-batch crossings amortize the Arrow column builds
+    result = extract_pages(ds, concurrency=conc, batch_size=512)
     result.write_parquet(out_dir)
     elapsed = time.perf_counter() - t0
     import pyarrow.parquet as pq

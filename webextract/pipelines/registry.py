@@ -267,6 +267,31 @@ def _op_sessionize(ds, *, gap_minutes: int = 30):
     return sessionize(ds, gap_minutes=gap_minutes)
 
 
+@register("table_decode")
+def _op_table_decode(ds, *, html_col: str = "html", explode: bool = False,
+                     id_col: str = "doc_id"):
+    import functools
+
+    from webextract.stages.tables import decode_tables_batch, explode_cells
+
+    if explode:
+        fn = functools.partial(explode_cells, id_col=id_col, html_col=html_col)
+    else:
+        fn = functools.partial(decode_tables_batch, html_col=html_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("cell_match")
+def _op_cell_match(ds, **kwargs):
+    import functools
+
+    from webextract.functions.matcher import match_cells_batch
+
+    return ds.map_batches(
+        functools.partial(match_cells_batch, **kwargs), batch_format="pyarrow"
+    )
+
+
 @register("image_decode")
 def _op_image_decode(ds, *, strict: bool = False, batch_size: int = 16,
                      concurrency=(1, 4), payload_col: str = "image"):

@@ -22,6 +22,47 @@ def read_pages(
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def read_pages_fast(
+    path: str, *, columns: Optional[List[str]] = None
+) -> "ray.data.Dataset":
+    """Parquet read as one Ray task per file, decoding via pyarrow directly.
+
+    Ray's generic fragment reader costs ~10x the CPU of a plain
+    `pq.read_table` on these wide binary-payload rows (measured round 1);
+    for the throughput path we map over the file list ourselves: the driver
+    lists files (cheap at any scale), each task opens ONE file and yields
+    one Arrow table per ROW GROUP — memory stays bounded no matter how big
+    a single shard file is, and Ray's dynamic block splitting re-chunks
+    oversized outputs. Column pruning is pushed into the row-group read.
+
+    Trade-off vs `read_pages`: no path partitioning/filters or
+    include_paths; use the generic reader where those matter (lineage).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+
+    def load(batch: pa.Table):
+        for p in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(p)
+            for rg in range(pf.num_row_groups):
+                yield pf.read_row_group(rg, columns=columns)
+
+    paths = ray.data.from_items(
+        [{"path": p} for p in files], override_num_blocks=len(files)
+    )
+    return paths.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
 def _render_batch(batch: pa.Table) -> pa.Table:
     """documents rows -> pages rows (deterministic render; corpus.py)."""
     doc_ids = batch.column("doc_id").to_pylist()
