@@ -188,3 +188,39 @@ class TestTopkPrecision:
         # exact order puts vec_id=1 (higher true cosine) first despite the
         # rounded scores being identical and 5 < 1 breaking ties the other way
         assert rows[0]["vec_id"] == 1
+
+
+class TestMultiColumnReadingOrder:
+    """sorted_layout_boxes semantics: byte order != reading order for
+    two-column layouts (recovery_to_doc.py:90-160 analog)."""
+
+    def test_right_column_first_in_bytes_reads_left_first(self):
+        html = (
+            b"<p>intro paragraph text</p>"
+            b'<div class="columns">'
+            b'<div class="col col-right"><p>right one</p><p>right two</p></div>'
+            b'<div class="col col-left"><p>left one</p><p>left two</p></div>'
+            b"</div>"
+            b"<p>outro paragraph text</p>"
+        )
+        assert _texts(html) == [
+            "intro paragraph text",
+            "left one", "left two", "right one", "right two",
+            "outro paragraph text",
+        ]
+
+    def test_corpus_two_column_rows_stay_byte_identical(self):
+        from webextract import corpus
+        from webextract.pipelines.extract_pipeline import extract_one
+
+        ids = [i for i in range(300) if corpus.is_two_column(i)
+               and not corpus.is_corrupt(i)]
+        assert len(ids) >= 10
+        for i in ids:
+            text = corpus.make_text(i)
+            html = corpus.render_page(i, text, "en")
+            assert extract_one(html) == corpus.gold_text(text, i)
+
+    def test_linear_docs_unaffected(self):
+        html = b"<p>one</p><p>two</p><p>three</p>"
+        assert _texts(html) == ["one", "two", "three"]

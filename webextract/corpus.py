@@ -30,7 +30,7 @@ from typing import List
 # --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
 
 # bump when generator output changes — bench corpus cache paths embed this
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 _MASK = (1 << 64) - 1
 
@@ -59,6 +59,19 @@ def is_corrupt(doc_id: int) -> bool:
 
 def is_pdf(doc_id: int) -> bool:
     return doc_id % PDF_MOD == PDF_REM
+
+
+TWOCOL_MOD, TWOCOL_REM = 17, 5  # rows rendered as a two-column layout
+
+
+def is_two_column(doc_id: int) -> bool:
+    """Rows whose article renders as a CSS two-column layout with the RIGHT
+    column first in byte order — reading order (left, then right) differs
+    from byte order, exercising `sorted_layout_boxes` semantics
+    (reference `tools/infer/text/utils/recovery_to_doc.py:90-160`). Gold
+    text is UNCHANGED (original paragraph order); the extractor must
+    reorder. PDF rows keep their own renderer."""
+    return doc_id % TWOCOL_MOD == TWOCOL_REM and not is_pdf(doc_id)
 
 
 # --- gold construction ------------------------------------------------------
@@ -171,11 +184,29 @@ def _render_parts(doc_id: int, text: str, lang: str):
     a("</ul></nav>\n")
     a('<div class="content"><article>\n')
     a(f"<!-- article {doc_id} rendered {doc_id % 97} -->\n")
-    for i, p in enumerate(paras):
+
+    def emit_para(i: int, p: str) -> None:
         a("  <p>")
         marks.append((len(parts), "p", p, False))
         a("\n    " + _decorate(p, doc_id, i) + "\n  ")
         a("</p>\n")
+
+    if is_two_column(doc_id) and paras:
+        # two-column layout: RIGHT column first in byte order; reading
+        # order (gold) is left column then right. `col-left`/`col-right`
+        # classes are the x-position hint (the sorted_layout_boxes analog).
+        half = (len(paras) + 1) // 2
+        a('<div class="columns">\n')
+        a('<div class="col col-right">\n')
+        for i in range(half, len(paras)):
+            emit_para(i, paras[i])
+        a('</div>\n<div class="col col-left">\n')
+        for i in range(half):
+            emit_para(i, paras[i])
+        a("</div>\n</div>\n")
+    else:
+        for i, p in enumerate(paras):
+            emit_para(i, p)
     a("</article></div>\n")
     # sidebar ad/link farm
     a('<aside class="sidebar"><p>')

@@ -65,6 +65,7 @@ _WS_BYTES = b" \t\r\n\f\v"
 class _Block:
     tag: str
     start: int  # content start (byte offset past the open tag)
+    okey: Tuple = ()  # reading-order sort key (layout-aware)
     text_len: int = 0
     link_len: int = 0
     boiler: bool = False
@@ -82,6 +83,24 @@ def _is_boiler_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]) -> b
                 if h.encode("ascii") in low:
                     return True
     return False
+
+
+def _col_of(html: bytes, a0: int, a1: int) -> Optional[int]:
+    """Column ordinal from the class attr: the x-position hint of our
+    layout analog (`sorted_layout_boxes`, recovery_to_doc.py:90-160 — the
+    reference infers columns from box x-geometry; CSS column classes are
+    the web-document equivalent). Returns 0 for left, 1 for right."""
+    if a1 <= a0:
+        return None
+    cls = get_attr(html, a0, a1, "class")
+    if not cls:
+        return None
+    low = cls.lower()
+    if b"col-left" in low:
+        return 0
+    if b"col-right" in low:
+        return 1
+    return None
 
 
 def segment_pdf(html: bytes, cfg: SegmentConfig) -> List[dict]:
@@ -132,6 +151,19 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
     # pops its own entry, never the container's. Closing an element also
     # implicitly closes any unclosed descendants above it on the stack.
     elem_stack: List[Tuple[str, bool]] = []
+    # Column-layout context (sorted_layout_boxes analog): entries are
+    # (elem_depth_of_col_div, group_anchor_byte, col_idx); a "group" is a
+    # run of sibling column divs sharing one parent — all its blocks sort
+    # at the group anchor, ordered (col, byte), so a right-column-first
+    # byte layout still reads left column first.
+    col_stack: List[Tuple[int, int, int]] = []
+    last_group: Optional[Tuple[int, int]] = None  # (parent_depth, anchor)
+
+    def order_key(start: int) -> Tuple[int, int, int]:
+        if col_stack:
+            _, anchor, ci = col_stack[-1]
+            return (anchor, ci + 1, start)
+        return (start, 0, start)
 
     for ev in iter_events(html):
         k = ev[0]
@@ -148,6 +180,15 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
             if tag in VOID_TAGS:
                 continue
             boiler_here = tag in boiler_containers or _is_boiler_attrs(html, a0, a1, hints)
+            col_here = _col_of(html, a0, a1)
+            if col_here is not None:
+                parent_depth = len(elem_stack)
+                if last_group is not None and last_group[0] == parent_depth:
+                    anchor = last_group[1]
+                else:
+                    anchor = ev[4]  # first col div's tag start = group anchor
+                    last_group = (parent_depth, anchor)
+                col_stack.append((parent_depth + 1, anchor, col_here))
             elem_stack.append((tag, boiler_here))
             if boiler_here:
                 boiler_depth += 1
@@ -157,7 +198,8 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                 if stack:
                     stack[-1].has_child = True
                 stack.append(
-                    _Block(tag=tag, start=ev[5], boiler=boiler_depth > 0)
+                    _Block(tag=tag, start=ev[5], okey=order_key(ev[5]),
+                           boiler=boiler_depth > 0)
                 )
         elif k == "close":
             tag = ev[1]
@@ -172,6 +214,11 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                             boiler_depth -= 1
                     del elem_stack[i:]
                     break
+            depth = len(elem_stack)
+            while col_stack and col_stack[-1][0] > depth:
+                col_stack.pop()
+            if last_group is not None and depth < last_group[0]:
+                last_group = None
             if stack and any(b.tag == tag for b in stack):
                 # close innermost matching block (pop unclosed inner blocks too)
                 while stack:
@@ -188,17 +235,21 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                     ):
                         ld = blk.link_len / blk.text_len
                         if ld <= cfg.max_link_density:
-                            candidates.append((blk.start, end, blk.tag, 1.0 - ld))
+                            candidates.append(
+                                (blk.okey, blk.start, end, blk.tag, 1.0 - ld)
+                            )
                     if done:
                         break
         # "skip" events (script/style/comment payloads) contribute nothing.
         if len(candidates) >= cfg.max_candidates:
             break
 
-    candidates.sort(key=lambda c: c[0])  # reading order = byte order
+    # reading order: byte order for linear documents, (group anchor, column,
+    # byte) for column layouts — sorted_layout_boxes semantics
+    candidates.sort(key=lambda c: c[0])
     return [
         {"start": s, "end": e, "kind": t, "score": sc}
-        for (s, e, t, sc) in candidates[: cfg.max_candidates]
+        for (_, s, e, t, sc) in candidates[: cfg.max_candidates]
     ]
 
 
