@@ -615,6 +615,51 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_entity_spans(sf_dir: str):
+    """BIO tag-sequence -> entity spans (kie_ser_postprocess.py:10-83
+    analog): deterministic tags over the token stream (i%7==0 -> B-ENT,
+    i%7==1 -> I-ENT, else O) decode to 2-token entity spans."""
+    from webextract.functions.entities import explode_entities
+
+    def tag(b: pa.Table) -> pa.Table:
+        toks = [(t or "").split(" ") for t in b.column("text").to_pylist()]
+        tags = [
+            ["B-ENT" if i % 7 == 0 else ("I-ENT" if i % 7 == 1 else "O")
+             for i in range(len(ts))]
+            for ts in toks
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "tokens": pa.array(toks, type=pa.list_(pa.string())),
+                "tags": pa.array(tags, type=pa.list_(pa.string())),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(explode_entities, batch_format="pyarrow")
+    )
+
+
+_SQL_ENTITY_SPANS = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(range(0, (len(words) + 6) // 7)) AS j
+  FROM w
+)
+SELECT doc_id, j::INT AS ent_idx, (j*7)::INT AS tok_start,
+       least(j*7 + 2, n)::INT AS tok_end, 'ENT' AS label,
+       CASE WHEN j*7 + 1 < n THEN words[j*7 + 1] || ' ' || words[j*7 + 2]
+            ELSE words[j*7 + 1] END AS ent_text
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # Table structure + spatial matching
 # --------------------------------------------------------------------------
@@ -850,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "chunk_documents": q_chunk_documents,
         "sessionize": q_sessionize,
+        "entity_spans": q_entity_spans,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -918,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs_exact": _SQL_NEARDUP_EXACT,
         "chunk_documents": _SQL_CHUNKS,
         "sessionize": _SQL_SESSIONS,
+        "entity_spans": _SQL_ENTITY_SPANS,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (
