@@ -61,13 +61,14 @@ def build_pipeline(ds, spec: List[Dict[str, Any]]):
 
 
 @register("segment")
-def _op_segment(ds, *, batch_size: int = 256, concurrency=(1, 8), **cfg_kwargs):
+def _op_segment(ds, *, batch_size: int = 256, concurrency=(1, 8),
+                strategy: str = "db", **cfg_kwargs):
     from webextract.stages.segment import BlockSegmenter, SegmentConfig
 
     cfg = SegmentConfig(**cfg_kwargs) if cfg_kwargs else None
     return ds.map_batches(
         BlockSegmenter,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_constructor_kwargs={"cfg": cfg, "strategy": strategy},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -275,11 +275,25 @@ class BlockSegmenter:
     the hot path.
     """
 
-    def __init__(self, cfg: Optional[SegmentConfig] = None):
+    def __init__(self, cfg: Optional[SegmentConfig] = None,
+                 strategy: str = "db"):
         self.cfg = cfg or SegmentConfig()
+        # pluggable segmentation strategy (the reference's postprocess
+        # registry surface, mindocr/postprocess/builder.py:40-67):
+        # "db" = DBPostprocess analog (leaf blocks), "pse" = PSE-analog
+        # kernel + region growing (webextract/stages/segment_pse.py)
+        if strategy == "db":
+            self.segment = segment_html
+        elif strategy == "pse":
+            from webextract.stages.segment_pse import segment_pse
+
+            self.segment = segment_pse
+        else:
+            raise ValueError(f"unknown segmentation strategy {strategy!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        segment = self.segment
         offsets = [0]
         f_starts: List[int] = []
         f_ends: List[int] = []
@@ -316,7 +330,7 @@ class BlockSegmenter:
                         encoding_col.append("")
                         offsets.append(len(f_starts))
                         continue
-                spans = segment_html(html, cfg)
+                spans = segment(html, cfg)
                 doctype_col.append("html")
                 encoding_col.append(encoding)
             status_col.append("ok")
