@@ -190,6 +190,90 @@ def eval_rec(ds, *, frag_col: str = "block_html", gold_col: str = "gold_text",
     }
 
 
+def e2e_prf(
+    pred: Sequence[Tuple[int, int, str]],
+    gold: Sequence[Tuple[int, int, str]],
+    ignore: Optional[Sequence[bool]] = None,
+    iou_thresh: float = 0.5,
+) -> Dict[str, float]:
+    """Combined end-to-end matching (eval_pipeline.py:19-60 analog): a
+    prediction is a TP only if it BOTH overlaps an unmatched gold span at
+    IoU >= thresh AND reproduces its transcription exactly. Ignored gold
+    spans absorb overlapping predictions (neither TP nor FP), exactly as in
+    the det-only evaluator."""
+    ignore = list(ignore) if ignore is not None else [False] * len(gold)
+    gold_live = [g for g, ig in zip(gold, ignore) if not ig]
+    gold_ignored = [g for g, ig in zip(gold, ignore) if ig]
+
+    kept = []
+    for p in pred:
+        if any(_iou_1d(p[:2], g[:2]) >= iou_thresh for g in gold_ignored):
+            continue
+        kept.append(p)
+
+    matched = [False] * len(gold_live)
+    tp = 0
+    for p in kept:
+        for gi, g in enumerate(gold_live):
+            if (not matched[gi] and _iou_1d(p[:2], g[:2]) >= iou_thresh
+                    and p[2] == g[2]):
+                matched[gi] = True
+                tp += 1
+                break
+    fp = len(kept) - tp
+    fn = len(gold_live) - tp
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def eval_e2e(ds, *, pred_col: str = "spans", pred_text_col: str = "block_texts",
+             gold_col: str = "gold_blocks", iou_thresh: float = 0.5) -> Dict[str, float]:
+    """Dataset-level combined e2e metric: word/block-level IoU>=0.5 AND
+    exact transcription, reduced with the same partial-Sum pattern as
+    span_metrics. `pred_col` rows are span structs; `pred_text_col` holds
+    the parallel decoded texts; `gold_col` rows are blocks_gold structs
+    (start/end/text/ignore)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tp = fp = fn = 0
+        for i in range(batch.num_rows):
+            spans_raw = batch.column(pred_col)[i].as_py() or []
+            texts = batch.column(pred_text_col)[i].as_py() or []
+            pred = [
+                (s["start"], s["end"], t)
+                for s, t in zip(spans_raw, texts)
+            ]
+            gold_raw = batch.column(gold_col)[i].as_py() or []
+            gold = [(g["start"], g["end"], g.get("text", "")) for g in gold_raw]
+            ignore = [bool(g.get("ignore", False)) for g in gold_raw]
+            r = e2e_prf(pred, gold, ignore, iou_thresh)
+            tp += r["tp"]
+            fp += r["fp"]
+            fn += r["fn"]
+        return pa.table(
+            {
+                "tp": pa.array([tp], type=pa.int64()),
+                "fp": pa.array([fp], type=pa.int64()),
+                "fn": pa.array([fn], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("tp"), Sum("fp"), Sum("fn")
+    )
+    tp, fp, fn = (agg["sum(tp)"] or 0), (agg["sum(fp)"] or 0), (agg["sum(fn)"] or 0)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
 # --- normalized edit distance (RecMetric analog) ----------------------------
 
 

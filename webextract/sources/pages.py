@@ -96,3 +96,33 @@ def pages_from_documents(sf_dir: str, *, batch_size: int = 256) -> "ray.data.Dat
     return ds.map_batches(
         _render_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def read_pages_glob(path: str, *, file_extensions=("html", "htm")) -> "ray.data.Dataset":
+    """Label-less raw-document glob source (PredictDataset analog,
+    `mindocr/data/predict_dataset.py:14-81`: glob an image dir, no labels).
+
+    Reads every matching file as one pages-shaped row: url = file path,
+    html = raw bytes, text = '' (no gold), lang = 'und'. Downstream
+    pipelines run unchanged; the verify pass is simply inapplicable.
+    """
+    ds = ray.data.read_binary_files(
+        path, include_paths=True, file_extensions=list(file_extensions)
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        n = batch.num_rows
+        epoch = datetime.datetime(1970, 1, 1)
+        return pa.table(
+            {
+                "url": batch.column("path").cast(pa.string()),
+                "warc_ts": pa.array([epoch] * n, type=pa.timestamp("us")),
+                "html": batch.column("bytes").cast(pa.binary()),
+                "text": pa.array([""] * n, type=pa.string()),
+                "lang": pa.array(["und"] * n, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")

@@ -60,6 +60,10 @@ _PDF_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", re.DOTALL)
 
 _WS_BYTES = b" \t\r\n\f\v"
 
+# raw tag bytes -> lowered str (tag vocabularies are tiny; avoids one
+# .lower().decode() pair per tag event in the hot scanner)
+_TAG_CACHE: dict = {}
+
 
 @dataclass
 class _Block:
@@ -137,9 +141,53 @@ def segment_html(html: bytes, cfg: SegmentConfig = SegmentConfig()) -> List[dict
     return spans
 
 
+def _inspect_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]):
+    """ONE pass over an open tag's attrs: (is_boiler, col_idx_or_None).
+
+    Fetches `class` once and reuses it for both the boiler-hint check and
+    the column-layout hint; `id` is only consulted when class gave no
+    boiler verdict (profile: get_attr was 3x per tag before)."""
+    cls = get_attr(html, a0, a1, "class")
+    boiler = False
+    col = None
+    if cls:
+        low = cls.lower()
+        for h in hints:
+            if h in low:
+                boiler = True
+                break
+        if b"col-left" in low:
+            col = 0
+        elif b"col-right" in low:
+            col = 1
+    if not boiler:
+        idv = get_attr(html, a0, a1, "id")
+        if idv:
+            low = idv.lower()
+            for h in hints:
+                if h in low:
+                    boiler = True
+                    break
+    return boiler, col
+
+
 def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int) -> List[dict]:
+    """Single fused pass: tokenizer inlined into the block scanner.
+
+    Event semantics are identical to `iter_events` (pinned by the tokenizer
+    and segmenter test suites); inlining removes one tuple allocation plus a
+    generator switch per event — the dominant allocator churn of the hot
+    path at 32 cores (profile round 2).
+    """
+    from webextract.html.tokenizer import (
+        _CLOSE_RE,
+        _OPEN_RE,
+        _SCRIPT_END,
+        _STYLE_END,
+    )
+
     boiler_containers = cfg.boiler_containers
-    hints = cfg.boiler_class_hints
+    hints = tuple(h.encode("ascii") for h in cfg.boiler_class_hints)
 
     candidates: List[Tuple[int, int, str, float]] = []  # start, end, kind, score
     stack: List[_Block] = []  # open candidate blocks, innermost last
@@ -159,90 +207,148 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
     col_stack: List[Tuple[int, int, int]] = []
     last_group: Optional[Tuple[int, int]] = None  # (parent_depth, anchor)
 
-    def order_key(start: int) -> Tuple[int, int, int]:
-        if col_stack:
-            _, anchor, ci = col_stack[-1]
-            return (anchor, ci + 1, start)
-        return (start, 0, start)
+    max_candidates = cfg.max_candidates
+    max_link_density = cfg.max_link_density
+    n = len(html)
+    pos = 0
+    find = html.find
+    tag_cache = _TAG_CACHE
 
-    for ev in iter_events(html):
-        k = ev[0]
-        if k == "text":
-            if stack:
-                tl = len(html[ev[1] : ev[2]].strip(_WS_BYTES))
-                if tl:
-                    blk = stack[-1]
-                    blk.text_len += tl
-                    if anchor_depth > 0:
-                        blk.link_len += tl
-        elif k == "open":
-            tag, a0, a1 = ev[1], ev[2], ev[3]
-            if tag in VOID_TAGS:
-                continue
-            boiler_here = tag in boiler_containers or _is_boiler_attrs(html, a0, a1, hints)
-            col_here = _col_of(html, a0, a1)
-            if col_here is not None:
-                parent_depth = len(elem_stack)
-                if last_group is not None and last_group[0] == parent_depth:
-                    anchor = last_group[1]
-                else:
-                    anchor = ev[4]  # first col div's tag start = group anchor
-                    last_group = (parent_depth, anchor)
-                col_stack.append((parent_depth + 1, anchor, col_here))
-            elem_stack.append((tag, boiler_here))
-            if boiler_here:
-                boiler_depth += 1
-            if tag == "a":
-                anchor_depth += 1
-            if tag in block_tags:
-                if stack:
-                    stack[-1].has_child = True
-                stack.append(
-                    _Block(tag=tag, start=ev[5], okey=order_key(ev[5]),
-                           boiler=boiler_depth > 0)
-                )
-        elif k == "close":
-            tag = ev[1]
-            if tag == "a" and anchor_depth > 0:
-                anchor_depth -= 1
-            # Pop the innermost matching element plus unclosed descendants;
-            # a stray close tag with no open match is ignored.
-            for i in range(len(elem_stack) - 1, -1, -1):
-                if elem_stack[i][0] == tag:
-                    for j in range(len(elem_stack) - 1, i - 1, -1):
-                        if elem_stack[j][1]:
-                            boiler_depth -= 1
-                    del elem_stack[i:]
+    def on_text(t0: int, t1: int) -> None:
+        if stack:
+            tl = len(html[t0:t1].strip(_WS_BYTES))
+            if tl:
+                blk = stack[-1]
+                blk.text_len += tl
+                if anchor_depth > 0:
+                    blk.link_len += tl
+
+    def on_close(tag: str, close_start: int) -> None:
+        nonlocal anchor_depth, boiler_depth, last_group
+        if tag == "a" and anchor_depth > 0:
+            anchor_depth -= 1
+        # Pop the innermost matching element plus unclosed descendants;
+        # a stray close tag with no open match is ignored.
+        for i in range(len(elem_stack) - 1, -1, -1):
+            if elem_stack[i][0] == tag:
+                for j in range(len(elem_stack) - 1, i - 1, -1):
+                    if elem_stack[j][1]:
+                        boiler_depth -= 1
+                del elem_stack[i:]
+                break
+        depth = len(elem_stack)
+        while col_stack and col_stack[-1][0] > depth:
+            col_stack.pop()
+        if last_group is not None and depth < last_group[0]:
+            last_group = None
+        if stack and any(b.tag == tag for b in stack):
+            # close innermost matching block (pop unclosed inner blocks too)
+            while stack:
+                blk = stack.pop()
+                done = blk.tag == tag
+                end = close_start  # close-tag start = content end
+                if (
+                    not blk.boiler
+                    and not blk.has_child
+                    and blk.text_len >= min_text_len
+                ):
+                    ld = blk.link_len / blk.text_len
+                    if ld <= max_link_density:
+                        candidates.append(
+                            (blk.okey, blk.start, end, blk.tag, 1.0 - ld)
+                        )
+                if done:
                     break
-            depth = len(elem_stack)
-            while col_stack and col_stack[-1][0] > depth:
-                col_stack.pop()
-            if last_group is not None and depth < last_group[0]:
-                last_group = None
-            if stack and any(b.tag == tag for b in stack):
-                # close innermost matching block (pop unclosed inner blocks too)
-                while stack:
-                    blk = stack.pop()
-                    done = blk.tag == tag
-                    if done:
-                        end = ev[2]  # close-tag start = content end
-                    else:
-                        end = ev[2]  # unclosed inner block ends here as well
-                    if (
-                        not blk.boiler
-                        and not blk.has_child
-                        and blk.text_len >= min_text_len
-                    ):
-                        ld = blk.link_len / blk.text_len
-                        if ld <= cfg.max_link_density:
-                            candidates.append(
-                                (blk.okey, blk.start, end, blk.tag, 1.0 - ld)
-                            )
-                    if done:
-                        break
-        # "skip" events (script/style/comment payloads) contribute nothing.
-        if len(candidates) >= cfg.max_candidates:
+
+    while pos < n and len(candidates) < max_candidates:
+        lt = find(b"<", pos)
+        if lt < 0:
+            on_text(pos, n)
             break
+        if lt > pos:
+            on_text(pos, lt)
+        nxt = html[lt + 1] if lt + 1 < n else 0  # int peek: no slice alloc
+        if nxt == 0x21:  # '!'
+            # comments / doctype contribute nothing (skip events)
+            if html[lt + 1 : lt + 4] == b"!--":
+                end = find(b"-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:
+                end = find(b">", lt + 2)
+                pos = n if end < 0 else end + 1
+        elif nxt == 0x3F:  # '?'
+            end = find(b">", lt + 2)
+            pos = n if end < 0 else end + 1
+        elif nxt == 0x2F:  # '/'
+            m = _CLOSE_RE.match(html, lt)
+            if m is None:
+                end = find(b">", lt + 2)
+                if end < 0:
+                    break
+                pos = end + 1
+            else:
+                raw = m.group(1)
+                tag = tag_cache.get(raw)
+                if tag is None:
+                    tag = raw.lower().decode("ascii")
+                    if len(tag_cache) < 4096:
+                        tag_cache[raw] = tag
+                on_close(tag, lt)
+                pos = m.end()
+        else:
+            m = _OPEN_RE.match(html, lt)
+            if m is None:
+                on_text(lt, lt + 1)  # stray '<' = 1-byte text node
+                pos = lt + 1
+            else:
+                raw = m.group(1)
+                tag = tag_cache.get(raw)
+                if tag is None:
+                    tag = raw.lower().decode("ascii")
+                    if len(tag_cache) < 4096:
+                        tag_cache[raw] = tag
+                content_start = m.end()
+                pos = content_start
+                if tag not in VOID_TAGS:
+                    a0, a1 = m.start(2), m.end(2)
+                    if a1 > a0:
+                        boiler_here, col_here = _inspect_attrs(html, a0, a1, hints)
+                    else:
+                        boiler_here, col_here = False, None
+                    if tag in boiler_containers:
+                        boiler_here = True
+                    if col_here is not None:
+                        parent_depth = len(elem_stack)
+                        if last_group is not None and last_group[0] == parent_depth:
+                            anchor = last_group[1]
+                        else:
+                            anchor = lt  # first col div's tag start = anchor
+                            last_group = (parent_depth, anchor)
+                        col_stack.append((parent_depth + 1, anchor, col_here))
+                    elem_stack.append((tag, boiler_here))
+                    if boiler_here:
+                        boiler_depth += 1
+                    if tag == "a":
+                        anchor_depth += 1
+                    if tag in block_tags:
+                        if stack:
+                            stack[-1].has_child = True
+                        if col_stack:
+                            _, ganchor, ci = col_stack[-1]
+                            okey = (ganchor, ci + 1, content_start)
+                        else:
+                            okey = (content_start, 0, content_start)
+                        stack.append(
+                            _Block(tag=tag, start=content_start, okey=okey,
+                                   boiler=boiler_depth > 0)
+                        )
+                if (tag == "script" or tag == "style") and m.group(3) != b"/":
+                    endre = _SCRIPT_END if tag == "script" else _STYLE_END
+                    em = endre.search(html, content_start)
+                    if em is None:
+                        break  # unterminated raw text: stream ends
+                    on_close(tag, em.start())
+                    pos = em.end()
 
     # reading order: byte order for linear documents, (group anchor, column,
     # byte) for column layouts — sorted_layout_boxes semantics
