@@ -219,12 +219,50 @@ def bench_once(headline_only: bool = False, mult: int = 1, repeats: int = 1) -> 
         ray.shutdown()
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return x
+
+
+def pure_cpu_control(iters: int = 6_000_000) -> dict:
+    """Single-box scaling CEILING calibration: the same pure-CPU kernel
+    (zero shared data, zero memory traffic) run via multiprocessing at 8
+    and 32 workers with proportional total work. Per-task inflation at 32
+    workers comes from the BOX (VM frequency scaling, scheduler, steal) —
+    no code can beat `1/inflation` efficiency here, so that value is the
+    honest upper bound any 8-vs-32-core measurement on this machine can
+    reach. Real N -> 4N NODE clusters don't have this term (every node
+    clocks the same at both sizes).
+    """
+    import multiprocessing as mp
+
+    def run(workers: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [iters] * workers * 3)
+        return time.perf_counter() - t0
+
+    t8 = run(8)
+    t32 = run(32)
+    inflation = t32 / t8  # equal per-task work: >1 = per-core slowdown
+    return {
+        "control_sec_8w": round(t8, 3),
+        "control_sec_32w": round(t32, 3),
+        "per_task_inflation_32w": round(inflation, 3),
+        "ceiling_efficiency": round(1.0 / inflation, 3),
+    }
+
+
 def bench_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes.
 
     Uses a larger corpus (GRAFT_SCALING_MULT x the bench tier, default 8x)
     so sustained compute dominates fixed startup — the in-sandbox stand-in
-    for the N vs 4N node cluster runs of the north rule.
+    for the N vs 4N node cluster runs of the north rule. Also runs the
+    pure-CPU control (see `pure_cpu_control`) and reports the raw
+    efficiency, the box ceiling, and the ceiling-normalized efficiency.
     """
     mult = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
     results = {}
@@ -243,6 +281,7 @@ def bench_scaling() -> dict:
     t8 = results[8]["docs_per_sec"]
     t32 = results[32]["docs_per_sec"]
     eff = (t32 / t8) / 4.0
+    control = pure_cpu_control()
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
@@ -255,19 +294,27 @@ def bench_scaling() -> dict:
         "num_cpus": 32,
         "docs_per_sec_cpus8": t8,
         "docs_per_sec_cpus32": t32,
+        "pure_cpu_control": control,
+        "normalized_efficiency": round(
+            eff / control["ceiling_efficiency"], 3
+        ),
     }
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--control", action="store_true",
+                   help="pure-CPU box-ceiling calibration only")
     p.add_argument("--headline-only", action="store_true")
     p.add_argument("--mult", type=int, default=1,
                    help="corpus size multiplier vs the bench tier")
     p.add_argument("--repeats", type=int, default=1,
                    help="timed headline repetitions; best (min) is reported")
     args = p.parse_args()
-    if args.scaling:
+    if args.control:
+        print(json.dumps(pure_cpu_control()))
+    elif args.scaling:
         print(json.dumps(bench_scaling()))
     else:
         print(json.dumps(bench_once(headline_only=args.headline_only,
