@@ -228,14 +228,82 @@ def q_bpe_token_counts(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """C4/Gopher-style quality ratios; UNROUNDED float64 so the exact IEEE
+    divisions match the SQL oracle bit-for-bit (np.round is half-even,
+    DuckDB round is half-away — rounding would desync at ties)."""
+    import functools
+
     from webextract.functions.textstats import quality_score_batch
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        quality_score_batch, batch_format="pyarrow"
+        functools.partial(quality_score_batch, round_to=None),
+        batch_format="pyarrow",
     )
     return ds.select_columns(
         ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality"]
     )
+
+
+_SQL_QUALITY_SCORES = r"""
+WITH q AS (
+  SELECT doc_id,
+    length(text)::DOUBLE AS n,
+    length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE AS alpha_cnt,
+    length(regexp_replace(text, '[\p{L}\p{N}\s\x{0b}]', '', 'g'))::DOUBLE AS punct_cnt,
+    string_split(lower(text), ' ') AS words,
+    (length(text) - length(replace(text, ' ', '')))::DOUBLE AS n_spaces
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN alpha_cnt / n ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n > 0 THEN punct_cnt / n ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 AND n > 0 THEN
+      len(list_filter(words, w -> list_contains(
+        ['the','a','an','and','or','of','to','in','is','are','was','for',
+         'with','on','at','by','it','this','that'], w)))::DOUBLE / len(words)
+      ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(words) > 0 AND n > 0
+      THEN (n - n_spaces) / len(words) ELSE 0.0 END AS mwl,
+    n
+  FROM q
+)
+SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio,
+  CASE WHEN n > 0 THEN greatest(0.0, least(1.0,
+    alpha_ratio - 2.0 * greatest(0.0, punct_ratio - 0.1)
+      - (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.0 ELSE 0.3 END)))
+  ELSE 0.0 END AS quality
+FROM r
+"""
+
+
+_SQL_LANG_ID = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_distinct(string_split(lower(text), ' ')) AS ws
+  FROM documents
+),
+v AS (
+  SELECT doc_id, text,
+    len(list_intersect(ws, ['der','die','und','das','ist','nicht','ein','mit','für'])) AS v_de,
+    len(list_intersect(ws, ['the','and','of','to','is','in','that','for','with'])) AS v_en,
+    len(list_intersect(ws, ['el','la','los','que','es','una','por','con','para'])) AS v_es,
+    len(list_intersect(ws, ['le','la','les','et','est','une','pour','que','dans'])) AS v_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE
+    WHEN length(regexp_replace(substring(text, 1, 2000),
+                               '[^\x{4e00}-\x{9fff}]', '', 'g'))
+         > 0.2 * least(length(text), 2000) THEN 'zh'
+    WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+    WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+    WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+    WHEN v_es >= v_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM v
+"""
 
 
 def q_pii_scan(sf_dir: str):
@@ -925,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": (
             "SELECT doc_id, 0::BIGINT AS n_pii FROM documents"
         ),
+        "quality_scores": _SQL_QUALITY_SCORES,
+        "lang_id": _SQL_LANG_ID,
         "bpe_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
@@ -976,8 +1046,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "
             "DESC, vec_id LIMIT 10"
         ),
-        # lang_id / minhash_signatures / neardup_pairs / simhash /
-        # similarity_topk_lsh / embedding_neardup: heuristic or
-        # approximate operators — not SQL-expressible; driver records the
-        # weaker rows-only check.
+        # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
+        # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup:
+        # hash-internal or approximate operators — not SQL-expressible;
+        # driver records the weaker rows-only check.
     }

@@ -91,8 +91,14 @@ def quality_score(text: str) -> dict:
             "mean_word_len": mwl, "quality": quality}
 
 
-def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_score_batch(batch: pa.Table, text_col: str = "text",
+                        round_to: int = 6) -> pa.Table:
     """Vectorized quality_score over a batch.
+
+    `round_to=None` emits raw float64 ratios — exact IEEE divisions of
+    integer counts, bit-identical to a SQL engine computing the same
+    divisions (np.round is half-to-even while DuckDB rounds half-away, so
+    ORACLE comparisons must use the unrounded values).
 
     The per-CHARACTER ratios (alpha, punct) are Arrow regex-count kernels —
     no Python loop over chars; only the per-WORD stats (stopword ratio,
@@ -141,8 +147,10 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("stopword_ratio", stop), ("mean_word_len", mwl),
         ("quality", quality),
     ):
+        if round_to is not None:
+            vals = np.round(vals, round_to)
         batch = batch.append_column(
-            name, pa.array(np.round(vals, 6), type=pa.float64())
+            name, pa.array(vals, type=pa.float64())
         )
     return batch
 
