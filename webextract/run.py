@@ -25,9 +25,15 @@ def main(argv=None) -> int:
                    help="skip shards already in the lineage manifest")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--mode", choices=("tasks", "actors"), default="tasks",
+                   help="fused kernel as a task pool (default; fastest "
+                        "measured) or an actor pool")
     p.add_argument("--concurrency", type=int, default=0,
-                   help="actor pool max size per stage (default: num_cpus)")
-    p.add_argument("--batch-size", type=int, default=256)
+                   help="actors mode: pool max size (default: cpus - cpus/4)")
+    p.add_argument("--salt-buckets", type=int, default=0,
+                   help="apply deterministic salted repartition on the url "
+                        "host before extraction (skew defense; >0 enables)")
+    p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--drop-score", type=float, default=0.5)
     p.add_argument("--keep-spans", action="store_true")
     p.add_argument("--verify", action="store_true",
@@ -49,11 +55,23 @@ def main(argv=None) -> int:
         from webextract.pipelines.extract_pipeline import extract_pages
         from webextract.state.lineage import run_resumable
 
-        conc = args.concurrency or max(
-            2, args.num_cpus - max(2, args.num_cpus // 4)
-        )
+        if args.mode == "tasks":
+            conc = None
+        else:
+            conc = args.concurrency or max(
+                2, args.num_cpus - max(2, args.num_cpus // 4)
+            )
 
         def pipeline(ds):
+            if args.salt_buckets > 0:
+                from webextract.pipelines.registry import get_op
+
+                ds = get_op("salted_repartition")(
+                    ds,
+                    key="url",
+                    key_extract=r"https://([^/]+)/",
+                    salt_buckets=args.salt_buckets,
+                )
             return extract_pages(
                 ds,
                 drop_score=args.drop_score,
