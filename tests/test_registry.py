@@ -54,3 +54,50 @@ def test_salted_repartition_preserves_rows():
     assert len(df) == 100
     assert set(df.v) == set(range(100))
     assert "_salt" not in df.columns
+
+
+def test_seeded_augment_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.pipelines.registry import get_op
+
+    t = pa.table({"url": [f"u{i}" for i in range(20)],
+                  "text": ["alpha beta gamma delta epsilon zeta"] * 20})
+    op = get_op("seeded_augment")
+    a = op(ray.data.from_arrow(t), drop_rate=0.3).to_pandas()
+    b = op(ray.data.from_arrow(t), drop_rate=0.3).to_pandas()
+    assert list(a.augmented_text) == list(b.augmented_text)
+    # different keys draw different dropouts; some rows differ from input
+    assert any(x != "alpha beta gamma delta epsilon zeta"
+               for x in a.augmented_text)
+    # zero rate keeps text intact
+    z = op(ray.data.from_arrow(t), drop_rate=0.0).to_pandas()
+    assert all(x == "alpha beta gamma delta epsilon zeta"
+               for x in z.augmented_text)
+
+
+def test_length_bucket_sorts_within_batch(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.pipelines.registry import get_op
+
+    t = pa.table({"html": [b"x" * n for n in (50, 3, 20, 7, 40, 1)]})
+    out = get_op("length_bucket")(ray.data.from_arrow(t), batch_size=6)
+    lens = [len(r["html"]) for r in out.take_all()]
+    assert lens == sorted(lens)
+
+
+def test_columnar_to_blocks():
+    from webextract.sources.converters import columnar_to_blocks
+
+    t = columnar_to_blocks(
+        ["r0", "r1"],
+        [["hello", "###"], ["world"]],
+        [[(0, 5), (6, 9)], [(0, 5)]],
+    )
+    b0 = t.column("blocks")[0].as_py()
+    assert b0[0]["text"] == "hello" and not b0[0]["ignore"]
+    assert b0[1]["ignore"] is True
+    assert t.column("blocks")[1].as_py()[0]["start"] == 0

@@ -305,3 +305,61 @@ def _op_image_decode(ds, *, strict: bool = False, batch_size: int = 16,
         batch_size=batch_size,  # small: payload bytes x batch must fit heap
         concurrency=concurrency,
     )
+
+
+@register("seeded_augment")
+def _op_seeded_augment(ds, *, text_col: str = "text", key_col: str = "url",
+                       drop_rate: float = 0.1):
+    """Deterministic per-row augmentation (the training-time random-aug
+    family's PATTERN, `svtr_transform.py:57-1072` — ~30 randomized ops):
+    every random draw is keyed on a stable hash of (key, position), so the
+    augmented output is identical across runs/workers — the engine's
+    no-RNG determinism contract (SURVEY.md §7.4). This op does seeded word
+    dropout; any photometric/geometric analog plugs in the same way.
+    """
+    import pyarrow as pa
+
+    from webextract.corpus import mix
+
+    threshold = int(drop_rate * (1 << 32))
+
+    def aug(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out = []
+        for k, t in zip(keys, texts):
+            seed = mix(hash_key(k), 77)
+            words = (t or "").split(" ")
+            kept = [w for i, w in enumerate(words)
+                    if mix(seed, i) & 0xFFFFFFFF >= threshold]
+            out.append(" ".join(kept))
+        return batch.append_column(
+            "augmented_text", pa.array(out, type=pa.string())
+        )
+
+    def hash_key(k) -> int:
+        import zlib
+
+        return zlib.crc32(str(k).encode("utf-8"))
+
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
+@register("length_bucket")
+def _op_length_bucket(ds, *, col: str = "html", batch_size: int = 256):
+    """Gear-style length bucketing (`gear_utils.py:28-36` analog): sort rows
+    by payload length WITHIN each batch so downstream fixed-size batches see
+    similar-length rows (less tail latency per batch), without any global
+    sort/shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        lens = pc.binary_length(batch.column(col)) \
+            if pa.types.is_binary(batch.schema.field(col).type) \
+            else pc.utf8_length(batch.column(col))
+        idx = pc.sort_indices(lens)
+        return batch.take(idx)
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -386,3 +386,32 @@ def pubtab_to_cells(batch: pa.Table, *, line_col: str = "line") -> pa.Table:
             "cell_text": pa.array(tt, type=pa.string()),
         }
     )
+
+
+def columnar_to_blocks(record_ids, texts_per_record, spans_per_record=None) -> pa.Table:
+    """SynthText-style columnar arrays -> canonical blocks table.
+
+    The reference loads SynthText's `.mat` as parallel columnar arrays of
+    paths / wordboxes / texts and fans them out per record
+    (`mindocr/data/det_dataset.py:162-179`). Analog: three parallel Python/
+    numpy sequences -> one (record_id, blocks) row each, zero file-format
+    baggage (the `.mat` container itself needs scipy, absent here — the
+    COLUMNAR-load pattern is the capability).
+    """
+    blocks_col = []
+    for i, texts in enumerate(texts_per_record):
+        spans = spans_per_record[i] if spans_per_record is not None else None
+        blocks = []
+        for j, t in enumerate(texts):
+            start, end = (spans[j] if spans is not None else (0, 0))
+            blocks.append(
+                {"start": int(start), "end": int(end), "kind": "p",
+                 "text": str(t), "ignore": str(t) == "###"}
+            )
+        blocks_col.append(blocks)
+    return pa.table(
+        {
+            "record_id": pa.array([str(r) for r in record_ids], type=pa.string()),
+            "blocks": pa.array(blocks_col, type=BLOCKS_GOLD_TYPE),
+        }
+    )
