@@ -577,6 +577,228 @@ def q_orders_customers_join(sf_dir: str):
     return hash_join(orders, cust, on="c_custkey")
 
 
+def q_customers_no_orders(sf_dir: str):
+    """ANTI join: customers with no order among the first 1000 orderkeys —
+    the existence probe ships only keys through the shuffle (no
+    cross-product term for hot keys). (The full orders table covers every
+    customer in this synthetic data, which would make the anti side empty;
+    the orderkey cut keeps the result non-trivial.)"""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+        )
+        .filter(expr="o_orderkey <= 1000")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    return hash_join(cust, orders, on="c_custkey", how="anti")
+
+
+def q_customers_with_orders(sf_dir: str):
+    """SEMI join: customers having at least one order."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).rename_columns({"o_custkey": "c_custkey"})
+    return hash_join(cust, orders, on="c_custkey", how="semi")
+
+
+def q_events_sliding_window(sf_dir: str):
+    """SLIDING window (1h width, 30min slide): each event lands in exactly
+    two windows — rows duplicated in map_batches (flat explode), then one
+    groupby; no per-window scans."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b.column("ts"), multiple=30, unit="minute")
+        prev = pc.add(base, pa.scalar(-1_800_000_000, type=pa.duration("us")))
+        et = b.column("event_type")
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "window_start": pa.concat_arrays(
+                    [base.combine_chunks().cast(pa.timestamp("us")),
+                     prev.combine_chunks().cast(pa.timestamp("us"))]
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_events"})
+    )
+
+    def recast(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(
+            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
+_SQL_SLIDING = """
+SELECT event_type, ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+  FROM events
+)
+GROUP BY event_type, ws
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Top-k per group: 2 longest docs per language — per-group sort+head
+    inside map_groups; only the group shuffle is global."""
+
+    def head2(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx[:2])
+
+    return (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(head2, batch_format="pyarrow")
+    )
+
+
+_SQL_TOP_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) <= 2
+"""
+
+
+def q_pii_recall(sf_dir: str):
+    """PII RECALL on planted entities: deterministic injections (email /
+    ssn-like / ipv4 keyed on doc_id % 4) must each be found exactly once.
+    Complements `pii_scan` (precision on clean text)."""
+    from webextract.functions.pii import PiiScanner
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 4 == 1:
+                out.append(f"{t} reach me at user{i}@example.com")
+            elif i % 4 == 2:
+                out.append(f"{t} id 123-45-6789")
+            elif i % 4 == 3:
+                out.append(f"{t} from 10.1.2.{i % 250}")
+            else:
+                out.append(t or "")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    ).map_batches(
+        PiiScanner,
+        fn_constructor_kwargs={"redact_col": False},
+        batch_format="pyarrow",
+        concurrency=_CONC,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        spans = b.column("pii_spans").to_pylist()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_pii": pa.array([len(s) for s in spans], type=pa.int64()),
+                "kind": pa.array(
+                    [s[0]["kind"] if s else "" for s in spans],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_PII_RECALL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END::BIGINT AS n_pii,
+  CASE doc_id % 4 WHEN 1 THEN 'email' WHEN 2 THEN 'ssn_like'
+                  WHEN 3 THEN 'ipv4' ELSE '' END AS kind
+FROM documents
+"""
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles over a bounded-cardinality int column:
+    groupby(value).count() shuffles one row per DISTINCT length, the driver
+    folds the tiny histogram — never a global sort of the data. Matches
+    DuckDB quantile_disc (v[floor(q*(n-1))])."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count())
+        .rename_columns({"count()": "n"})
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    total = sum(r["n"] for r in hist)
+    qs = [0.5, 0.9, 0.99]
+    targets = [int(q * (total - 1)) for q in qs]  # 0-based rank
+    vals = []
+    cum = 0
+    it = iter(hist)
+    row = next(it)
+    for t in targets:
+        while cum + row["n"] <= t:
+            cum += row["n"]
+            row = next(it)
+        vals.append(row["n_chars"])
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array(vals, type=pa.int64()),
+        }
+    )
+
+
+_SQL_QUANTILES = """
+SELECT 0.5::DOUBLE AS q, quantile_disc(n_chars, 0.5)::BIGINT AS value FROM documents
+UNION ALL
+SELECT 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::BIGINT FROM documents
+UNION ALL
+SELECT 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::BIGINT FROM documents
+"""
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values via Ray `unique` (shuffle on the key only)."""
     langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
@@ -959,8 +1181,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "orders_customers_join": q_orders_customers_join,
         "top_docs_by_len": q_top_docs_by_len,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "customers_no_orders": q_customers_no_orders,
+        "customers_with_orders": q_customers_with_orders,
         "distinct_langs": q_distinct_langs,
         "events_window": q_events_window,
+        "events_sliding_window": q_events_sliding_window,
+        "pii_recall": q_pii_recall,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "chunk_documents": q_chunk_documents,
         "sessionize": q_sessionize,
         "entity_spans": q_entity_spans,
@@ -1021,6 +1249,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_docs_per_lang": _SQL_TOP_PER_LANG,
+        "customers_no_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderkey <= 1000)"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders)"
+        ),
+        "events_sliding_window": _SQL_SLIDING,
+        "pii_recall": _SQL_PII_RECALL,
+        "doc_length_quantiles": _SQL_QUANTILES,
         "top_docs_by_len": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"

@@ -40,3 +40,22 @@ def test_hash_join_max_group_guard(ray_session):
     right = ray.data.from_arrow(pa.table({"k": [1] * 20, "rv": list(range(20))}))
     with pytest.raises(Exception, match="exceeds max_group"):
         hash_join(left, right, on="k", max_group=100).take_all()
+
+
+def test_semi_and_anti_join(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    )
+    right = ray.data.from_arrow(pa.table({"k": [2, 2, 4], "rv": [0, 0, 0]}))
+    semi = sorted(
+        (r["k"], r["lv"])
+        for r in hash_join(left, right, on="k", how="semi").take_all()
+    )
+    anti = sorted(
+        (r["k"], r["lv"])
+        for r in hash_join(left, right, on="k", how="anti").take_all()
+    )
+    assert semi == [(2, 20), (4, 40)]
+    assert anti == [(1, 10), (3, 30)]
+    # duplicate right keys never multiply left rows (existence, not product)
+    assert len(semi) == 2

@@ -65,8 +65,19 @@ def broadcast_join(ds, small_table: pa.Table, *, key: str,
     )
 
 
-def hash_join(left, right, *, on: str, max_group: int = 100_000):
-    """Big-big INNER join on `on`: one hash shuffle, per-key cross product.
+def hash_join(left, right, *, on: str, max_group: int = 100_000,
+              how: str = "inner"):
+    """Big-big join on `on`: one hash shuffle, per-key combine.
+
+    `how`:
+    * ``"inner"`` — per-key cross product of left x right rows;
+    * ``"semi"``  — left rows whose key EXISTS on the right (payload_r
+      columns are not emitted);
+    * ``"anti"``  — left rows whose key does NOT exist on the right.
+
+    Semi/anti move only the key + left payload through the shuffle — the
+    existence probe never materializes right payloads per match, so a hot
+    right key costs nothing extra (no cross-product term at all).
 
     Column name collisions (other than the key) must be resolved by the
     caller beforehand (select/rename) — overlapping names raise.
@@ -77,6 +88,10 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000):
     pre-aggregate one side, broadcast_join if one side is small, or salt
     the hot key upstream (`salted_repartition`) and join on (key, salt).
     """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown join how={how!r}")
+    if how in ("semi", "anti"):
+        right = right.select_columns([on])
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     lcols = lschema.names
@@ -116,6 +131,15 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000):
         src = group.column("_src").to_pylist()
         li = [i for i, s in enumerate(src) if s == 0]
         ri = [i for i, s in enumerate(src) if s == 1]
+        if how in ("semi", "anti"):
+            keep = li if (bool(ri) == (how == "semi")) else []
+            idx = pa.array(keep, type=pa.int64())
+            arrays = [group.column(on).take(idx)]
+            names = [on]
+            for c in payload_l:
+                arrays.append(group.column(c).take(idx))
+                names.append(c)
+            return pa.Table.from_arrays(arrays, names=names)
         if not li or not ri:
             return pa.Table.from_arrays(
                 [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
