@@ -394,6 +394,10 @@ class BlockSegmenter:
             from webextract.stages.segment_pse import segment_pse
 
             self.segment = segment_pse
+        elif strategy == "east":
+            from webextract.stages.segment_east import segment_east
+
+            self.segment = segment_east
         else:
             raise ValueError(f"unknown segmentation strategy {strategy!r}")
 

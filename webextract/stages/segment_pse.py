@@ -37,14 +37,17 @@ _WS_BYTES = b" \t\r\n\f\v"
 
 
 class _Cand:
-    __slots__ = ("start", "end", "parent", "text_len", "link_len", "boiler")
+    __slots__ = ("start", "end", "parent", "tag", "text_len", "link_len",
+                 "nodes", "boiler")
 
-    def __init__(self, start: int, parent: int):
+    def __init__(self, start: int, parent: int, tag: str = "p"):
         self.start = start
         self.end = start
         self.parent = parent
+        self.tag = tag
         self.text_len = 0
         self.link_len = 0
+        self.nodes = 0  # contributing text nodes (EAST proposal density)
         self.boiler = False
 
 
@@ -67,6 +70,7 @@ def _scan_candidates(html: bytes, cfg: SegmentConfig) -> List[_Cand]:
                 if tl:
                     blk = open_blocks[-1]
                     blk.text_len += tl
+                    blk.nodes += 1
                     if anchor_depth > 0:
                         blk.link_len += tl
         elif k == "open":
@@ -85,7 +89,7 @@ def _scan_candidates(html: bytes, cfg: SegmentConfig) -> List[_Cand]:
                 anchor_depth += 1
             if tag in block_tags:
                 parent = elem_stack[-2][2] if len(elem_stack) > 1 else 0
-                c = _Cand(ev[5], parent)
+                c = _Cand(ev[5], parent, tag)
                 c.boiler = boiler_depth > 0
                 open_blocks.append(c)
         elif k == "close":
