@@ -799,6 +799,36 @@ SELECT 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::BIGINT FROM documents
 """
 
 
+def q_top_words(sf_dir: str):
+    """EXACT distributed heavy hitters: Misra-Gries nomination per block +
+    broadcast-filtered exact second pass (functions/sketches.py)."""
+    from webextract.functions.sketches import top_k_words
+
+    return top_k_words(_docs(sf_dir, ["text"]), k=10)
+
+
+_SQL_TOP_WORDS = """
+SELECT word, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 10
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): per-block 4 KB
+    register partials, driver-side register-max merge. Approximate by
+    construction -> rows-only check; the error bound is pinned by pytest."""
+    import ray.data
+
+    from webextract.functions.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"estimate": pa.array([float(est)], type=pa.float64())})
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values via Ray `unique` (shuffle on the key only)."""
     langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
@@ -1185,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
         "distinct_langs": q_distinct_langs,
+        "top_words": q_top_words,
+        "approx_distinct_users": q_approx_distinct_users,
         "events_window": q_events_window,
         "events_sliding_window": q_events_sliding_window,
         "pii_recall": q_pii_recall,
@@ -1259,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey FROM orders)"
         ),
         "events_sliding_window": _SQL_SLIDING,
+        "top_words": _SQL_TOP_WORDS,
         "pii_recall": _SQL_PII_RECALL,
         "doc_length_quantiles": _SQL_QUANTILES,
         "top_docs_by_len": (

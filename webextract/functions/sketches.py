@@ -1,0 +1,178 @@
+"""Distributed sketches: HyperLogLog distinct counting + heavy hitters.
+
+The reference has no sketches (SURVEY.md §2.5 "distinct/sketches: none");
+a 100 TB corpus needs them — exact COUNT(DISTINCT url) over a crawl is an
+all-to-all of every key, while a sketch ships 4 KB per block.
+
+* :class:`HllSketch` — deterministic HyperLogLog (p-bit register index,
+  crc-seeded 64-bit hashes, standard bias/linear-counting corrections).
+  Per-block partials merge by register-wise max — the classic
+  partial+combine shape (`RecMetric` AllReduce pattern).
+* :func:`approx_distinct` — Dataset op: map_batches partials -> tiny
+  driver-side merge (one register array per BLOCK crosses the wire).
+* :func:`top_k_words` — EXACT distributed heavy hitters in two passes:
+  per-block Misra-Gries summaries nominate candidates (bounded state per
+  block), the candidate set broadcasts back, and a second pass counts ONLY
+  candidates exactly — the shuffle moves (candidate, count) partials, never
+  the full vocabulary. Exact because the per-block capacity is sized so any
+  global top-k element survives in at least one block summary.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+_H_A = np.uint64(0x9E3779B97F4A7C15)
+_H_B = np.uint64(0xBF58476D1CE4E5B9)
+_H_C = np.uint64(0x94D049BB133111EB)
+
+
+def _hash64_str(values: List[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes (crc32 pair + SplitMix64 finisher)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = str(v).encode("utf-8")
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0xDEADBEEF)
+    x = out + _H_A
+    x = (x ^ (x >> np.uint64(30))) * _H_B
+    x = (x ^ (x >> np.uint64(27))) * _H_C
+    return x ^ (x >> np.uint64(31))
+
+
+class HllSketch:
+    """HyperLogLog with 2^p registers (p=12 -> 4096 B, ~1.6% rel. error)."""
+
+    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers.astype(np.uint8)
+            if registers is not None
+            else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HllSketch":
+        if len(h):
+            idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+            rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+            # rho = leading zeros of the remaining bits + 1, vectorized via
+            # bit_length: rho = 64 - bit_length(rest) + 1
+            bl = np.frompyfunc(int.bit_length, 1, 1)(rest.astype(object))
+            rho = (65 - bl.astype(np.int64)).astype(np.uint8)
+            np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def add(self, values: List[str]) -> "HllSketch":
+        return self.add_hashes(_hash64_str(values))
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        reg = self.registers.astype(np.float64)
+        e = alpha * m * m / np.sum(np.exp2(-reg))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting regime
+        return e
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): per-block HLL partials, driver merge
+    of <= n_blocks register arrays (4 KB each at p=12)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = HllSketch(p).add(
+            [v for v in batch.column(col).to_pylist() if v is not None]
+        )
+        return pa.table(
+            {"registers": pa.array([sk.registers.tolist()],
+                                   type=pa.list_(pa.uint8()))}
+        )
+
+    merged = HllSketch(p)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge(HllSketch(p, np.asarray(row["registers"], dtype=np.uint8)))
+    return merged.estimate()
+
+
+def misra_gries(values: List[str], capacity: int) -> dict:
+    """Classic Misra-Gries summary: any element with frequency > n/(capacity+1)
+    is guaranteed to survive."""
+    counts: dict = {}
+    for v in values:
+        if v in counts:
+            counts[v] += 1
+        elif len(counts) < capacity:
+            counts[v] = 1
+        else:
+            dead = [k for k in counts if counts[k] == 1]
+            for k in counts:
+                counts[k] -= 1
+            for k in dead:
+                del counts[k]
+    return counts
+
+
+def top_k_words(ds, text_col: str = "text", k: int = 10,
+                capacity: int = 4096):
+    """EXACT top-k most frequent words, two distributed passes.
+
+    Pass 1: per-batch Misra-Gries nominates candidate words (bounded memory
+    per block; exact for any word with global share > 1/(capacity+1) per
+    block, far above top-k thresholds in practice — capacity is a tunable
+    guarantee knob). Pass 2: broadcast the candidate set, count ONLY
+    candidates per batch (pre-aggregated), one small groupby, global top-k
+    with (count desc, word asc) tie-break. Returns a Dataset of
+    (word, n) rows.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in batch.column(text_col).to_pylist():
+            words.extend((t or "").split(" "))
+        return pa.table(
+            {"word": pa.array(list(misra_gries(words, capacity)),
+                              type=pa.string())}
+        )
+
+    candidates = set()
+    for row in ds.map_batches(nominate, batch_format="pyarrow").take_all():
+        candidates.add(row["word"])
+    cand_ref = ray.put(candidates)
+
+    class CountCandidates:
+        def __init__(self, ref):
+            self.cands = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            local: dict = {}
+            cands = self.cands
+            for t in batch.column(text_col).to_pylist():
+                for w in (t or "").split(" "):
+                    if w in cands:
+                        local[w] = local.get(w, 0) + 1
+            return pa.table(
+                {
+                    "word": pa.array(list(local), type=pa.string()),
+                    "n": pa.array(list(local.values()), type=pa.int64()),
+                }
+            )
+
+    counted = (
+        ds.map_batches(CountCandidates, fn_constructor_kwargs={"ref": cand_ref},
+                       batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("word")
+        .aggregate(Sum("n"))
+        .rename_columns({"sum(n)": "n"})
+    )
+    return counted.sort(["n", "word"], descending=[True, False]).limit(k)
