@@ -102,3 +102,39 @@ def test_topk_ivf_contains_query_vector(ray_session):
         concurrency=1,
     ).take_all()
     assert out[0]["vec_id"] == 0
+
+
+def test_lsh_multiprobe_improves_recall(ray_session):
+    """Multi-probe must recover neighbors that single-probe misses, and its
+    result set must contain the single-probe result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.functions.similarity import topk_cosine, topk_cosine_lsh
+
+    rng_vecs = []
+    for i in range(400):
+        from webextract.corpus import mix
+
+        v = np.array([(mix(i, 40 + j) % 10_000) / 5_000.0 - 1.0
+                      for j in range(8)])
+        rng_vecs.append(v / np.linalg.norm(v))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in rng_vecs],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    q = rng_vecs[7]
+    exact = {r["vec_id"] for r in topk_cosine(ds, q, k=10).take_all()}
+    single = {r["vec_id"]
+              for r in topk_cosine_lsh(ds, q, k=10, n_planes=6,
+                                       nprobe=1).take_all()}
+    multi = {r["vec_id"]
+             for r in topk_cosine_lsh(ds, q, k=10, n_planes=6,
+                                      nprobe=4).take_all()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)

@@ -146,24 +146,31 @@ class LshBucketer:
 
 
 def topk_cosine_lsh(ds, query: np.ndarray, k: int = 10, *, dim: Optional[int] = None,
-                    n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding", round_to: int = 6,
-                    concurrency=(1, 4)):
-    """ANN: score only rows whose LSH bucket matches the query's bucket.
-
-    Approximate by construction (a true neighbor can land in another
-    bucket); the scale path when brute force over every row is too wide.
+                    n_planes: int = 8, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6, concurrency=(1, 4)):
+    """ANN: score only rows in the query's LSH bucket and its `nprobe - 1`
+    MULTI-PROBE neighbors — the buckets reached by flipping the hyperplane
+    bits with the smallest projection margins (the planes the query sits
+    closest to, where true neighbors most likely fall on the other side).
+    Single-probe (`nprobe=1`) has a recall cliff at bucket boundaries;
+    multi-probe recovers most of it for a bounded extra scan. Approximate
+    by construction either way.
     """
     q = np.asarray(query, dtype=np.float64)
     dim = dim or len(q)
     planes = _hyperplanes(dim, n_planes)
     qbucket = int(lsh_bucket_of(q.reshape(1, -1), planes)[0])
+    margins = np.abs(planes @ q)  # distance of q to each cutting plane
+    flips = np.argsort(margins)[: max(0, nprobe - 1)]
+    probe = [qbucket] + [qbucket ^ (1 << int(i)) for i in flips]
+    expr = f"bucket in [{', '.join(str(b) for b in sorted(set(probe)))}]"
     bucketed = ds.map_batches(
         LshBucketer,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
         batch_format="pyarrow",
         concurrency=concurrency,
-    ).filter(expr=f"bucket == {qbucket}")
+    ).filter(expr=expr)
     return topk_cosine(bucketed, q, k, id_col=id_col, vec_col=vec_col,
                        round_to=round_to, concurrency=concurrency)
 
@@ -225,7 +232,18 @@ def topk_cosine_ivf(ds, query: np.ndarray, k: int = 10, *, n_centroids: int = 16
     import ray
 
     q = np.asarray(query, dtype=np.float64)
-    head = ds.limit(sample_size).take_all()
+    # centroid training sample: stride WITHIN each block (every 7th row)
+    # before the bounded limit, so the sample spans ~7x more of the stream
+    # than a plain head take for the same cost; streaming still terminates
+    # early (no full scan just to train centroids). Residual block-order
+    # bias is the documented trade-off vs a full-pass random_sample.
+
+    def stride(batch: pa.Table) -> pa.Table:
+        return batch.take(pa.array(range(0, batch.num_rows, 7)))
+
+    head = ds.map_batches(stride, batch_format="pyarrow").limit(
+        sample_size
+    ).take_all()
     sample = np.asarray([r[vec_col] for r in head], dtype=np.float64)
     cent = kmeans_centroids(sample, min(n_centroids, len(sample)))
     cent_ref = ray.put(cent)
