@@ -35,6 +35,9 @@ def main(argv=None) -> int:
                         "host before extraction (skew defense; >0 enables)")
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--drop-score", type=float, default=0.5)
+    p.add_argument("--strategy", choices=("db", "pse", "east"), default="db",
+                   help="segmentation strategy (pluggable postprocess "
+                        "surface; pse/east force the staged pipeline)")
     p.add_argument("--keep-spans", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="after extraction, run the byte-identity pass "
@@ -72,6 +75,17 @@ def main(argv=None) -> int:
                     key_extract=r"https://([^/]+)/",
                     salt_buckets=args.salt_buckets,
                 )
+            if args.strategy != "db":
+                from webextract.pipelines.registry import build_pipeline
+
+                pool = conc or (1, 8)  # stateful stages need a pool size
+                return build_pipeline(ds, [
+                    {"op": "segment", "strategy": args.strategy,
+                     "batch_size": args.batch_size, "concurrency": pool},
+                    {"op": "extract", "drop_score": args.drop_score,
+                     "batch_size": args.batch_size, "concurrency": pool},
+                    {"op": "assemble", "keep_spans": args.keep_spans},
+                ])
             return extract_pages(
                 ds,
                 drop_score=args.drop_score,
