@@ -101,3 +101,40 @@ def test_columnar_to_blocks():
     assert b0[0]["text"] == "hello" and not b0[0]["ignore"]
     assert b0[1]["ignore"] is True
     assert t.column("blocks")[1].as_py()[0]["start"] == 0
+
+
+def test_load_spec_json(tmp_path, ray_session):
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.pipelines.registry import build_pipeline_from_file
+
+    spec = [{"op": "segment", "concurrency": 1}, {"op": "extract", "concurrency": 1},
+            {"op": "assemble"}, {"op": "filter", "expr": "status == 'ok'"}]
+    path = tmp_path / "pipe.json"
+    path.write_text(json.dumps(spec))
+    from webextract import corpus
+
+    rows = list(corpus.generate_pages(30))
+    ds = ray.data.from_arrow(pa.table({
+        "url": [r["url"] for r in rows],
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": [r["text"] for r in rows],
+    }))
+    out = build_pipeline_from_file(ds, str(path)).to_pandas()
+    assert (out.text == out.gold_text).all()
+
+
+def test_load_spec_unknown_op_fails_fast(tmp_path):
+    import json
+
+    import pytest
+
+    from webextract.pipelines.registry import load_spec
+
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps([{"op": "not_an_op"}]))
+    with pytest.raises(KeyError, match="not_an_op"):
+        load_spec(str(path))

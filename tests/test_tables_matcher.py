@@ -108,3 +108,30 @@ class TestMatcher:
     def test_empty_sides(self):
         assert match_cells([], [[0, 0, 1, 1]]) == [-1]
         assert match_cells(self.CELLS, []) == []
+
+
+class TestReadingOrderComparator:
+    def test_same_line_tolerance_orders_by_x(self):
+        from webextract.functions.matcher import sort_boxes_reading_order
+
+        # slightly staggered y's (within tol) on one line; second line below
+        boxes = [[50, 12, 90, 22], [0, 10, 40, 20], [0, 40, 40, 50],
+                 [50, 42, 90, 52]]
+        assert sort_boxes_reading_order(boxes, y_tol=10) == [1, 0, 2, 3]
+
+    def test_outside_tolerance_is_top_to_bottom(self):
+        from webextract.functions.matcher import sort_boxes_reading_order
+
+        boxes = [[50, 30, 90, 40], [0, 0, 40, 10]]
+        assert sort_boxes_reading_order(boxes, y_tol=10) == [1, 0]
+
+    def test_deterministic_ties(self):
+        from webextract.functions.matcher import sort_boxes_reading_order
+
+        boxes = [[0, 0, 10, 10], [0, 0, 10, 10]]
+        assert sort_boxes_reading_order(boxes) == [0, 1]
+
+    def test_empty(self):
+        from webextract.functions.matcher import sort_boxes_reading_order
+
+        assert sort_boxes_reading_order([]) == []

@@ -95,6 +95,44 @@ def assemble_cell_texts(n_cells: int, assign: Sequence[int],
     return [" ".join(b) for b in buf]
 
 
+def sort_boxes_reading_order(boxes: Sequence[Sequence[float]],
+                             y_tol: float = 10.0) -> List[int]:
+    """Reading-order permutation of 2-D boxes: the `sort_words_by_poly`
+    tolerance comparator (`tools/infer/text/utils/utils.py:201-226`) made
+    total and deterministic.
+
+    The reference sorts by top-y, then walks the sorted list swapping
+    neighbors whose y's differ by less than a tolerance but whose x order
+    is reversed — same-LINE boxes order left-to-right even when their y's
+    differ slightly. That pairwise pass is order-sensitive; here the same
+    semantics run as explicit line grouping: boxes sort by (y, x, index),
+    then a box joins the current line while its y is within `y_tol` of the
+    line's FIRST box (the reference's comparison anchor), and each line
+    sorts left-to-right. Ties break on the input index (stable).
+
+    Returns the index permutation (apply to texts/boxes alike).
+    """
+    rects = _as_rects(boxes)
+    n = len(rects)
+    if n == 0:
+        return []
+    order = sorted(range(n), key=lambda i: (rects[i][1], rects[i][0], i))
+    lines: List[List[int]] = []
+    line_y = None
+    for i in order:
+        y = rects[i][1]
+        if line_y is None or y - line_y >= y_tol:
+            lines.append([i])
+            line_y = y
+        else:
+            lines[-1].append(i)
+    out: List[int] = []
+    for line in lines:
+        line.sort(key=lambda i: (rects[i][0], rects[i][1], i))
+        out.extend(line)
+    return out
+
+
 def match_cells_batch(batch: pa.Table, *, cell_col: str = "cell_boxes",
                       text_box_col: str = "text_boxes",
                       text_col: str = "texts") -> pa.Table:

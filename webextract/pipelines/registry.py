@@ -363,3 +363,39 @@ def _op_length_bucket(ds, *, col: str = "html", batch_size: int = 256):
 
     return ds.map_batches(bucket, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def load_spec(path: str) -> List[Dict[str, Any]]:
+    """Load a pipeline spec from a JSON (or, when available, YAML) file —
+    the reference's config-driven chain surface
+    (`configs/det/dbnet/db_r50_icdar15.yaml:66-120` transform lists)
+    WITHOUT eval-by-name: unknown op names raise at build time, not run
+    time. The file holds exactly the list `build_pipeline` accepts:
+
+        [{"op": "segment", "strategy": "db"},
+         {"op": "extract", "drop_score": 0.5},
+         {"op": "assemble"}]
+    """
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        spec = json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml  # optional — not guaranteed in every container
+        except ImportError as e:  # pragma: no cover
+            raise ValueError(
+                f"{path} is not JSON and PyYAML is unavailable"
+            ) from e
+        spec = yaml.safe_load(text)
+    if not isinstance(spec, list):
+        raise ValueError(f"pipeline spec must be a LIST of op dicts: {path}")
+    for step in spec:
+        get_op(step["op"])  # fail fast on unknown names
+    return spec
+
+
+def build_pipeline_from_file(ds, path: str):
+    return build_pipeline(ds, load_spec(path))
