@@ -469,6 +469,36 @@ WHERE ix::DOUBLE / (ca.n + cb.n - ix) >= 0.8
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS: exact-verified near-dup pairs -> connected
+    components by distributed min-label propagation (functions/graph.py);
+    component id = min doc_id reachable. The step that turns pair mining
+    into keep-one-per-cluster dedup."""
+    from webextract.functions.graph import connected_components
+
+    pairs = q_neardup_pairs_exact(sf_dir)
+    return connected_components(pairs).rename_columns({"node": "doc_id"})
+
+
+_SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+FROM reach GROUP BY src
+"""
+)
+
+
 def q_rolling_fingerprint(sf_dir: str):
     """Winnowing-style doc fingerprint: min rolling-window hash per doc."""
     from webextract.functions.textstats import rolling_hashes
@@ -1205,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
         "neardup_pairs_exact": q_neardup_pairs_exact,
+        "dedup_clusters": q_dedup_clusters,
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         "pricing_summary": q_pricing_summary,
@@ -1305,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type, date_trunc('hour', ts)"
         ),
         "neardup_pairs_exact": _SQL_NEARDUP_EXACT,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "chunk_documents": _SQL_CHUNKS,
         "sessionize": _SQL_SESSIONS,
         "entity_spans": _SQL_ENTITY_SPANS,

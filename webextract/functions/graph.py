@@ -1,0 +1,76 @@
+"""Distributed connected components over a near-dup pair table.
+
+The step AFTER near-duplicate pair mining: pairs (id_a, id_b) form a graph
+whose connected components are the duplicate CLUSTERS — keep one document
+per component, drop the rest. (The reference's closest analog is the
+repeated-box reduction in its table matcher, `matcher.py:288-296`; at crawl
+scale this is the dedup clustering every LLM-corpus pipeline runs.)
+
+Algorithm: iterative min-label propagation (the dataset-parallel stand-in
+for union-find):
+
+1. every node starts labeled with itself;
+2. each round, every node takes the MIN of its own label and its
+   neighbors' labels (one hash-join of labels onto bidirectional edges +
+   one `groupby(node).min()`);
+3. stop when a round changes nothing (checked with a tiny join) — at most
+   O(graph diameter) rounds. Near-dup graphs are unions of small cliques,
+   so 2-3 rounds in practice.
+
+Each round shuffles only (node, label) pairs — never document payloads.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def connected_components(edges, *, a_col: str = "id_a", b_col: str = "id_b",
+                         max_iters: int = 25):
+    """edges Dataset -> (node, component) Dataset; component = min node id
+    reachable. Nodes are every id appearing in any edge."""
+    from ray.data.aggregate import Min
+
+    from webextract.functions.joins import hash_join
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).cast(pa.int64()).combine_chunks()
+        b = batch.column(b_col).cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
+            }
+        )
+
+    ebidir = edges.map_batches(bidir, batch_format="pyarrow")
+    # labels: node -> current component label, seeded with the node itself
+    labels = (
+        ebidir.groupby("node").min("node")
+        .rename_columns({"min(node)": "label"})
+    )
+    # (groupby("node").min("node") is just "distinct node, label=node" —
+    # one shuffle builds the node set)
+
+    labels = labels.materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        # neighbor messages: peer's label delivered to node
+        peer_labels = labels.rename_columns({"node": "peer", "label": "plabel"})
+        msgs = hash_join(ebidir, peer_labels, on="peer").select_columns(
+            ["node", "plabel"]
+        ).rename_columns({"plabel": "label"})
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .rename_columns({"min(label)": "label"})
+        ).materialize()
+        # convergence: labels only ever DECREASE, so the label sum is a
+        # strictly-monotone progress measure — an unchanged sum means a
+        # fixpoint (no per-node join needed to detect it)
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"label": "component"})
