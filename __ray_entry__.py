@@ -365,6 +365,65 @@ def q_dedup_events(sf_dir: str):
     )
 
 
+def q_dedup_docs_rows(sf_dir: str):
+    """Keep-first dedup returning the FULL surviving row (not just the key):
+    per-content-hash groups keep the min-doc_id row via map_groups — the
+    shape a prep pipeline actually wants (drop duplicates, keep payloads)."""
+    from webextract.functions.textstats import fingerprint_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+    def first_row(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(idx[:1])
+
+    out = ds.groupby("fp").map_groups(first_row, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text", "lang"])
+
+
+_SQL_DEDUP_ROWS = """
+SELECT doc_id, text, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode canonicalization prep op: NFC normalize + lowercase +
+    whitespace collapse — the text-side RecResizeNormForInfer analog
+    (canonicalize-before-emit), SQL-mirrored via nfc_normalize/lower/
+    regexp_replace."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"\s+")
+
+    def norm(b: pa.Table) -> pa.Table:
+        out = [
+            ws.sub(" ", unicodedata.normalize("NFC", (t or "")).lower()).strip()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "norm_text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+_SQL_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text
+FROM documents
+"""
+
+
 def q_minhash_signatures(sf_dir: str):
     from webextract.functions.dedup import MinHasher
 
@@ -1236,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs": q_neardup_pairs,
         "neardup_pairs_exact": q_neardup_pairs_exact,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_docs_rows": q_dedup_docs_rows,
+        "normalize_text": q_normalize_text,
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         "pricing_summary": q_pricing_summary,
@@ -1337,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neardup_pairs_exact": _SQL_NEARDUP_EXACT,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "dedup_docs_rows": _SQL_DEDUP_ROWS,
+        "normalize_text": _SQL_NORMALIZE,
         "chunk_documents": _SQL_CHUNKS,
         "sessionize": _SQL_SESSIONS,
         "entity_spans": _SQL_ENTITY_SPANS,
