@@ -122,3 +122,28 @@ def test_wave_mode_matches_serial(in_dir, tmp_path):
     stats2 = run_resumable(in_dir, out_wave, _pipeline, wave_size=4)
     assert stats2["processed"] == 1 and stats2["skipped"] == 3
     assert read_manifest(out_wave)[1]["content_hash"] == ms[1]["content_hash"]
+
+
+def test_resume_detects_shifted_shard_ids(in_dir, tmp_path):
+    """A NEW input file that sorts before existing shards shifts every
+    positional shard id; resume must recompute shifted shards instead of
+    silently skipping the wrong ones (manifest entries are only honored
+    when their input_file matches)."""
+    import shutil
+
+    work_in = str(tmp_path / "in_shift")
+    shutil.copytree(in_dir, work_in)
+    out = str(tmp_path / "out_shift")
+    run_resumable(work_in, out, _pipeline)
+    assert len(read_manifest(out)) == 4
+
+    # new shard whose name sorts FIRST
+    corpus.write_corpus(str(tmp_path / "extra"), 30, rows_per_file=30)
+    shutil.copy(
+        os.path.join(str(tmp_path / "extra"), "pages-00000.parquet"),
+        os.path.join(work_in, "aaa-new.parquet"),
+    )
+    stats = run_resumable(work_in, out, _pipeline)
+    # ids shifted for everything: all 5 shards recomputed (0 wrongly skipped)
+    assert stats["processed"] == 5
+    assert stats["rows"] == 150

@@ -156,9 +156,16 @@ def run_resumable(
     last_stats = ""
     pending = []
     for shard_id, path in enumerate(shards):
-        if shard_id in done:
+        rec = done.get(shard_id)
+        # a manifest entry only counts if it refers to the SAME input file:
+        # a new shard file that sorts earlier shifts every positional id,
+        # and silently skipping the wrong shard would corrupt the output
+        # (resume must be safe under input-dir appends)
+        if rec is not None and os.path.basename(
+            rec.get("input_file", "")
+        ) == os.path.basename(path):
             skipped += 1
-            total_rows += done[shard_id]["row_count"]
+            total_rows += rec["row_count"]
         else:
             pending.append((shard_id, path))
 
