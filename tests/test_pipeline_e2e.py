@@ -112,3 +112,25 @@ def test_encoding_fallback_latin1(ray_session):
     assert loose.status[0] == "ok"
     assert loose.text[0] == "café crème"
     assert loose.encoding[0] == "latin-1"
+
+
+def test_source_fused_path_matches_standard(ray_session, tmp_path):
+    """read_extract_pages (html never enters the object store) must produce
+    exactly the rows of the standard read -> extract path."""
+    from webextract import corpus
+    from webextract.pipelines.extract_pipeline import (
+        extract_pages,
+        read_extract_pages,
+    )
+    from webextract.sources.pages import read_pages
+
+    d = str(tmp_path / "src_fused")
+    corpus.write_corpus(d, 300, rows_per_file=100)
+    std = extract_pages(read_pages(d), concurrency=None, batch_size=128)
+    fused = read_extract_pages(d, batch_size=128,
+                               columns=("url", "warc_ts", "html", "text", "lang"))
+    a = std.to_pandas().sort_values("url").reset_index(drop=True)
+    b = fused.to_pandas().sort_values("url").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for col in ("url", "text", "status", "n_blocks", "doctype"):
+        assert list(a[col]) == list(b[col]), col
