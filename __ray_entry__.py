@@ -464,23 +464,41 @@ def q_neardup_pairs_exact(sf_dir: str):
     from webextract.functions.dedup import jaccard, neardup_pairs
     from webextract.functions.joins import hash_join
 
+    # Join keys are renamed ONCE on the parquet side (id_a/id_b) — never a
+    # swap-style rename chain on the lazy join output: Ray 2.49's metadata
+    # schema propagation mis-composes chained renames that reintroduce a
+    # removed name (the round-2 driver crash). Schemas are passed
+    # explicitly so no hash_join partially executes its input subgraph
+    # just to discover columns.
     cand = neardup_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, bands=16
     ).drop_columns(["est_jaccard"])
     texts_a = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"text": "text_a"}
+        {"doc_id": "id_a", "text": "text_a"}
     )
     texts_b = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"text": "text_b"}
+        {"doc_id": "id_b", "text": "text_b"}
     )
-    j1 = hash_join(
-        cand.rename_columns({"id_a": "doc_id"}), texts_a, on="doc_id"
-    ).rename_columns({"doc_id": "id_a"})
-    j2 = hash_join(
-        j1.rename_columns({"id_b": "doc_id"}), texts_b, on="doc_id"
-    ).rename_columns({"doc_id": "id_b"})
+    s_cand = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    j1 = hash_join(cand, texts_a, on="id_a",
+                   left_schema=s_cand, right_schema=s_ta)
+    s_j1 = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", pa.string())]
+    )
+    j2 = hash_join(j1, texts_b, on="id_b",
+                   left_schema=s_j1, right_schema=s_tb)
 
     def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
         ids_a = b.column("id_a").to_pylist()
         ids_b = b.column("id_b").to_pylist()
         ja = [

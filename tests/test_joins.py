@@ -59,3 +59,54 @@ def test_semi_and_anti_join(ray_session):
     assert anti == [(1, 10), (3, 30)]
     # duplicate right keys never multiply left rows (existence, not product)
     assert len(semi) == 2
+
+
+def test_hash_join_explicit_schemas(ray_session):
+    """Explicit left/right schemas bypass Dataset.schema() inference —
+    the round-2 driver crash: Ray 2.49 metadata schema propagation
+    mis-composes chained renames (doc_id->id_a then id_b->doc_id), so the
+    pad UDF was built for a column that did not exist at runtime."""
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "lv": ["a", "b"]}))
+    right = ray.data.from_arrow(pa.table({"k": [2, 3], "rv": [20, 30]}))
+    out = hash_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).take_all()
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == [(2, "b", 20)]
+
+
+def test_hash_join_explicit_schema_casts_drift(ray_session):
+    # declared string vs actual large_string converges via the pad cast
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "lv": pa.array(["a", "b"], type=pa.large_string())})
+    )
+    right = ray.data.from_arrow(pa.table({"k": [1], "rv": [5]}))
+    out = hash_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    ).take_all()
+    assert [(r["k"], r["lv"], r["rv"]) for r in out] == [(1, "a", 5)]
+
+
+def test_hash_join_empty_side(ray_session):
+    # zero-row (and post-filter schema-degraded) inputs produce a typed
+    # empty result, not a crash — the flaky-empty-block hardening
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2], "lv": ["a", "b"]})
+    ).filter(lambda r: False)
+    right = ray.data.from_arrow(pa.table({"k": [1], "rv": [5]}))
+    out = hash_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+    )
+    assert out.count() == 0
+    semi = hash_join(
+        right, left, on="k", how="semi",
+        left_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("lv", pa.string())]),
+    )
+    assert semi.count() == 0

@@ -34,6 +34,13 @@ def connected_components(edges, *, a_col: str = "id_a", b_col: str = "id_b",
     from webextract.functions.joins import hash_join
 
     def bidir(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "peer": pa.array([], type=pa.int64()),
+                }
+            )
         a = batch.column(a_col).cast(pa.int64()).combine_chunks()
         b = batch.column(b_col).cast(pa.int64()).combine_chunks()
         return pa.table(
@@ -43,11 +50,25 @@ def connected_components(edges, *, a_col: str = "id_a", b_col: str = "id_b",
             }
         )
 
-    ebidir = edges.map_batches(bidir, batch_format="pyarrow")
+    # Materialize the (small) edge list once: every propagation round joins
+    # against it, and without this the whole upstream pair-mining subgraph
+    # (LSH + exact verify at crawl scale) would re-execute per round.
+    ebidir = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    # Bound the shuffle width. The upstream pair miner leaves hundreds of
+    # near-empty blocks; left alone, each round's union+groupby MULTIPLIES
+    # block count (192 -> 576 -> 1344 measured at 50 edges) and per-block
+    # overhead dwarfs the work. Size partitions to the edge count and
+    # re-bound labels every round so round cost stays O(nparts).
+    n_edges = ebidir.count()
+    nparts = max(1, min(512, n_edges // 500_000 + 1))
+    ebidir = ebidir.repartition(nparts).materialize()
+    _S_EBIDIR = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
+    _S_PLABELS = pa.schema([("peer", pa.int64()), ("plabel", pa.int64())])
     # labels: node -> current component label, seeded with the node itself
     labels = (
         ebidir.groupby("node").min("node")
         .rename_columns({"min(node)": "label"})
+        .repartition(nparts)
     )
     # (groupby("node").min("node") is just "distinct node, label=node" —
     # one shuffle builds the node set)
@@ -57,14 +78,18 @@ def connected_components(edges, *, a_col: str = "id_a", b_col: str = "id_b",
     for _ in range(max_iters):
         # neighbor messages: peer's label delivered to node
         peer_labels = labels.rename_columns({"node": "peer", "label": "plabel"})
-        msgs = hash_join(ebidir, peer_labels, on="peer").select_columns(
-            ["node", "plabel"]
-        ).rename_columns({"plabel": "label"})
+        msgs = hash_join(
+            ebidir, peer_labels, on="peer",
+            left_schema=_S_EBIDIR, right_schema=_S_PLABELS,
+        ).select_columns(["node", "plabel"]).rename_columns(
+            {"plabel": "label"}
+        )
         labels = (
             msgs.union(labels)
             .groupby("node")
             .aggregate(Min("label"))
             .rename_columns({"min(label)": "label"})
+            .repartition(nparts)
         ).materialize()
         # convergence: labels only ever DECREASE, so the label sum is a
         # strictly-monotone progress measure — an unchanged sum means a

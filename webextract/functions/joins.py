@@ -66,7 +66,9 @@ def broadcast_join(ds, small_table: pa.Table, *, key: str,
 
 
 def hash_join(left, right, *, on: str, max_group: int = 100_000,
-              how: str = "inner"):
+              how: str = "inner",
+              left_schema: Optional[pa.Schema] = None,
+              right_schema: Optional[pa.Schema] = None):
     """Big-big join on `on`: one hash shuffle, per-key combine.
 
     `how`:
@@ -87,13 +89,26 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     row blowup is a data/modeling problem the caller must see. Mitigations:
     pre-aggregate one side, broadcast_join if one side is small, or salt
     the hot key upstream (`salted_repartition`) and join on (key, salt).
+
+    ``left_schema`` / ``right_schema``: pass the side's pyarrow schema when
+    it is statically known. Without it, ``Dataset.schema()`` is called,
+    which (a) partially EXECUTES a lazy shuffle subgraph just to learn its
+    columns, and (b) under Ray 2.49's metadata-only schema propagation can
+    return a WRONG schema for chained ``rename_columns`` where a later
+    rename reintroduces a name an earlier one removed (the round-2 driver
+    crash: the pad UDF padded for a column that no longer existed at
+    runtime). Explicit schemas sidestep both. The pad step casts each
+    column to the declared type, so a declared/actual dtype drift (e.g.
+    string vs large_string) converges instead of breaking the union.
     """
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown join how={how!r}")
     if how in ("semi", "anti"):
         right = right.select_columns([on])
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+        if right_schema is not None:
+            right_schema = pa.schema([right_schema.field(on)])
+    lschema = left_schema or left.schema().base_schema
+    rschema = right_schema or right.schema().base_schema
     lcols = lschema.names
     rcols = rschema.names
     overlap = (set(lcols) & set(rcols)) - {on}
@@ -107,19 +122,28 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     for c in rcols:
         types[c] = rschema.field(c).type
 
+    union_names = [on] + payload_l + payload_r + ["_src"]
+    union_types = [types[c] for c in [on] + payload_l + payload_r] + [pa.int8()]
+
     def pad(side_cols, src):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            arrays, names = [batch.column(on)], [on]
+            if n == 0:
+                # Zero-row (possibly schema-LESS) blocks flow out of
+                # groupby/union subgraphs under Ray 2.x; emit the typed
+                # empty so no ".": empty-schema RefBundle propagates.
+                return pa.Table.from_arrays(
+                    [pa.nulls(0, type=t) for t in union_types],
+                    names=union_names,
+                )
+            arrays = [batch.column(on).cast(types[on])]
             for c in payload_l + payload_r:
                 arrays.append(
-                    batch.column(c) if c in side_cols
+                    batch.column(c).cast(types[c]) if c in side_cols
                     else pa.nulls(n, type=types[c])
                 )
-                names.append(c)
             arrays.append(pa.array([src] * n, type=pa.int8()))
-            names.append("_src")
-            return pa.Table.from_arrays(arrays, names=names)
+            return pa.Table.from_arrays(arrays, names=union_names)
 
         return fn
 
@@ -127,7 +151,15 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     rpad = right.map_batches(pad(payload_r, 1), batch_format="pyarrow")
     unioned = lpad.union(rpad)
 
+    out_l_names = [on] + payload_l
+
     def join_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            names = out_l_names if how in ("semi", "anti") else \
+                [on] + payload_l + payload_r
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=types[c]) for c in names], names=names
+            )
         src = group.column("_src").to_pylist()
         li = [i for i, s in enumerate(src) if s == 0]
         ri = [i for i, s in enumerate(src) if s == 1]
