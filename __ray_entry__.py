@@ -366,20 +366,30 @@ def q_dedup_events(sf_dir: str):
 
 
 def q_dedup_docs_rows(sf_dir: str):
-    """Keep-first dedup returning the FULL surviving row (not just the key):
-    per-content-hash groups keep the min-doc_id row via map_groups — the
-    shape a prep pipeline actually wants (drop duplicates, keep payloads)."""
+    """Keep-first dedup returning the FULL surviving row (not just the key)
+    — the shape a prep pipeline actually wants.
+
+    Scale shape (round-3 rewrite): the keyed DECISION is a keys-only
+    shuffle (groupby(fp).min(doc_id) over projected (fp, doc_id)); the
+    surviving full rows are then retrieved with `winner_filter` — a
+    partition-aligned map-side semi filter — so the text payload is read
+    once and NEVER crosses an all-to-all (the old version shuffled
+    (doc_id, text, lang) through groupby(fp).map_groups)."""
+    import tempfile
+
+    from webextract.functions.dedup import exact_dedup, winner_filter
     from webextract.functions.textstats import fingerprint_batch
 
-    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
+    keys = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["fp", "doc_id"])
     )
-
-    def first_row(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-        return g.take(idx[:1])
-
-    out = ds.groupby("fp").map_groups(first_row, batch_format="pyarrow")
+    winners = exact_dedup(keys, "fp", "doc_id").select_columns(["doc_id"])
+    out = winner_filter(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), winners, "doc_id",
+        tmp_dir=tempfile.mkdtemp(prefix="winner_filter_"),
+    )
     return out.select_columns(["doc_id", "text", "lang"])
 
 

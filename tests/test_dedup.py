@@ -75,3 +75,48 @@ def test_minhasher_batch_udf():
     out = MinHasher()(batch)
     assert out.column("minhash")[0].as_py() == minhash_signature(TEXT_A).tolist()
     assert len(out.column("band_key")[0].as_py()) == 8
+
+
+def test_winner_filter_payloads_never_shuffled(tmp_path):
+    from webextract.functions.dedup import winner_filter
+
+    # ids spread across many range buckets (bucket_width=8 -> 13 buckets)
+    ids = list(range(0, 100))
+    payload = [f"payload-{i}" for i in ids]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": payload})
+    ).repartition(5)
+    winners = ray.data.from_arrow(
+        pa.table({"doc_id": [i for i in ids if i % 3 == 0]})
+    )
+    out = winner_filter(ds, winners, "doc_id",
+                        tmp_dir=str(tmp_path / "wf"), bucket_width=8,
+                        concurrency=1).take_all()
+    got = sorted((r["doc_id"], r["text"]) for r in out)
+    assert got == [(i, f"payload-{i}") for i in ids if i % 3 == 0]
+
+
+def test_winner_filter_keep_first_end_to_end(tmp_path):
+    from webextract.functions.dedup import exact_dedup, winner_filter
+
+    # planted dups: 10<->11 and 12<->13 share text; keep-first = min doc_id
+    texts = {10: "aa", 11: "aa", 12: "bb", 13: "bb", 14: "cc"}
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    keys = ds.map_batches(
+        lambda b: pa.table(
+            {"fp": [t for t in b.column("text").to_pylist()],
+             "doc_id": b.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    winners = exact_dedup(keys, "fp", "doc_id").select_columns(["doc_id"])
+    # the winners side carries ONLY the key column — the payload dataset is
+    # filtered map-side (never enters a groupby/union shuffle)
+    assert winners.schema().names == ["doc_id"]
+    out = winner_filter(ds, winners, "doc_id",
+                        tmp_dir=str(tmp_path / "wf"), concurrency=1).take_all()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [
+        (10, "aa"), (12, "bb"), (14, "cc")
+    ]

@@ -210,6 +210,111 @@ def exact_dedup(ds, key_col: str, order_col: str):
     return out.rename_columns({f"min({order_col})": order_col})
 
 
+def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
+                  bucket_width: int = 1 << 16, concurrency=None):
+    """Semi-filter `ds` to rows whose `key_col` is in `winners` WITHOUT the
+    payload columns ever crossing a shuffle.
+
+    The scale problem this solves: keep-first dedup needs (a) a keyed
+    decision (one keys-only groupby) and (b) retrieval of the surviving
+    FULL rows. A hash/semi join for (b) would push the payload side through
+    an all-to-all — at crawl scale that is a payload-sized shuffle for a
+    boolean decision. Instead:
+
+    1. `winners` (keys only — caller guarantees no payload columns) is
+       RANGE-bucketed by ``key // bucket_width`` and spilled to one small
+       parquet side file per bucket (the only shuffle, keys-only);
+    2. `ds` is filtered map-side: each task inspects its batch's key range,
+       loads just the overlapping bucket files (cached per actor/process),
+       and keeps rows via a vectorized membership test.
+
+    Partitioning assumption (documented per SURVEY §4): keys are roughly
+    monotone within input partitions (true for sequential ids over
+    partitioned files), so each task touches O(1) buckets and total side
+    traffic ~ one pass over the winner ids. `tmp_dir` must be visible to
+    all workers (shared scratch — same contract as lineage/output dirs).
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    ktype = pa.int64()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=ktype),
+                             "_bucket": pa.array([], type=ktype)})
+        k = b.column(key_col).cast(ktype)
+        return pa.Table.from_arrays(
+            [k, pc.divide(k.combine_chunks(), bucket_width)],
+            names=[key_col, "_bucket"],
+        )
+
+    def dump(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=ktype),
+                             "n": pa.array([], type=ktype)})
+        bid = g.column("_bucket")[0].as_py()
+        pq.write_table(g.select([key_col]),
+                       os.path.join(tmp_dir, f"bucket_{bid}.parquet"))
+        return pa.table({"bucket": pa.array([bid], type=ktype),
+                         "n": pa.array([g.num_rows], type=ktype)})
+
+    # Barrier: the side files must exist before the filter stage reads them.
+    manifest = (
+        winners.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dump, batch_format="pyarrow")
+        .materialize()
+    )
+    have = set(r["bucket"] for r in manifest.take_all())
+
+    class SemiFilter:
+        """Stateful filter: bucket id -> winner-id array, loaded lazily and
+        cached for the actor/process lifetime."""
+
+        def __init__(self, tmp_dir: str, key_col: str, bucket_width: int,
+                     have: frozenset):
+            self.tmp_dir = tmp_dir
+            self.key_col = key_col
+            self.bucket_width = bucket_width
+            self.have = have
+            self.cache: dict = {}
+
+        def _ids(self, bid: int) -> np.ndarray:
+            arr = self.cache.get(bid)
+            if arr is None:
+                if bid in self.have:
+                    t = pq.read_table(
+                        os.path.join(self.tmp_dir, f"bucket_{bid}.parquet"))
+                    arr = np.asarray(t.column(0).combine_chunks())
+                else:
+                    arr = np.empty(0, dtype=np.int64)
+                self.cache[bid] = arr
+            return arr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keys = np.asarray(batch.column(self.key_col).cast(ktype)
+                              .combine_chunks())
+            allowed = [self._ids(int(b))
+                       for b in np.unique(keys // self.bucket_width)]
+            mask = np.isin(keys, np.concatenate(allowed))
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(
+        SemiFilter,
+        fn_constructor_kwargs={"tmp_dir": tmp_dir, "key_col": key_col,
+                               "bucket_width": bucket_width,
+                               "have": frozenset(have)},
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
 def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 64, bands: int = 8, k: int = 3,
                   threshold: float = 0.7, concurrency=(1, 4),
