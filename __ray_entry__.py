@@ -250,8 +250,8 @@ WITH q AS (
     length(text)::DOUBLE AS n,
     length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE AS alpha_cnt,
     length(regexp_replace(text, '[\p{L}\p{N}\s\x{0b}]', '', 'g'))::DOUBLE AS punct_cnt,
-    string_split(lower(text), ' ') AS words,
-    (length(text) - length(replace(text, ' ', '')))::DOUBLE AS n_spaces
+    list_filter(regexp_split_to_array(lower(text), '[\s\x{0b}]+'),
+                w -> w <> '') AS words
   FROM documents
 ),
 r AS (
@@ -264,7 +264,8 @@ r AS (
          'with','on','at','by','it','this','that'], w)))::DOUBLE / len(words)
       ELSE 0.0 END AS stopword_ratio,
     CASE WHEN len(words) > 0 AND n > 0
-      THEN (n - n_spaces) / len(words) ELSE 0.0 END AS mwl,
+      THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
+           / len(words) ELSE 0.0 END AS mwl,
     n
   FROM q
 )
@@ -280,7 +281,9 @@ FROM r
 _SQL_LANG_ID = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_distinct(string_split(lower(text), ' ')) AS ws
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[\s\x{0b}]+'),
+           w -> w <> '')) AS ws
   FROM documents
 ),
 v AS (

@@ -88,3 +88,21 @@ def test_block_segmenter_strategy_plugin(ray_session):
     pse = BlockSegmenter(strategy="pse")(batch)
     assert len(db.column("spans")[0].as_py()) == 2  # link farm dropped
     assert len(pse.column("spans")[0].as_py()) == 1  # one grown region
+
+
+def test_scan_candidates_nested_unclosed_blocks():
+    """ADVICE round-2: closing an ancestor must finalize unclosed
+    descendant blocks (mirror of segment._scan_blocks), not blind-pop one."""
+    from webextract.stages.segment import SegmentConfig
+    from webextract.stages.segment_pse import _scan_candidates
+
+    html = (b"<html><body><li>item one <p>alpha beta gamma"
+            b"<p>delta epsilon zeta</li><p>closing paragraph text</p>"
+            b"</body></html>")
+    cands = _scan_candidates(html, SegmentConfig())
+    texts = {html[c.start:c.end] for c in cands}
+    # both nested unclosed <p> blocks AND the <li> survive, plus the sibling
+    assert b"delta epsilon zeta" in texts
+    assert any(t.startswith(b"alpha beta gamma") for t in texts)
+    assert any(t.startswith(b"item one") for t in texts)
+    assert b"closing paragraph text" in texts

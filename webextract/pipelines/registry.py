@@ -149,19 +149,35 @@ def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
     Everything is a pure function of row content — byte-identical partition
     assignment across runs (the resume-determinism contract, SURVEY.md §7.4).
     """
+    import re
     import zlib
 
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     subkey_col = subkey or key
+    if key_extract is not None:
+        pat = re.compile(key_extract)
+        if "k" not in pat.groupindex and pat.groups != 1:
+            # Naive '(' -> '(?P<k>' rewriting corrupted escaped parens and
+            # non-capture groups (round-2 ADVICE); demand an unambiguous
+            # pattern instead.
+            raise ValueError(
+                "salted_repartition: key_extract must contain exactly one "
+                "capture group or a named group (?P<k>...)"
+            )
+        grp = "k" if "k" in pat.groupindex else 1
+    else:
+        pat = grp = None
 
     def add_salt(batch: pa.Table) -> pa.Table:
         keys = batch.column(key)
-        if key_extract is not None:
-            ext = pc.extract_regex(keys, key_extract.replace("(", "(?P<k>", 1))
-            ext = ext.combine_chunks() if isinstance(ext, pa.ChunkedArray) else ext
-            pkeys = ext.field("k").to_pylist()
+        if pat is not None:
+            pkeys = []
+            for v in keys.to_pylist():
+                m = pat.search(str(v))
+                # non-matching rows keep the RAW key (previously they all
+                # collapsed into the single partition key 'None')
+                pkeys.append(m.group(grp) if m else v)
         else:
             pkeys = keys.to_pylist()
         subs = batch.column(subkey_col).to_pylist()

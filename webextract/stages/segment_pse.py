@@ -103,11 +103,18 @@ def _scan_candidates(html: bytes, cfg: SegmentConfig) -> List[_Cand]:
                             boiler_depth -= 1
                     del elem_stack[i:]
                     break
-            if open_blocks and tag in block_tags:
-                blk = open_blocks.pop()
-                blk.end = ev[2]
-                if not blk.boiler and blk.text_len > 0:
-                    cands.append(blk)
+            if tag in block_tags and any(b.tag == tag for b in open_blocks):
+                # close the innermost MATCHING block, finalizing unclosed
+                # descendants at the close position too (mirrors
+                # segment._scan_blocks — popping blindly dropped nested
+                # unclosed blocks' text, e.g. <div><p>a<p>b</div>)
+                while open_blocks:
+                    blk = open_blocks.pop()
+                    blk.end = ev[2]
+                    if not blk.boiler and blk.text_len > 0:
+                        cands.append(blk)
+                    if blk.tag == tag:
+                        break
     cands.sort(key=lambda c: c.start)
     return cands
 

@@ -120,6 +120,18 @@ def decode_table(html: bytes) -> List[dict]:
             if cur is not None:
                 if tag == "table" and nested > 0:
                     nested -= 1
+                elif tag == "table":
+                    # </table> with the last cell still open: close the
+                    # cell at the close-tag position AND end the table —
+                    # otherwise the cell silently absorbs all trailing
+                    # document content (common in crawl HTML)
+                    cur["text"] = decode_fragment(
+                        html[cell_start : ev[2]].decode("utf-8", "replace"),
+                        "td",
+                    )
+                    cells.append(cur)
+                    cur = None
+                    break
                 elif tag in _CELL_TAGS and nested == 0:
                     cur["text"] = decode_fragment(
                         html[cell_start : ev[2]].decode("utf-8", "replace"),
