@@ -35,6 +35,30 @@ Implemented converters:
 * :func:`pubtab_to_cells` — PubTabNet-style JSONL structure-token records
   (`mindocr/data/table_pubtab_dataset.py:15` + the structure-token walk of
   `table_postprocess.py:166-432`) -> explicit (row, col, text) cell rows.
+
+Round-3 additions (9 more of `tools/dataset_converters/*`):
+
+* :func:`ctw1500_to_quads` / :func:`ctw1500_xml_to_quads` — CTW-1500 txt
+  (`x1,..,yN,####text`) and test-XML (`<box><label>/<segs>` 14-pt) formats,
+  clockwise-normalized (`ctw1500.py`).
+* :func:`svt_to_quads` — SVT XML tagged rectangles with the reference's
+  y-clip crop geometry (`svt.py`).
+* :func:`cocotext_to_quads` — COCO-Text single-JSON: split filter,
+  clockwise sort, legibility -> `###`, all-illegible image drop
+  (`cocotext.py`).
+* :func:`td500_to_quads` — MSRA-TD500 rotated rects -> quads via the
+  `det_rotate` corner math; difficulty -> ignore (`td500.py`).
+* :func:`lsvt_to_quads` — LSVT full-labels JSON; invalid polygons repaired
+  with a convex hull like the reference's cv2 fallback (`lsvt.py`).
+* :func:`rects_to_quads` — ReCTS per-image JSON, line-level annotations,
+  invalid polygons skipped (`rects.py`).
+* :func:`casia10k_to_quads` — CASIA-10K lines + clockwise sort
+  (`casia10k.py`).
+* :func:`sroie_to_quads` — SROIE lines; `***` -> ignore, invalid polygons
+  skipped (`sroie.py`).
+
+Geometry (`_sort_clockwise`, `_poly_is_valid`, `_convex_hull`) is
+pure-numpy/python — the container has no shapely/cv2.
 """
 
 from __future__ import annotations
@@ -415,3 +439,399 @@ def columnar_to_blocks(record_ids, texts_per_record, spans_per_record=None) -> p
             "blocks": pa.array(blocks_col, type=BLOCKS_GOLD_TYPE),
         }
     )
+
+
+# --- geometry helpers for the polygon-format converters ---------------------
+# (pure-numpy reimplementations of the reference's shapely/cv2 calls; the
+# container has neither library and the operations are tiny)
+
+
+def _sort_clockwise(points):
+    """Sort convex polygon vertices clockwise from the top-left origin —
+    the exact formula of `mindocr/data/utils/polygon_utils.py:8-21`
+    (angle about the centroid, shifted by pi, ascending)."""
+    import numpy as np
+
+    poly = np.asarray(points, dtype=np.float64)
+    center = poly.mean(0)
+    d = poly - center
+    angles = (np.arctan2(d[:, 1], d[:, 0]) + np.pi) % (2 * np.pi)
+    return poly[np.argsort(angles, kind="stable")].tolist()
+
+
+def _signed_area(points) -> float:
+    """Shoelace signed area (>0 = counter-clockwise in standard coords —
+    shapely's `exterior.is_ccw` convention used by ctw1500.py:47)."""
+    a = 0.0
+    n = len(points)
+    for i in range(n):
+        x1, y1 = points[i]
+        x2, y2 = points[(i + 1) % n]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def _segs_intersect(p, q, r, s) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(p, q, r), orient(p, q, s)
+    o3, o4 = orient(r, s, p), orient(r, s, q)
+    return o1 != o2 and o3 != o4
+
+
+def _poly_is_valid(points) -> bool:
+    """Simple-polygon check (shapely `is_valid` analog for our use: nonzero
+    area, no non-adjacent edge crossings)."""
+    n = len(points)
+    if n < 3 or _signed_area(points) == 0.0:
+        return False
+    edges = [(points[i], points[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j - i) == 1 or (i == 0 and j == n - 1):
+                continue
+            if _segs_intersect(*edges[i], *edges[j]):
+                return False
+    return True
+
+
+def _convex_hull(points):
+    """Andrew monotone chain (cv2.convexHull analog, lsvt.py:52)."""
+    pts = sorted({(float(x), float(y)) for x, y in points})
+    if len(pts) <= 2:
+        return [list(p) for p in pts]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out[:-1]
+
+    return [list(p) for p in half(pts) + half(reversed(pts))]
+
+
+def _flat(points) -> List[float]:
+    return [float(c) for xy in points for c in xy]
+
+
+# --- round-3 converters (6+ more of the reference's ~25) --------------------
+
+
+def ctw1500_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                     lines_col: str = "lines") -> pa.Table:
+    """CTW-1500 train gt lines -> polygon rows (ctw1500.py:26-55 semantics).
+
+    Line format: `x1,y1,...,xN,yN,####transcription` (split on ',####');
+    even-length coordinate list; vertex order normalized to CLOCKWISE
+    (the reference reverses shapely-ccw polygons)."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            tmp = line.lstrip("﻿").strip("\n\r").split(",####")
+            if not tmp or not tmp[0]:
+                continue
+            coords = tmp[0].split(",")
+            if len(coords) % 2 != 0:
+                continue
+            try:
+                s = [[int(coords[i]), int(coords[i + 1])]
+                     for i in range(0, len(coords), 2)]
+            except ValueError:
+                continue
+            if _signed_area(s) > 0:  # ccw -> reverse to clockwise
+                s = s[::-1]
+            text = tmp[-1] if len(tmp) > 1 else ""
+            out.append({"points": _flat(s),
+                        "text": "" if text == "###" else text,
+                        "ignore": text == "###", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def ctw1500_xml_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                         xml_col: str = "xml") -> pa.Table:
+    """CTW-1500 test XML (`<image><box><label>/<segs>`) -> polygon rows
+    (ctw1500.py:57-84: 28-value segs = 14-point polygon, clockwise)."""
+    import xml.etree.ElementTree as ET
+
+    ids, quads = [], []
+    for rid, xml in zip(batch.column(id_col).to_pylist(),
+                        batch.column(xml_col).to_pylist()):
+        out = []
+        try:
+            tree = ET.fromstring(xml or "<root/>")
+        except ET.ParseError:
+            ids.append(rid)
+            quads.append(out)
+            continue
+        for obj in tree.findall("image"):
+            for box in obj.findall("box"):
+                lab = box.find("label")
+                segs = box.find("segs")
+                if lab is None or segs is None or not segs.text:
+                    continue
+                coords = segs.text.split(",")
+                if len(coords) != 28:  # the format pins 14 points
+                    continue
+                s = [[int(coords[i]), int(coords[i + 1])]
+                     for i in range(0, 28, 2)]
+                if _signed_area(s) > 0:
+                    s = s[::-1]
+                out.append({"points": _flat(s), "text": lab.text or "",
+                            "ignore": (lab.text or "") == "###",
+                            "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def svt_to_quads(batch: pa.Table, *, xml_col: str = "xml") -> pa.Table:
+    """SVT XML annotations -> one output row per IMAGE with its tagged
+    rectangles as axis-aligned quads (svt.py:34-57 `xml_to_dict` +
+    `_format_rec_label` crop geometry: x..x+w, clip y at 0..y+h).
+
+    The reference crops fragments to files; the Ray-native analog keeps the
+    (image, rect, label) relation as rows — the crop itself is the
+    multimodal decode stage's job."""
+    import xml.etree.ElementTree as ET
+
+    ids, quads = [], []
+    for xml in batch.column(xml_col).to_pylist():
+        try:
+            root = ET.fromstring(xml or "<root/>")
+        except ET.ParseError:
+            continue
+        for image in root:
+            name = None
+            rects = []
+            for ch in image:
+                if ch.tag == "imageName":
+                    name = ch.text
+                elif ch.tag == "taggedRectangles":
+                    for r in ch:
+                        a = r.attrib
+                        try:
+                            h, w = int(a["height"]), int(a["width"])
+                            x, y = int(a["x"]), int(a["y"])
+                        except (KeyError, ValueError):
+                            continue
+                        y0 = max(y, 0)  # svt.py:68-70 clips start_y at 0
+                        label = r[0].text if len(r) else ""
+                        rects.append(
+                            {"points": [float(x), float(y0),
+                                        float(x + w), float(y0),
+                                        float(x + w), float(y0 + h),
+                                        float(x), float(y0 + h)],
+                             "text": label or "", "ignore": False,
+                             "script": ""}
+                        )
+            if name is not None:
+                ids.append(name)
+                quads.append(rects)
+    return _quad_table(ids, quads)
+
+
+def cocotext_to_quads(batch: pa.Table, *, json_col: str = "json",
+                      split: str = "train") -> pa.Table:
+    """COCO-Text single-JSON annotations -> per-image polygon rows
+    (cocotext.py:56-104): split filter, clockwise sort, invalid-polygon
+    skip, `###` for missing/illegible transcriptions, and images whose
+    instances are ALL illegible are dropped entirely."""
+    ids, quads = [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        for image_info in data.get("imgs", {}).values():
+            if image_info.get("set") != split:
+                continue
+            annos = data.get("imgToAnns", {}).get(str(image_info["id"]), [])
+            if not annos:
+                continue
+            out = []
+            all_illegible = True
+            for anno_id in annos:
+                anno = data["anns"][str(anno_id)]
+                poly = anno.get("polygon", [])
+                pts = [[int(poly[i]), int(poly[i + 1])]
+                       for i in range(0, len(poly), 2)]
+                pts = _sort_clockwise(pts)
+                if not _poly_is_valid(pts):
+                    continue
+                text = anno.get("utf8_string", "###")
+                if anno.get("legibility") != "legible":
+                    text = "###"
+                out.append({"points": _flat(pts),
+                            "text": "" if text == "###" else text,
+                            "ignore": text == "###",
+                            "script": str(anno.get("language", ""))})
+                all_illegible = all_illegible and text == "###"
+            if not all_illegible:
+                ids.append(str(image_info.get("file_name", image_info["id"])))
+                quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def td500_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                   lines_col: str = "lines") -> pa.Table:
+    """MSRA-TD500 gt lines -> rotated-rect quads (td500.py:7-74).
+
+    Line: `idx difficulty x y w h theta`; the quad is the rect rotated
+    about its center by theta (same corner order as `det_rotate`);
+    difficulty==1 -> ignore. TD500 provides no transcriptions, so text is
+    always empty (the reference stores the difficulty flag string there —
+    an artifact we do not reproduce)."""
+    import math
+
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            tmp = line.lstrip("﻿").strip("\n").split(" ")
+            if len(tmp) < 7:
+                continue
+            try:
+                x, y, w, h = (int(tmp[2]), int(tmp[3]), int(tmp[4]),
+                              int(tmp[5]))
+                theta = float(tmp[6])
+            except ValueError:
+                continue
+            cx, cy = x + w / 2.0, y + h / 2.0
+            cos, sin = math.cos(theta), math.sin(theta)
+
+            def rot(px, py):
+                return (cx + cos * (px - cx) - sin * (py - cy),
+                        cy + cos * (py - cy) + sin * (px - cx))
+
+            corners = [rot(x, y), rot(x + w, y), rot(x + w, y + h),
+                       rot(x, y + h)]
+            out.append({"points": [float(int(c)) for xy in corners
+                                   for c in xy],
+                        "text": "", "ignore": tmp[1] == "1", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def lsvt_to_quads(batch: pa.Table, *, json_col: str = "json") -> pa.Table:
+    """LSVT `train_full_labels.json` -> per-image polygon rows
+    (lsvt.py:38-66): illegible -> `###`; invalid polygons repaired with the
+    convex hull (the reference's cv2.convexHull fallback)."""
+    ids, quads = [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        for stem in sorted(data.keys()):
+            out = []
+            for item in data[stem]:
+                pts = item.get("points", [])
+                if not _poly_is_valid(pts):
+                    pts = _convex_hull(pts)
+                text = item.get("transcription", "")
+                ignore = bool(item.get("illegibility")) or text == "###"
+                out.append({"points": _flat(pts),
+                            "text": "" if ignore else text,
+                            "ignore": ignore, "script": ""})
+            ids.append(stem)
+            quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def rects_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                   json_col: str = "json") -> pa.Table:
+    """ReCTS per-image JSON (`lines: [{points: flat8, transcription,
+    ignore}]`) -> quad rows (rects.py:44-71); invalid polygons skipped,
+    line-level annotations only (the reference ignores `chars`)."""
+    ids, quads = [], []
+    for rid, doc in zip(batch.column(id_col).to_pylist(),
+                        batch.column(json_col).to_pylist()):
+        out = []
+        try:
+            info = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            info = {}
+        for line in info.get("lines", []):
+            flat = line.get("points", [])
+            pts = [[int(flat[i]), int(flat[i + 1])]
+                   for i in range(0, len(flat), 2)]
+            if not _poly_is_valid(pts):
+                continue
+            ignored = bool(line.get("ignore"))
+            out.append({"points": _flat(pts),
+                        "text": "" if ignored else line.get("transcription", ""),
+                        "ignore": ignored, "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def casia10k_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                      lines_col: str = "lines") -> pa.Table:
+    """CASIA-10K gt lines `x1,y1,..,y4,transcription` -> quads with the
+    clockwise vertex sort (casia10k.py:38-60)."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            tmp = line.strip("\n\r").split(",", 8)
+            if len(tmp) < 9:
+                continue
+            try:
+                pts = [[int(tmp[i]), int(tmp[i + 1])] for i in range(0, 8, 2)]
+            except ValueError:
+                continue
+            pts = _sort_clockwise(pts)
+            text = tmp[8]
+            out.append({"points": _flat(pts),
+                        "text": "" if text == "###" else text,
+                        "ignore": text == "###", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def sroie_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                   lines_col: str = "lines") -> pa.Table:
+    """SROIE gt lines -> quads (sroie.py:37-71): empty lines skipped,
+    invalid polygons skipped, `***` transcription normalized to `###`
+    (ignore)."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            tmp = line.strip("\n\r").split(",", 8)
+            if len(tmp) == 1:
+                continue
+            if len(tmp) < 9:
+                continue
+            try:
+                pts = [[int(tmp[i]), int(tmp[i + 1])] for i in range(0, 8, 2)]
+            except ValueError:
+                continue
+            if not _poly_is_valid(pts):
+                continue
+            text = tmp[8]
+            if text == "***":
+                text = "###"
+            out.append({"points": _flat(pts),
+                        "text": "" if text == "###" else text,
+                        "ignore": text == "###", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
