@@ -1100,6 +1100,61 @@ FROM e
 """
 
 
+def q_entity_relations(sf_dir: str):
+    """KIE relation extraction (VQAReTokenRelation,
+    layoutlm_transforms.py:418-463 analog): SER-style BIO tags place a
+    QUESTION entity at token 14m (2 tokens) and an ANSWER at 14m+7;
+    candidate pairs are fed in REVERSED (answer_id, question_id) order and
+    the op normalizes question->head, computing the relation span as the
+    min/max over both entity spans' bounds."""
+    from webextract.functions.entities import explode_relations
+
+    def tag(b: pa.Table) -> pa.Table:
+        toks = [(t or "").split(" ") for t in b.column("text").to_pylist()]
+        tags, cands = [], []
+        for ts in toks:
+            row = []
+            for i in range(len(ts)):
+                m = i % 14
+                row.append("B-QUESTION" if m == 0 else
+                           "I-QUESTION" if m == 1 else
+                           "B-ANSWER" if m == 7 else
+                           "I-ANSWER" if m == 8 else "O")
+            tags.append(row)
+            n_ent = sum(1 for i in range(len(ts)) if i % 14 in (0, 7))
+            cands.append([[j + 1, j] for j in range(0, n_ent - 1, 2)])
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "tokens": pa.array(toks, type=pa.list_(pa.string())),
+                "tags": pa.array(tags, type=pa.list_(pa.string())),
+                "rel_candidates": pa.array(
+                    cands, type=pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .map_batches(explode_relations, batch_format="pyarrow")
+    )
+
+
+_SQL_ENTITY_RELATIONS = r"""
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+r AS (
+  SELECT doc_id, n,
+         unnest(range(0, greatest((n - 8) // 14 + 1, 0))) AS m
+  FROM w WHERE n >= 8
+)
+SELECT doc_id, (2*m)::INT AS head, (2*m + 1)::INT AS tail,
+       (14*m)::INT AS start_index, least(14*m + 9, n)::INT AS end_index
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Table structure + spatial matching
 # --------------------------------------------------------------------------
@@ -1347,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "sessionize": q_sessionize,
         "entity_spans": q_entity_spans,
+        "entity_relations": q_entity_relations,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1434,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNKS,
         "sessionize": _SQL_SESSIONS,
         "entity_spans": _SQL_ENTITY_SPANS,
+        "entity_relations": _SQL_ENTITY_RELATIONS,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (

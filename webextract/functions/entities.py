@@ -105,3 +105,124 @@ def explode_entities(batch: pa.Table, id_col: str = "doc_id",
             "ent_text": pa.array(tx, type=pa.string()),
         }
     )
+
+
+# --- KIE relation extraction (round 3) --------------------------------------
+# VQAReTokenRelation / VQAReTokenChunk analogs
+# (`mindocr/data/transforms/layoutlm_transforms.py:418-535`): after SER
+# produces labeled entity spans, candidate entity-id pairs are normalized
+# into question->answer relations, then chunked to the model window.
+
+
+def build_relations(entities: Sequence[dict],
+                    relations: Sequence,
+                    empty_ids: Sequence[int] = ()) -> List[dict]:
+    """VQAReTokenRelation semantics over our entity-span dicts.
+
+    * `entities`: list indexed by entity id, each with tok_start / tok_end /
+      label (question/answer/header, any case);
+    * `relations`: candidate (id_a, id_b) pairs in EITHER direction;
+    * `empty_ids`: entity ids excluded from output indexing (the
+      reference's `empty_entity` set); pairs touching them are dropped and
+      surviving ids compact through `entity_id_to_index_map`.
+
+    Output: [{head, tail, start_index, end_index}] where head/tail are
+    COMPACTED entity indexes, (start,end) = min/max over both spans'
+    bounds (`get_relation_span`), question always the head. Deviation from
+    the reference, documented: candidate pairs are fully sorted before
+    processing and the output sorts by (head, tail) — the reference sorts
+    by head only after a Python-set dedup, leaving tie order
+    nondeterministic (layoutlm_transforms.py:431,442).
+    """
+    empty = set(int(i) for i in empty_ids)
+    id_to_index = {}
+    for i in range(len(entities)):
+        if i not in empty:
+            id_to_index[i] = len(id_to_index)
+    out: List[dict] = []
+    for a, b in sorted({(int(a), int(b)) for a, b in relations}):
+        if a in empty or b in empty:
+            continue
+        if not (0 <= a < len(entities) and 0 <= b < len(entities)):
+            continue
+        la = (entities[a]["label"] or "").lower()
+        lb = (entities[b]["label"] or "").lower()
+        if (la, lb) == ("question", "answer"):
+            h, t = a, b
+        elif (la, lb) == ("answer", "question"):
+            h, t = b, a
+        else:
+            continue
+        bounds = (entities[h]["tok_start"], entities[h]["tok_end"],
+                  entities[t]["tok_start"], entities[t]["tok_end"])
+        out.append({"head": id_to_index[h], "tail": id_to_index[t],
+                    "start_index": min(bounds), "end_index": max(bounds)})
+    out.sort(key=lambda r: (r["head"], r["tail"]))
+    return out
+
+
+def chunk_entities_relations(tokens: Sequence[str], entities: Sequence[dict],
+                             relations: Sequence[dict],
+                             max_seq_len: int = 512) -> List[dict]:
+    """VQAReTokenChunk semantics: split the token stream into aligned
+    max_seq_len windows; keep entities FULLY inside a window (start and end
+    both within), re-based to the window; keep relations whose span sits in
+    the window, head/tail remapped through the window-local entity index.
+
+    Returns ALL chunks (the reference returns only `encoded_inputs_all[0]`,
+    silently discarding overflow chunks — layoutlm_transforms.py:523-525;
+    a data pipeline wants every window, so that quirk is not reproduced).
+    Windows with no entities are dropped (the reference's
+    `len(item["entities"]) > 0` gate).
+    """
+    chunks: List[dict] = []
+    for lo in range(0, max(len(tokens), 1), max_seq_len):
+        hi = lo + max_seq_len
+        g2l: dict = {}
+        ents: List[dict] = []
+        for eid, e in enumerate(entities):
+            if lo <= e["tok_start"] < hi and lo <= e["tok_end"] < hi:
+                g2l[eid] = len(ents)
+                ents.append(dict(e, tok_start=e["tok_start"] - lo,
+                                 tok_end=e["tok_end"] - lo))
+        rels: List[dict] = []
+        for r in relations:
+            if (lo <= r["start_index"] < hi and lo <= r["end_index"] < hi
+                    and r["head"] in g2l and r["tail"] in g2l):
+                rels.append({"head": g2l[r["head"]], "tail": g2l[r["tail"]],
+                             "start_index": r["start_index"] - lo,
+                             "end_index": r["end_index"] - lo})
+        if ents:
+            chunks.append({"chunk": lo // max_seq_len,
+                           "tokens": list(tokens[lo:hi]),
+                           "entities": ents, "relations": rels})
+    return chunks
+
+
+def explode_relations(batch: pa.Table, id_col: str = "doc_id",
+                      tokens_col: str = "tokens", tags_col: str = "tags",
+                      cand_col: str = "rel_candidates") -> pa.Table:
+    """map_batches UDF: (tokens, tags, candidate id pairs) rows -> one
+    output row per normalized question->answer relation."""
+    ids, hh, tt, si, ei = [], [], [], [], []
+    for did, toks, tags, cands in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(tokens_col).to_pylist(),
+            batch.column(tags_col).to_pylist(),
+            batch.column(cand_col).to_pylist()):
+        ents = bio_decode(toks or [], tags or [])
+        for r in build_relations(ents, [(p[0], p[1]) for p in cands or []]):
+            ids.append(did)
+            hh.append(r["head"])
+            tt.append(r["tail"])
+            si.append(r["start_index"])
+            ei.append(r["end_index"])
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "head": pa.array(hh, type=pa.int32()),
+            "tail": pa.array(tt, type=pa.int32()),
+            "start_index": pa.array(si, type=pa.int32()),
+            "end_index": pa.array(ei, type=pa.int32()),
+        }
+    )
