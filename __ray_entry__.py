@@ -1155,6 +1155,55 @@ FROM r
 """
 
 
+def q_seq_decode(sf_dir: str):
+    """EOS-terminated sequence decode (RecAttnLabelDecode,
+    rec_postprocess.py:255-346 analog): the first 20 chars of each doc are
+    encoded into the 36-char GO/STOP dictionary (unencodable chars
+    skipped), <STOP>-terminated, GO-padded; docs with doc_id%10==0 get NO
+    stop token and must decode to '' (the reference's no-EOS rule)."""
+    from webextract.stages.seqdecode import SeqDecodeUDF
+
+    charset = "0123456789abcdefghijklmnopqrstuvwxyz"
+    idx = {c: i + 2 for i, c in enumerate(charset)}
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids_col = []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            ids = [idx[c] for c in (t or "").lower()[:20] if c in idx]
+            if did % 10 != 0:
+                ids.append(1)  # <STOP>
+            ids.extend([0] * max(0, 24 - len(ids)))  # trailing <GO> padding
+            ids_col.append(ids)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "token_ids": pa.array(ids_col, type=pa.list_(pa.int32())),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(encode, batch_format="pyarrow")
+        .map_batches(
+            SeqDecodeUDF,
+            fn_constructor_kwargs={"kind": "attn", "charset": charset},
+            batch_format="pyarrow",
+            concurrency=_CONC,
+        )
+        .select_columns(["doc_id", "text"])
+    )
+
+
+_SQL_SEQ_DECODE = r"""
+SELECT doc_id,
+  CASE WHEN doc_id % 10 = 0 THEN ''
+       ELSE regexp_replace(substr(lower(text), 1, 20), '[^0-9a-z]', '', 'g')
+  END AS text
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Table structure + spatial matching
 # --------------------------------------------------------------------------
@@ -1403,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "entity_spans": q_entity_spans,
         "entity_relations": q_entity_relations,
+        "seq_decode": q_seq_decode,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1491,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONS,
         "entity_spans": _SQL_ENTITY_SPANS,
         "entity_relations": _SQL_ENTITY_RELATIONS,
+        "seq_decode": _SQL_SEQ_DECODE,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (
