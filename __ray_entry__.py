@@ -14,7 +14,8 @@ The flagship queries derive a BASELINE-shaped pages table
 ``documents`` table (webextract/corpus.py render; FIXTURES.md §1), extract
 main content through the full Ray pipeline, and the oracle reconstructs the
 expected byte-exact text in pure SQL — mirroring
-``corpus.split_paragraphs``: k = doc_id%3+1 word-chunks, '\\n'-joined.
+``corpus.split_paragraphs``: k = doc_id%3+1 word-chunks (5 for
+three-column rows), '\\n'-joined.
 """
 
 from __future__ import annotations
@@ -58,7 +59,8 @@ def q_extract_text(sf_dir: str):
 
 _SQL_GOLD_TEXT = r"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words, (doc_id % 3 + 1)::INT AS k
+  SELECT doc_id, string_split(text, ' ') AS words,
+         (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
   FROM documents
 )
 SELECT doc_id,
@@ -117,7 +119,8 @@ def q_extract_block_counts(sf_dir: str):
 _SQL_BLOCK_COUNTS = """
 SELECT doc_id,
   CASE WHEN doc_id % 50 = 7 THEN 0
-       ELSE least(doc_id % 3 + 1, len(string_split(text, ' '))) END AS n_blocks,
+       ELSE least(CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END,
+                 len(string_split(text, ' '))) END AS n_blocks,
   CASE WHEN doc_id % 50 = 7 THEN ''
        WHEN doc_id % 25 = 3 THEN 'pdf' ELSE 'html' END AS doctype,
   CASE WHEN doc_id % 50 = 7 THEN 'error' ELSE 'ok' END AS status
@@ -142,17 +145,21 @@ def q_training_prep(sf_dir: str):
 
 
 _SQL_TRAINING_PREP = r"""
-WITH g AS (
+WITH k0 AS (
+  SELECT doc_id, text, (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
+  FROM documents WHERE doc_id % 50 <> 7
+),
+g AS (
   SELECT doc_id,
     array_to_string(
       list_filter(
-        list_transform(range(0, (doc_id % 3 + 1)::INT), i ->
+        list_transform(range(0, k), i ->
           array_to_string(
-            string_split(text, ' ')[(i*len(string_split(text, ' ')))//((doc_id % 3 + 1)) + 1
-                                    : ((i+1)*len(string_split(text, ' ')))//((doc_id % 3 + 1))],
+            string_split(text, ' ')[(i*len(string_split(text, ' ')))//k + 1
+                                    : ((i+1)*len(string_split(text, ' ')))//k],
             ' ')
         ), c -> c <> ''), chr(10)) AS gold
-  FROM documents WHERE doc_id % 50 <> 7
+  FROM k0
 ),
 w AS (
   SELECT doc_id, string_split(gold, ' ') AS words FROM g

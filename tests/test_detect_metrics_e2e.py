@@ -30,12 +30,16 @@ def test_gold_block_offsets_are_exact():
         assert decode_block(frag, g["kind"]) == corpus.split_paragraphs(
             corpus.make_text(11), 11
         )[0] or g["ignore"] or True  # decoded fragment must parse cleanly
-    # main (non-ignore) blocks decode to the gold paragraphs in order
+    # main (non-ignore) blocks decode to exactly the gold paragraphs; doc 11
+    # is a THREE-COLUMN row since round 3, so marks follow byte order (right
+    # column first) — compare as multisets, and the full reading-order check
+    # lives in test_segment's layout tests
     main = [g for g in gold if not g["ignore"]]
     paras = corpus.split_paragraphs(corpus.make_text(11), 11)
     from webextract.stages.extract import decode_block
 
-    assert [decode_block(html[g["start"]:g["end"]], g["kind"]) for g in main] == paras
+    got = [decode_block(html[g["start"]:g["end"]], g["kind"]) for g in main]
+    assert sorted(got) == sorted(paras)
 
 
 def test_segmenter_perfect_prf_per_doc():

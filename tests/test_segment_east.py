@@ -13,7 +13,8 @@ def test_matches_db_strategy_on_linear_corpus():
     cfg = SegmentConfig()
     checked = 0
     for doc_id in range(120):
-        if corpus.is_corrupt(doc_id) or corpus.is_two_column(doc_id):
+        if (corpus.is_corrupt(doc_id) or corpus.is_two_column(doc_id)
+                or corpus.is_three_column(doc_id)):
             continue
         html = corpus.render_page(doc_id, corpus.make_text(doc_id, max_words=80), "en")
         assert _keys(segment_east(html, cfg)) == _keys(segment_html(html, cfg)), doc_id

@@ -30,7 +30,7 @@ from typing import List
 # --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
 
 # bump when generator output changes — bench corpus cache paths embed this
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 _MASK = (1 << 64) - 1
 
@@ -74,17 +74,35 @@ def is_two_column(doc_id: int) -> bool:
     return doc_id % TWOCOL_MOD == TWOCOL_REM and not is_pdf(doc_id)
 
 
+THREECOL_MOD, THREECOL_REM = 19, 11  # rows rendered as a 3-col layout
+
+
+def is_three_column(doc_id: int) -> bool:
+    """Rows rendered as a THREE-column layout (right, mid, left in byte
+    order) with — when the article has >= 4 paragraphs — a full-width
+    SPANNING block in the middle that splits the columns into two
+    independent groups (the reference's triple-column + spanning layout,
+    `recovery_to_doc.py:90-160`). Gold stays the original paragraph order:
+    the extractor must read group 1 left->mid->right, then the spanning
+    block, then group 2."""
+    return (doc_id % THREECOL_MOD == THREECOL_REM and not is_pdf(doc_id)
+            and not is_two_column(doc_id))
+
+
 # --- gold construction ------------------------------------------------------
 
 
 def split_paragraphs(text: str, doc_id: int) -> List[str]:
-    """Split canonical text into k = doc_id%3+1 word chunks.
+    """Split canonical text into k word chunks; k = doc_id%3+1, EXCEPT
+    three-column rows which use k=5 (enough paragraphs to exercise the
+    two column groups around the spanning block).
 
-    MUST stay in lockstep with the DuckDB oracle in `__ray_entry__.py`
-    (words[i*n//k : (i+1)*n//k] joined by ' ').
+    MUST stay in lockstep with the DuckDB oracles in `__ray_entry__.py`
+    (words[i*n//k : (i+1)*n//k] joined by ' '; the SQL k expression is
+    `CASE WHEN <threecol> THEN 5 ELSE doc_id % 3 + 1 END`).
     """
     words = text.split(" ")
-    k = doc_id % 3 + 1
+    k = 5 if is_three_column(doc_id) else doc_id % 3 + 1
     n = len(words)
     return [" ".join(words[i * n // k : (i + 1) * n // k]) for i in range(k)]
 
@@ -185,13 +203,35 @@ def _render_parts(doc_id: int, text: str, lang: str):
     a('<div class="content"><article>\n')
     a(f"<!-- article {doc_id} rendered {doc_id % 97} -->\n")
 
-    def emit_para(i: int, p: str) -> None:
-        a("  <p>")
+    def emit_para(i: int, p: str, cls: str = "") -> None:
+        a(f'  <p class="{cls}">' if cls else "  <p>")
         marks.append((len(parts), "p", p, False))
         a("\n    " + _decorate(p, doc_id, i) + "\n  ")
         a("</p>\n")
 
-    if is_two_column(doc_id) and paras:
+    def emit_col_group(idxs: List[int]) -> None:
+        # three columns, rendered RIGHT, MID, LEFT in byte order; reading
+        # order is left -> mid -> right (recovery_to_doc.py triple layout)
+        third = (len(idxs) + 2) // 3
+        cols = [idxs[:third], idxs[third:2 * third], idxs[2 * third:]]
+        for ci, cls in ((2, "col-right"), (1, "col-mid"), (0, "col-left")):
+            a(f'<div class="col {cls}">\n')
+            for i in cols[ci]:
+                emit_para(i, paras[i])
+            a("</div>\n")
+
+    if is_three_column(doc_id) and paras:
+        np_ = len(paras)
+        a('<div class="columns">\n')
+        if np_ >= 4:
+            k = np_ // 2  # paras[k] = the spanning "new section" block
+            emit_col_group(list(range(0, k)))
+            emit_para(k, paras[k], cls="col-span")
+            emit_col_group(list(range(k + 1, np_)))
+        else:
+            emit_col_group(list(range(np_)))
+        a("</div>\n")
+    elif is_two_column(doc_id) and paras:
         # two-column layout: RIGHT column first in byte order; reading
         # order (gold) is left column then right. `col-left`/`col-right`
         # classes are the x-position hint (the sorted_layout_boxes analog).

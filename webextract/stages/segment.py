@@ -93,17 +93,23 @@ def _col_of(html: bytes, a0: int, a1: int) -> Optional[int]:
     """Column ordinal from the class attr: the x-position hint of our
     layout analog (`sorted_layout_boxes`, recovery_to_doc.py:90-160 — the
     reference infers columns from box x-geometry; CSS column classes are
-    the web-document equivalent). Returns 0 for left, 1 for right."""
+    the web-document equivalent). Returns 0/1/2 for left/mid/right and -1
+    for a full-width SPANNING block (the triple-layout "new section"
+    marker)."""
     if a1 <= a0:
         return None
     cls = get_attr(html, a0, a1, "class")
     if not cls:
         return None
     low = cls.lower()
+    if b"col-span" in low:
+        return -1
     if b"col-left" in low:
         return 0
-    if b"col-right" in low:
+    if b"col-mid" in low or b"col-center" in low:
         return 1
+    if b"col-right" in low:
+        return 2
     return None
 
 
@@ -156,10 +162,14 @@ def _inspect_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]):
             if h in low:
                 boiler = True
                 break
-        if b"col-left" in low:
+        if b"col-span" in low:
+            col = -1  # spanning block: resets the column group
+        elif b"col-left" in low:
             col = 0
-        elif b"col-right" in low:
+        elif b"col-mid" in low or b"col-center" in low:
             col = 1
+        elif b"col-right" in low:
+            col = 2
     if not boiler:
         idv = get_attr(html, a0, a1, "id")
         if idv:
@@ -318,13 +328,23 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                     if tag in boiler_containers:
                         boiler_here = True
                     if col_here is not None:
-                        parent_depth = len(elem_stack)
-                        if last_group is not None and last_group[0] == parent_depth:
-                            anchor = last_group[1]
+                        if col_here < 0:
+                            # SPANNING block ("new section",
+                            # recovery_to_doc.py triple layout): end the
+                            # current column group — later column divs at
+                            # the same depth anchor a FRESH group, so the
+                            # spanning block reads between the two groups.
+                            last_group = None
                         else:
-                            anchor = lt  # first col div's tag start = anchor
-                            last_group = (parent_depth, anchor)
-                        col_stack.append((parent_depth + 1, anchor, col_here))
+                            parent_depth = len(elem_stack)
+                            if (last_group is not None
+                                    and last_group[0] == parent_depth):
+                                anchor = last_group[1]
+                            else:
+                                anchor = lt  # first col div tag = anchor
+                                last_group = (parent_depth, anchor)
+                            col_stack.append(
+                                (parent_depth + 1, anchor, col_here))
                     elem_stack.append((tag, boiler_here))
                     if boiler_here:
                         boiler_depth += 1
