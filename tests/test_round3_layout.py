@@ -61,3 +61,22 @@ def test_mixed_column_classes_in_same_page():
     assert extract_one(html) == (
         "aa one\nbb two\ncc three\nSPAN section break\n"
         "dd four\nee five\nff six")
+
+
+def test_skipped_bucket_counters(ray_session):
+    """Oversized LSH buckets increment the cluster-wide counter actor so a
+    run report can show lost-pair counts without grepping logs."""
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.functions.dedup import neardup_pairs
+    from webextract.state.counters import snapshot
+
+    # 30 identical docs -> every band bucket holds 30 rows > max_bucket=10
+    rows = {"doc_id": list(range(30)), "text": ["same text here " * 10] * 30}
+    pairs = neardup_pairs(ray.data.from_arrow(pa.table(rows)),
+                          max_bucket=10, concurrency=1).take_all()
+    assert pairs == []  # all buckets skipped
+    counts = snapshot(reset=True)
+    assert counts["lsh_buckets_skipped"] >= 8
+    assert counts["lsh_rows_in_skipped_buckets"] >= 8 * 30

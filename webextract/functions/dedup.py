@@ -362,8 +362,11 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         n = group.num_rows
         a_col, b_col, j_col = [], [], []
         if n > max_bucket:
-            # No silent caps: a skipped degenerate bucket must be visible.
+            # No silent caps: a skipped degenerate bucket must be visible —
+            # in the log AND in the run report's counters.
             import logging
+
+            from webextract.state.counters import incr
 
             logging.getLogger("webextract.dedup").warning(
                 "neardup_pairs: skipping LSH bucket of %d rows "
@@ -373,6 +376,8 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 group.column("band_idx")[0].as_py(),
                 group.column("band_key")[0].as_py(),
             )
+            incr("lsh_buckets_skipped")
+            incr("lsh_rows_in_skipped_buckets", n)
         if 2 <= n <= max_bucket:
             ids = group.column(id_col).to_pylist()
             sigs = [np.asarray(s, dtype=np.uint64)

@@ -268,8 +268,11 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
         n = group.num_rows
         a_col, b_col, s_col = [], [], []
         if n > max_bucket:
-            # No silent caps: a skipped bucket must be visible in logs.
+            # No silent caps: a skipped bucket must be visible in the log
+            # AND the run report's counters.
             import logging
+
+            from webextract.state.counters import incr
 
             logging.getLogger("webextract.similarity").warning(
                 "embedding_neardup: skipping LSH bucket %s of %d rows "
@@ -277,6 +280,8 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
                 "or max_bucket for this data.",
                 group.column("bucket")[0].as_py(), n, max_bucket,
             )
+            incr("embedding_lsh_buckets_skipped")
+            incr("embedding_lsh_rows_in_skipped_buckets", n)
         if 2 <= n <= max_bucket:
             ids = group.column(id_col).to_pylist()
             m = _normalize(_batch_matrix(group, vec_col))

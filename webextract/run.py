@@ -130,6 +130,12 @@ def main(argv=None) -> int:
             ]
             result = ray.data.read_parquet(files)
             report["verify"] = verify_extraction(result)
+        from webextract.state.counters import snapshot
+
+        counters = snapshot()
+        # skipped-bucket / data-loss counters surface in the report even
+        # when zero events fired (empty dict = "counted, nothing lost")
+        report["counters"] = counters or {}
         print(json.dumps(report))
         return 0
     finally:
