@@ -178,3 +178,103 @@ def test_sroie():
     assert len(quads) == 2
     assert quads[0]["text"] == "TOTAL 9.00"
     assert quads[1]["ignore"] and quads[1]["text"] == ""
+
+
+def test_rctw17():
+    from webextract.sources.converters import rctw17_to_quads
+
+    lines = ['0,0,10,0,10,10,0,10,1,"hello world"',
+             '0,0,10,0,10,10,0,10,0,"faint"',
+             "0,0,10,10,10,0,0,10,1,bow"]
+    out = rctw17_to_quads(pa.table({"record_id": ["r"], "lines": [lines]}))
+    quads = out.column("quads")[0].as_py()
+    # NOTE: line 3's bowtie becomes valid after the clockwise sort (the
+    # reference sorts BEFORE validity), so 3 rows survive
+    assert quads[0]["text"] == "hello world" and not quads[0]["ignore"]
+    assert quads[1]["ignore"] and quads[1]["text"] == ""
+
+
+def test_ctw_jsonl():
+    from webextract.sources.converters import ctw_jsonl_to_quads
+
+    rec = {
+        "file_name": "img1.jpg",
+        "annotations": [[
+            {"text": "你", "polygon": [[0, 0], [4, 0], [4, 4], [0, 4]]},
+            {"text": "好", "polygon": [[5, 0], [9, 0], [9, 4], [5, 4]]},
+        ]],
+        "ignore": [{"polygon": [[20, 20], [24, 20], [24, 24], [20, 24]]}],
+    }
+    out = ctw_jsonl_to_quads(pa.table({"line": [json.dumps(rec)]}))
+    assert out.column("record_id")[0].as_py() == "img1.jpg"
+    quads = out.column("quads")[0].as_py()
+    assert quads[0]["text"] == "你好"
+    # hull covers both character boxes
+    xs = quads[0]["points"][0::2]
+    assert min(xs) == 0.0 and max(xs) == 9.0
+    assert quads[1]["ignore"]
+
+
+def test_borndigital():
+    from webextract.sources.converters import borndigital_to_quads
+
+    lines = ['5, 5, 50, 20, "Sample Text"', "0, 0, 0, 10, \"zero\""]
+    out = borndigital_to_quads(
+        pa.table({"record_id": ["r"], "lines": [lines]}))
+    quads = out.column("quads")[0].as_py()
+    assert len(quads) == 1  # zero-area box skipped
+    assert quads[0]["text"] == "Sample Text"
+    assert quads[0]["points"] == [5.0, 5.0, 50.0, 5.0, 50.0, 20.0, 5.0, 20.0]
+
+
+def test_textocr():
+    from webextract.sources.converters import textocr_to_quads
+
+    data = {
+        "imgs": {"1": {"id": 1, "file_name": "train/a.jpg"}},
+        "imgToAnns": {"1": [7, 8, 9]},
+        "anns": {
+            "7": {"points": [0, 0, 10, 0, 10, 10, 0, 10],
+                  "utf8_string": "ok", "bbox": [0, 0, 10, 10]},
+            "8": {"points": [0, 0, 10, 10, 10, 0, 0, 10, 5, 20],
+                  "utf8_string": "poly", "bbox": [1, 2, 3, 4]},  # invalid 5-gon -> bbox
+            "9": {"points": [0, 0, 5, 0, 5, 5, 0, 5],
+                  "utf8_string": ".", "bbox": [0, 0, 5, 5]},  # dot = ignore
+        },
+    }
+    out = textocr_to_quads(pa.table({"json": [json.dumps(data)]}))
+    quads = out.column("quads")[0].as_py()
+    assert quads[0]["text"] == "ok"
+    assert quads[1]["points"] == [1.0, 2.0, 4.0, 2.0, 4.0, 6.0, 1.0, 6.0]
+    assert quads[2]["ignore"]
+
+
+def test_art():
+    from webextract.sources.converters import art_to_quads
+
+    data = {"gt_2": [
+        {"transcription": "word", "language": "Latin", "illegibility": False,
+         "points": [[0, 0], [10, 0], [10, 10], [0, 10]]},
+        {"transcription": "xx", "language": "Latin", "illegibility": False,
+         "points": [[0, 0], [5, 5]]},  # < 3 points -> skipped
+        {"transcription": "yy", "language": "Chinese", "illegibility": True,
+         "points": [[0, 0], [4, 0], [4, 4], [0, 4]]},
+    ]}
+    out = art_to_quads(pa.table({"json": [json.dumps(data)]}))
+    quads = out.column("quads")[0].as_py()
+    assert len(quads) == 2
+    assert quads[0]["text"] == "word" and quads[0]["script"] == "Latin"
+    assert quads[1]["ignore"] and quads[1]["script"] == "Chinese"
+
+
+def test_ccpd():
+    from webextract.sources.converters import ccpd_to_quads
+
+    # province 0 = 皖, alphabet 0 = A, ads 24 = '0', ads 33 = '9'
+    name = ("025-95_113-154&383_386&473-386&473_177&454_154&383_363&402-"
+            "0_0_24_33_24_33_24-134-56.jpg")
+    out = ccpd_to_quads(pa.table({"file_name": [name]}))
+    quads = out.column("quads")[0].as_py()
+    assert len(quads) == 1
+    assert quads[0]["text"] == "皖A0909 0".replace(" ", "")
+    assert quads[0]["points"][:4] == [386.0, 473.0, 177.0, 454.0]

@@ -57,6 +57,21 @@ Round-3 additions (9 more of `tools/dataset_converters/*`):
 * :func:`sroie_to_quads` — SROIE lines; `***` -> ignore, invalid polygons
   skipped (`sroie.py`).
 
+Round-3 batch 2 (completing the inventory, 24 total):
+
+* :func:`rctw17_to_quads` — RCTW-17 lines with a legibility flag
+  (`rctw17.py`).
+* :func:`ctw_jsonl_to_quads` — CTW JSONL; per-character polygons fuse to a
+  sentence-level convex hull, `ignore` list -> `###` (`ctw.py`).
+* :func:`borndigital_to_quads` — Born-Digital 2-corner boxes with quoted
+  transcriptions (`borndigital.py`).
+* :func:`textocr_to_quads` — TextOCR JSON; invalid quads clockwise-sorted,
+  invalid N-gons fall back to bbox, '.' -> ignore (`textocr.py`).
+* :func:`art_to_quads` — ICDAR-2019 ArT JSON with language field
+  (`ic19_art.py`).
+* :func:`ccpd_to_quads` — CCPD: annotation decoded from the FILE NAME
+  (vertices + license-plate index tables) (`ccpd.py`).
+
 Geometry (`_sort_clockwise`, `_poly_is_valid`, `_convex_hull`) is
 pure-numpy/python — the container has no shapely/cv2.
 """
@@ -834,4 +849,194 @@ def sroie_to_quads(batch: pa.Table, *, id_col: str = "record_id",
                         "ignore": text == "###", "script": ""})
         ids.append(rid)
         quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def rctw17_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                    lines_col: str = "lines") -> pa.Table:
+    """RCTW-17 gt lines `x1,..,y4,legibility,transcription` -> quads
+    (rctw17.py:37-66): clockwise sort, invalid polygons skipped,
+    legibility '0' -> ignore. Transcription is everything after the 9th
+    comma (quotes stripped like the raw gt carries them)."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            tmp = line.lstrip("﻿").strip("\n\r").split(",", 9)
+            if len(tmp) < 10:
+                continue
+            try:
+                pts = [[int(tmp[i]), int(tmp[i + 1])] for i in range(0, 8, 2)]
+            except ValueError:
+                continue
+            pts = _sort_clockwise(pts)
+            if not _poly_is_valid(pts):
+                continue
+            text = tmp[9].strip().strip('"')
+            ignore = tmp[8] == "0" or text == "###"
+            out.append({"points": _flat(pts), "text": "" if ignore else text,
+                        "ignore": ignore, "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def ctw_jsonl_to_quads(batch: pa.Table, *, line_col: str = "line") -> pa.Table:
+    """CTW (Chinese Text in the Wild) JSONL -> per-image polygon rows
+    (ctw.py:56-76): each sentence's per-CHARACTER polygons fuse into one
+    sentence-level convex hull; the `ignore` list contributes `###`
+    regions with their raw polygons."""
+    ids, quads = [], []
+    for line in batch.column(line_col).to_pylist():
+        try:
+            rec = json.loads(line or "{}")
+        except json.JSONDecodeError:
+            continue
+        if "file_name" not in rec:
+            continue
+        out = []
+        for sentence in rec.get("annotations", []):
+            if not sentence:
+                continue
+            text = "".join(a.get("text", "") for a in sentence)
+            pts = [p for a in sentence for p in a.get("polygon", [])]
+            hull = _convex_hull(pts)
+            out.append({"points": _flat(hull), "text": text,
+                        "ignore": False, "script": ""})
+        for ig in rec.get("ignore", []):
+            out.append({"points": _flat(ig.get("polygon", [])), "text": "",
+                        "ignore": True, "script": ""})
+        ids.append(str(rec["file_name"]))
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def borndigital_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                         lines_col: str = "lines") -> pa.Table:
+    """Born-Digital gt lines `x1, y1, x2, y2, "transcription"` (two
+    opposite corners -> axis-aligned quad, quotes stripped;
+    borndigital.py:42-59); invalid (zero-area) boxes skipped."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            parts = line.lstrip("﻿").rstrip("\n\r").split(", ", 4)
+            if len(parts) < 5:
+                continue
+            try:
+                x1, y1, x2, y2 = (int(p) for p in parts[:4])
+            except ValueError:
+                continue
+            pts = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
+            if not _poly_is_valid(pts):
+                continue
+            text = parts[4].strip()[1:-1]  # strip the default quote marks
+            out.append({"points": _flat(pts),
+                        "text": "" if text == "###" else text,
+                        "ignore": text == "###", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def textocr_to_quads(batch: pa.Table, *, json_col: str = "json") -> pa.Table:
+    """TextOCR single-JSON -> per-image polygon rows (textocr.py:52-90):
+    invalid quads re-sorted clockwise, invalid N-gons replaced by their
+    bbox, valid ccw polygons reversed to clockwise, '.' -> `###`."""
+    ids, quads = [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        for image_info in data.get("imgs", {}).values():
+            out = []
+            for anno_id in data.get("imgToAnns", {}).get(
+                    str(image_info["id"]), []):
+                anno = data["anns"][str(anno_id)]
+                flat = anno.get("points", [])
+                pts = [[int(flat[i]), int(flat[i + 1])]
+                       for i in range(0, len(flat), 2)]
+                if not _poly_is_valid(pts):
+                    if len(pts) == 4:
+                        pts = _sort_clockwise(pts)
+                    else:
+                        x, y, w, h = anno["bbox"]
+                        pts = [[x, y], [x + w, y], [x + w, y + h],
+                               [x, y + h]]
+                elif _signed_area(pts) > 0:  # shapely-ccw -> clockwise
+                    pts = pts[::-1]
+                text = anno.get("utf8_string", ".")
+                if text == ".":  # a single dot is TextOCR's ignore tag
+                    text = "###"
+                out.append({"points": _flat(pts),
+                            "text": "" if text == "###" else text,
+                            "ignore": text == "###", "script": ""})
+            ids.append(str(image_info.get("file_name", image_info["id"])))
+            quads.append(out)
+    return _quad_table(ids, quads)
+
+
+def art_to_quads(batch: pa.Table, *, json_col: str = "json") -> pa.Table:
+    """ICDAR-2019 ArT JSON ({stem: [{transcription, points, language,
+    illegibility}]}) -> polygon rows (ic19_art.py:45-75): <3-point
+    polygons skipped, invalid ones repaired with the convex hull,
+    illegibility -> `###`; the language field rides in `script`."""
+    ids, quads = [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        for stem in sorted(data.keys()):
+            out = []
+            for item in data[stem]:
+                pts = item.get("points", [])
+                if len(pts) < 3:
+                    continue
+                if not _poly_is_valid(pts):
+                    pts = _convex_hull(pts)
+                ignore = bool(item.get("illegibility"))
+                text = item.get("transcription", "")
+                out.append({"points": _flat(pts),
+                            "text": "" if ignore or text == "###" else text,
+                            "ignore": ignore or text == "###",
+                            "script": str(item.get("language", ""))})
+            ids.append(stem)
+            quads.append(out)
+    return _quad_table(ids, quads)
+
+
+_CCPD_PROVINCES = list(
+    "皖沪津渝冀晋蒙辽吉黑苏浙京闽赣鲁豫鄂湘粤桂琼川贵云藏陕甘青宁新警学") + ["O"]
+_CCPD_ALPHABET = list("ABCDEFGHJKLMNPQRSTUVWXYZ") + ["O"]
+_CCPD_ADS = list("ABCDEFGHJKLMNPQRSTUVWXYZ0123456789") + ["O"]
+
+
+def ccpd_to_quads(batch: pa.Table, *, name_col: str = "file_name") -> pa.Table:
+    """CCPD license-plate rows: the whole annotation is ENCODED IN THE FILE
+    NAME (`area-tilt-bbox-vertices-lp-brightness-blurriness`,
+    ccpd.py:147-190): the polygon comes from the `vertices` field
+    (x&y pairs, '_'-separated) and the plate text decodes from the lp
+    index triple-tables (province + alphabet + ads)."""
+    ids, quads = [], []
+    for name in batch.column(name_col).to_pylist():
+        stem = (name or "").rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        parts = stem.split("-")
+        if len(parts) != 7:
+            continue
+        _area, _tilt, _bbox, vertices, lp, _bri, _blur = parts
+        try:
+            pts = [[int(x) for x in c.split("&")]
+                   for c in vertices.split("_")]
+            lp_idx = [int(i) for i in lp.split("_")]
+            text = (_CCPD_PROVINCES[lp_idx[0]] + _CCPD_ALPHABET[lp_idx[1]]
+                    + "".join(_CCPD_ADS[i] for i in lp_idx[2:]))
+        except (ValueError, IndexError):
+            continue
+        ids.append(name)
+        quads.append([{"points": _flat(pts), "text": text,
+                       "ignore": False, "script": ""}])
     return _quad_table(ids, quads)

@@ -59,6 +59,7 @@ _PDF_MAGIC = b"%PDF-"
 _PDF_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", re.DOTALL)
 
 _WS_BYTES = b" \t\r\n\f\v"
+_WS_SET = frozenset(_WS_BYTES)
 
 # raw tag bytes -> lowered str (tag vocabularies are tiny; avoids one
 # .lower().decode() pair per tag event in the hot scanner)
@@ -224,9 +225,20 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
     find = html.find
     tag_cache = _TAG_CACHE
 
+    ws = _WS_SET
+
     def on_text(t0: int, t1: int) -> None:
         if stack:
-            tl = len(html[t0:t1].strip(_WS_BYTES))
+            # stripped length WITHOUT the slice+strip byte copies: the old
+            # `len(html[t0:t1].strip())` allocated (and immediately freed)
+            # every text node's body — the allocator/DRAM churn BASELINE.md
+            # measured as the 32-wide per-doc CPU inflation. End-trimming
+            # by index touches only the whitespace margins.
+            while t0 < t1 and html[t0] in ws:
+                t0 += 1
+            while t1 > t0 and html[t1 - 1] in ws:
+                t1 -= 1
+            tl = t1 - t0
             if tl:
                 blk = stack[-1]
                 blk.text_len += tl
@@ -238,20 +250,27 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
         if tag == "a" and anchor_depth > 0:
             anchor_depth -= 1
         # Pop the innermost matching element plus unclosed descendants;
-        # a stray close tag with no open match is ignored.
-        for i in range(len(elem_stack) - 1, -1, -1):
-            if elem_stack[i][0] == tag:
-                for j in range(len(elem_stack) - 1, i - 1, -1):
-                    if elem_stack[j][1]:
-                        boiler_depth -= 1
-                del elem_stack[i:]
-                break
+        # a stray close tag with no open match is ignored. Fast path: the
+        # overwhelmingly common well-nested close matches the stack top.
+        if elem_stack and elem_stack[-1][0] == tag:
+            if elem_stack[-1][1]:
+                boiler_depth -= 1
+            elem_stack.pop()
+        else:
+            for i in range(len(elem_stack) - 1, -1, -1):
+                if elem_stack[i][0] == tag:
+                    for j in range(len(elem_stack) - 1, i - 1, -1):
+                        if elem_stack[j][1]:
+                            boiler_depth -= 1
+                    del elem_stack[i:]
+                    break
         depth = len(elem_stack)
         while col_stack and col_stack[-1][0] > depth:
             col_stack.pop()
         if last_group is not None and depth < last_group[0]:
             last_group = None
-        if stack and any(b.tag == tag for b in stack):
+        if stack and (stack[-1].tag == tag
+                      or any(b.tag == tag for b in stack)):
             # close innermost matching block (pop unclosed inner blocks too)
             while stack:
                 blk = stack.pop()
