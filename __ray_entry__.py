@@ -1162,6 +1162,67 @@ FROM r
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line fractions +
+    top word-2-gram character coverage) — raw IEEE ratios, SQL-mirrored."""
+    from webextract.functions.textstats import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "dup_line_frac", "dup_line_char_frac",
+         "top_2gram_char_frac"]
+    )
+
+
+_SQL_REPETITION = r"""
+WITH lx AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c FROM lx GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+    sum(c) AS n_lines,
+    sum(c * length(line)) AS total_chars,
+    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, length(text) AS n,
+    list_filter(regexp_split_to_array(text, '[\s\x{0b}]+'),
+                x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, unnest(range(0, greatest(len(words) - 1, 0))) AS t(i)
+),
+gc AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+),
+topg AS (
+  SELECT doc_id, n, c * length(gram) AS cov,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, gram ASC) AS rn
+  FROM gc
+)
+SELECT d.doc_id,
+  CASE WHEN la.n_lines > 0
+       THEN la.dup_lines::DOUBLE / la.n_lines ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN la.total_chars > 0
+       THEN la.dup_chars::DOUBLE / la.total_chars
+       ELSE 0.0 END AS dup_line_char_frac,
+  coalesce(CASE WHEN t.n > 0 THEN t.cov::DOUBLE / t.n END,
+           0.0) AS top_2gram_char_frac
+FROM documents d
+LEFT JOIN lagg la ON la.doc_id = d.doc_id
+LEFT JOIN (SELECT * FROM topg WHERE rn = 1) t ON t.doc_id = d.doc_id
+"""
+
+
 def q_seq_decode(sf_dir: str):
     """EOS-terminated sequence decode (RecAttnLabelDecode,
     rec_postprocess.py:255-346 analog): the first 20 chars of each doc are
@@ -1460,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_spans": q_entity_spans,
         "entity_relations": q_entity_relations,
         "seq_decode": q_seq_decode,
+        "repetition_stats": q_repetition_stats,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1549,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_spans": _SQL_ENTITY_SPANS,
         "entity_relations": _SQL_ENTITY_RELATIONS,
         "seq_decode": _SQL_SEQ_DECODE,
+        "repetition_stats": _SQL_REPETITION,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (

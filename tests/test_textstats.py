@@ -94,3 +94,26 @@ def test_quality_score_batch_matches_scalar():
         for k in ("alpha_ratio", "punct_ratio", "stopword_ratio",
                   "mean_word_len", "quality"):
             assert abs(out.column(k)[i].as_py() - round(r[k], 6)) < 1e-9, (s, k)
+
+
+def test_repetition_stats():
+    from webextract.functions.textstats import repetition_stats_batch
+
+    t = pa.table({"text": ["a b\na b\nc d", "x y x y x y", "", "solo"]})
+    out = repetition_stats_batch(t)
+    assert out.column("dup_line_frac").to_pylist() == [2 / 3, 0.0, 0.0, 0.0]
+    assert out.column("dup_line_char_frac").to_pylist() == [
+        6 / 9, 0.0, 0.0, 0.0]
+    # 'x y' occurs 3x, len 3, text len 11
+    assert out.column("top_2gram_char_frac").to_pylist() == [
+        6 / 11, 9 / 11, 0.0, 0.0]
+
+
+def test_repetition_stats_tie_break():
+    from webextract.functions.textstats import repetition_stats_batch
+
+    # 'b c' and 'a b' both occur twice -> lexicographically smallest wins
+    t = pa.table({"text": ["a b c a b c"]})
+    out = repetition_stats_batch(t)
+    # top gram 'a b' count 2 len 3 over 11 chars
+    assert out.column("top_2gram_char_frac").to_pylist() == [6 / 11]

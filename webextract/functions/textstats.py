@@ -224,3 +224,53 @@ def rolling_hashes(text: str, window: int = 32) -> List[int]:
             out.append(h)
             h = (h - ord(text[i - window + 1]) * pw) % _MOD
     return out if out else [h]
+
+
+# --- repetition statistics (Gopher-style quality signals) -------------------
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition filters):
+
+    * `dup_line_frac` — fraction of LINES whose exact text occurs more
+      than once in the document;
+    * `dup_line_char_frac` — fraction of line characters sitting in such
+      duplicate lines;
+    * `top_2gram_char_frac` — characters covered by occurrences of the
+      most frequent word 2-gram divided by total characters (tie-break:
+      lexicographically smallest gram).
+
+    All ratios are raw IEEE divisions of integer counts (oracle-parity
+    discipline, see quality_score_batch); tokenization is the engine-wide
+    whitespace split.
+    """
+    from collections import Counter
+
+    dl, dlc, tg = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        t = t or ""
+        lines = t.split("\n")
+        lc = Counter(lines)
+        n_lines = len(lines)
+        total_line_chars = sum(len(ln) for ln in lines)
+        dup_lines = sum(1 for ln in lines if lc[ln] > 1)
+        dup_chars = sum(len(ln) for ln in lines if lc[ln] > 1)
+        dl.append(dup_lines / n_lines if n_lines else 0.0)
+        dlc.append(dup_chars / total_line_chars if total_line_chars else 0.0)
+        words = t.split()
+        if len(words) >= 2 and len(t):
+            gc = Counter(" ".join((words[i], words[i + 1]))
+                         for i in range(len(words) - 1))
+            top = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
+            tg.append(top[1] * len(top[0]) / len(t))
+        else:
+            tg.append(0.0)
+    return (
+        batch.append_column("dup_line_frac", pa.array(dl, type=pa.float64()))
+        .append_column("dup_line_char_frac",
+                       pa.array(dlc, type=pa.float64()))
+        .append_column("top_2gram_char_frac",
+                       pa.array(tg, type=pa.float64()))
+    )
