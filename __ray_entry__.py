@@ -1223,6 +1223,104 @@ LEFT JOIN (SELECT * FROM topg WHERE rn = 1) t ON t.doc_id = d.doc_id
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style corpus-global line dedup + document reassembly. Decision
+    is a keys-only (lfp, okey) shuffle; surviving line payloads reach the
+    reassembly via the partition-aligned `winner_filter`, never an
+    all-to-all (functions/paragraphs.py for the full scale argument)."""
+    import tempfile
+
+    from webextract.functions.paragraphs import paragraph_dedup
+
+    return paragraph_dedup(
+        lambda: _docs(sf_dir, ["doc_id", "text"]),
+        tmp_dir=tempfile.mkdtemp(prefix="paradedup_"),
+    )
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH lx AS (
+  SELECT doc_id, i::BIGINT AS idx, l[i+1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+       unnest(range(0, len(l))) t(i)
+),
+keep AS (
+  SELECT doc_id, idx, line FROM lx
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+FROM keep GROUP BY doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: eval split = doc_id % 97 == 0; training
+    docs flagged when any word 8-gram also occurs in the eval split
+    (broadcast semi-join — functions/decontam.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webextract.functions.decontam import decontaminate
+
+    def _mod97(b):
+        return b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+
+    def eval_split(b):
+        return b.filter(pa.array(_mod97(b)))
+
+    def train_split(b):
+        return b.filter(pa.array(~_mod97(b)))
+
+    ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_split, batch_format="pyarrow")
+    tr = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        train_split, batch_format="pyarrow")
+    return decontaminate(tr, ev).select_columns(["doc_id", "contaminated"])
+
+
+_SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[\s\x{0b}]+'),
+                x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(words[i+1:i+8], ' ') AS gram
+  FROM w, unnest(range(0, greatest(len(words) - 7, 0))) AS t(i)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+bad AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated
+FROM documents d WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (en 25%, de 50%,
+    others 80%): key-derived LCG threshold, map-side only, SQL-mirrored
+    with identical constants (functions/sampling.py)."""
+    from webextract.functions.sampling import stratified_sample_batch
+
+    def sample(b):
+        return stratified_sample_batch(
+            b, rates_permille={"en": 250, "de": 500},
+            default_permille=800)
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        sample, batch_format="pyarrow")
+
+
+_SQL_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000
+      < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500 ELSE 800 END
+"""
+
+
 def q_seq_decode(sf_dir: str):
     """EOS-terminated sequence decode (RecAttnLabelDecode,
     rec_postprocess.py:255-346 analog): the first 20 chars of each doc are
@@ -1522,6 +1620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_relations": q_entity_relations,
         "seq_decode": q_seq_decode,
         "repetition_stats": q_repetition_stats,
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1612,6 +1713,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_relations": _SQL_ENTITY_RELATIONS,
         "seq_decode": _SQL_SEQ_DECODE,
         "repetition_stats": _SQL_REPETITION,
+        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "stratified_sample": _SQL_STRATIFIED,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (

@@ -152,3 +152,79 @@ def test_pubtab_to_cells_with_spans():
                     out.column("cell_text").to_pylist()))
     assert rows == [(0, 0, "wide"), (0, 2, "x"),
                     (1, 0, "a"), (1, 1, "b"), (1, 2, "c")]
+
+
+def test_mtwi2018_float_coords_and_sort():
+    from webextract.sources.converters import mtwi2018_to_quads
+
+    lines = [
+        "﻿10.5,10.0,90.2,10.0,90.2,40.7,10.5,40.7,hello",
+        "0,0,1,0,1,1,0,1,###",
+        "garbage-line",
+    ]
+    out = mtwi2018_to_quads(
+        pa.table({"record_id": ["img1"], "lines": [lines]}))
+    quads = out.column("quads")[0].as_py()
+    assert len(quads) == 2
+    assert quads[0]["text"] == "hello" and not quads[0]["ignore"]
+    # clockwise from top-left: floats preserved
+    assert quads[0]["points"][:2] == [10.5, 10.0]
+    assert quads[1]["ignore"] and quads[1]["text"] == ""
+
+
+def test_syntext150k_bbox_and_rec_decode():
+    from webextract.sources.converters import syntext150k_to_quads
+
+    doc = json.dumps({
+        "images": [{"id": 60001, "file_name": "0000000.jpg",
+                    "width": 400, "height": 600},
+                   {"id": 60002, "width": 10, "height": 10}],
+        "annotations": [
+            {"image_id": 60001, "bbox": [218.0, 406.0, 138.0, 47.0],
+             # 'the' in printable-ASCII ids (offset 32), then the CJK id
+             "rec": [ord('t') - 32, ord('h') - 32, ord('e') - 32, 95, 96]},
+            {"image_id": 60002, "bbox": [1, 2, 3, 4], "rec": []},
+        ],
+    })
+    out = syntext150k_to_quads(pa.table({"json": [doc]}))
+    assert out.column("record_id").to_pylist() == ["0000000.jpg",
+                                                   "0060002.jpg"]
+    q = out.column("quads")[0].as_py()[0]
+    assert q["text"] == "the口"   # id 96 (> vocab) dropped, 95 -> CJK
+    assert q["points"] == [218.0, 406.0, 356.0, 406.0,
+                           356.0, 453.0, 218.0, 453.0]
+
+
+def test_synthadd_rec_lines():
+    from webextract.sources.converters import synthadd_to_spans
+
+    out = synthadd_to_spans(pa.table({
+        "folder": ["crop_img_1"],
+        "lines": [['1.jpg,"Hello, world"', "bad line", '2.jpg,"x"']],
+    }))
+    assert out.column("record_id").to_pylist() == [
+        "crop_img_1/1.jpg", "crop_img_1/?", "crop_img_1/2.jpg"]
+    assert out.column("gold_text").to_pylist() == ["Hello, world", "", "x"]
+    assert out.column("error")[1].as_py().startswith("unparseable")
+
+
+def test_publaynet_layout_rows():
+    from webextract.sources.converters import publaynet_to_layout
+
+    doc = json.dumps({
+        "images": [{"id": 1, "file_name": "p1.jpg",
+                    "width": 200, "height": 100}],
+        "annotations": [
+            {"image_id": 1, "bbox": [50, 25, 100, 50], "category_id": 2},
+            {"image_id": 1, "bbox": [0, 0, 20, 10], "category_id": 9},
+            {"image_id": 42, "bbox": [0, 0, 1, 1], "category_id": 1},
+        ],
+    })
+    out = publaynet_to_layout(pa.table({"json": [doc]}))
+    assert out.num_rows == 2          # unknown image dropped
+    assert out.column("category").to_pylist() == [0, -1]  # remap 2->0
+    assert out.column("x_center")[0].as_py() == 0.5
+    assert out.column("y_center")[0].as_py() == 0.5
+    assert out.column("w")[0].as_py() == 0.5
+    assert out.column("h")[0].as_py() == 0.5
+    assert out.column("error")[1].as_py().startswith("unknown category")

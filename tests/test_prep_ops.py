@@ -1,0 +1,83 @@
+"""Paragraph dedup, decontamination, stratified sampling."""
+
+import pyarrow as pa
+import ray.data
+
+
+def test_explode_lines_okey_and_branches():
+    from webextract.functions.paragraphs import explode_lines
+
+    t = pa.table({"doc_id": [3], "text": ["a\nb\na"]})
+    out = explode_lines(t)
+    assert out.column("okey").to_pylist() == [
+        (3 << 20) | 0, (3 << 20) | 1, (3 << 20) | 2]
+    assert out.column("line").to_pylist() == ["a", "b", "a"]
+    # duplicate lines share the fingerprint
+    lfp = out.column("lfp").to_pylist()
+    assert lfp[0] == lfp[2] != lfp[1]
+    nokeys = explode_lines(t, with_text=False)
+    assert nokeys.column_names == ["okey", "lfp"]  # keys-only branch
+
+
+def test_paragraph_dedup_e2e(tmp_path):
+    from webextract.functions.paragraphs import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["keep me\nshared line\nunique one",
+                 "shared line\nsecond doc",
+                 "shared line"],
+    })
+
+    out = paragraph_dedup(
+        lambda: ray.data.from_arrow(docs).repartition(3),
+        tmp_dir=str(tmp_path / "wf"),
+    ).to_pandas().set_index("doc_id").sort_index()
+    # first occurrence (doc 1, idx 1) keeps "shared line"; docs 2/3 lose it
+    assert out.loc[1, "text"] == "keep me\nshared line\nunique one"
+    assert out.loc[2, "text"] == "second doc"
+    assert 3 not in out.index  # every line deduped away -> doc vanishes
+
+
+def test_ngram_hashes_and_flagger():
+    from webextract.functions.decontam import (
+        ngram_hashes, collect_eval_grams, decontaminate)
+
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": [0],
+        "text": ["one two three four five six seven eight nine"],
+    }))
+    tr = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": [
+            # shares the 8-gram "two three ... nine"
+            "zzz two three four five six seven eight nine",
+            "completely different words with no overlap at all here",
+        ],
+    }))
+    out = (decontaminate(tr, ev, concurrency=1)
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[1, "contaminated"]) is True
+    assert bool(out.loc[2, "contaminated"]) is False
+    assert ngram_hashes("a b c", n=8) == []  # short doc: no grams
+
+
+def test_stratified_sample_matches_scalar_rule():
+    from webextract.functions.sampling import stratified_sample_batch
+
+    ids = list(range(1000))
+    langs = ["en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr")
+             for i in ids]
+    t = pa.table({"doc_id": ids, "lang": langs})
+    out = stratified_sample_batch(
+        t, rates_permille={"en": 250, "de": 500}, default_permille=800)
+    kept = set(out.column("doc_id").to_pylist())
+    rates = {"en": 250, "de": 500}
+    for i, lang in zip(ids, langs):
+        h = ((i % (1 << 31)) * 1103515245 + 12345) % (1 << 31)
+        expect = (h % 1000) < rates.get(lang, 800)
+        assert (i in kept) == expect, (i, lang)
+    # sanity: strata actually thinned at different rates
+    import collections
+    per = collections.Counter(out.column("lang").to_pylist())
+    assert per["en"] < per["de"] < per["fr"]

@@ -72,6 +72,18 @@ Round-3 batch 2 (completing the inventory, 24 total):
 * :func:`ccpd_to_quads` — CCPD: annotation decoded from the FILE NAME
   (vertices + license-plate index tables) (`ccpd.py`).
 
+Round-3 batch 3 (inventory complete — every `tools/dataset_converters/*`
+format):
+
+* :func:`mtwi2018_to_quads` — MTWI-2018 float-coordinate lines, clockwise
+  sort (`mtwi2018.py`).
+* :func:`syntext150k_to_quads` — SynText150k COCO JSON; bbox -> corners,
+  `rec` char-id decode via the printable-ASCII table (`syntext150k.py`).
+* :func:`synthadd_to_spans` — SynthAdd `name.jpg,"label"` rec lines ->
+  (record_id, gold_text) rows, the LMDB-sink analog (`synthadd.py`).
+* :func:`publaynet_to_layout` — PubLayNet COCO JSON -> normalized YOLO
+  layout rows with the category remap (`publaynet.py`).
+
 Geometry (`_sort_clockwise`, `_poly_is_valid`, `_convex_hull`) is
 pure-numpy/python — the container has no shapely/cv2.
 """
@@ -80,6 +92,7 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 from typing import List
 
 import pyarrow as pa
@@ -551,7 +564,7 @@ def ctw1500_to_quads(batch: pa.Table, *, id_col: str = "record_id",
                           batch.column(lines_col).to_pylist()):
         out = []
         for line in lines or []:
-            tmp = line.lstrip("﻿").strip("\n\r").split(",####")
+            tmp = line.lstrip("\ufeff").strip("\n\r").split(",####")
             if not tmp or not tmp[0]:
                 continue
             coords = tmp[0].split(",")
@@ -714,7 +727,7 @@ def td500_to_quads(batch: pa.Table, *, id_col: str = "record_id",
                           batch.column(lines_col).to_pylist()):
         out = []
         for line in lines or []:
-            tmp = line.lstrip("﻿").strip("\n").split(" ")
+            tmp = line.lstrip("\ufeff").strip("\n").split(" ")
             if len(tmp) < 7:
                 continue
             try:
@@ -863,7 +876,7 @@ def rctw17_to_quads(batch: pa.Table, *, id_col: str = "record_id",
                           batch.column(lines_col).to_pylist()):
         out = []
         for line in lines or []:
-            tmp = line.lstrip("﻿").strip("\n\r").split(",", 9)
+            tmp = line.lstrip("\ufeff").strip("\n\r").split(",", 9)
             if len(tmp) < 10:
                 continue
             try:
@@ -922,7 +935,7 @@ def borndigital_to_quads(batch: pa.Table, *, id_col: str = "record_id",
                           batch.column(lines_col).to_pylist()):
         out = []
         for line in lines or []:
-            parts = line.lstrip("﻿").rstrip("\n\r").split(", ", 4)
+            parts = line.lstrip("\ufeff").rstrip("\n\r").split(", ", 4)
             if len(parts) < 5:
                 continue
             try:
@@ -1040,3 +1053,153 @@ def ccpd_to_quads(batch: pa.Table, *, name_col: str = "file_name") -> pa.Table:
         quads.append([{"points": _flat(pts), "text": text,
                        "ignore": False, "script": ""}])
     return _quad_table(ids, quads)
+
+
+def mtwi2018_to_quads(batch: pa.Table, *, id_col: str = "record_id",
+                      lines_col: str = "lines") -> pa.Table:
+    """MTWI-2018 per-record gt lines -> quad rows (mtwi2018.py:38-66).
+
+    Line format `x1,y1,...,x4,y4,transcription` with FLOAT coordinates
+    (the reference keeps them float, unlike ic15's ints), corners
+    re-sorted clockwise, `###` -> ignore, and a UTF-8 BOM stripped
+    (label files are utf-8-sig)."""
+    ids, quads = [], []
+    for rid, lines in zip(batch.column(id_col).to_pylist(),
+                          batch.column(lines_col).to_pylist()):
+        out = []
+        for line in lines or []:
+            line = line.lstrip("\ufeff").strip("\n\r")
+            if not line:
+                continue
+            parts = line.split(",", 8)
+            if len(parts) < 9:
+                continue
+            try:
+                pts = [[float(parts[i]), float(parts[i + 1])]
+                       for i in range(0, 8, 2)]
+            except ValueError:
+                continue
+            pts = _sort_clockwise(pts)
+            text = parts[8]
+            out.append({"points": _flat(pts),
+                        "text": "" if text == "###" else text,
+                        "ignore": text == "###", "script": ""})
+        ids.append(rid)
+        quads.append(out)
+    return _quad_table(ids, quads)
+
+
+# SynText150k's rec field encodes characters as indices into the 95
+# printable ASCII chars (32..126); index 95 is the CJK placeholder
+# (syntext150k.py:28-125,135-142).
+_SYNTEXT_VOCAB = [chr(c) for c in range(32, 127)]
+
+
+def syntext150k_to_quads(batch: pa.Table, *, json_col: str = "json") -> pa.Table:
+    """SynText150k COCO-format JSON -> per-image quad rows
+    (syntext150k.py:144-180): bbox [x,y,w,h] -> 4 int corners, the `rec`
+    char-id list decoded through the printable-ASCII table (id 95 -> the
+    CJK placeholder), images keyed by file_name (falling back to the
+    zero-padded image id). Bezier control points are metadata the quad
+    schema intentionally drops (curve rendering is out of scope)."""
+    ids, quads = [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        names = {}
+        for img in data.get("images", []):
+            names[img["id"]] = str(
+                img.get("file_name") or "{:07d}.jpg".format(img["id"]))
+        per_img = {}
+        for anno in data.get("annotations", []):
+            x, y, w, h = anno["bbox"]
+            pts = [[int(x), int(y)], [int(x + w), int(y)],
+                   [int(x + w), int(y + h)], [int(x), int(y + h)]]
+            text = "".join(
+                "口" if i == 95 else _SYNTEXT_VOCAB[i]
+                for i in anno.get("rec", []) if i <= 95)
+            per_img.setdefault(anno["image_id"], []).append(
+                {"points": _flat(pts), "text": text,
+                 "ignore": False, "script": ""})
+        for img_id in sorted(per_img):
+            ids.append(names.get(img_id, "{:07d}.jpg".format(img_id)))
+            quads.append(per_img[img_id])
+    return _quad_table(ids, quads)
+
+
+_SYNTHADD_LINE_RE = None
+
+
+def synthadd_to_spans(batch: pa.Table, *, folder_col: str = "folder",
+                      line_col: str = "lines") -> pa.Table:
+    """SynthAdd rec annotation lines -> (record_id, gold_text) rows
+    (synthadd.py:26-36): each `gt_i.txt` line is `name.jpg,"label"`
+    (regex-matched exactly as the reference does — malformed lines are
+    quarantined to an error row rather than asserting); record_id is
+    `crop_img_i/name.jpg`."""
+    global _SYNTHADD_LINE_RE
+    if _SYNTHADD_LINE_RE is None:
+        _SYNTHADD_LINE_RE = re.compile(r'(\w+.jpg),"(.+)"$')
+    ids, texts, errs = [], [], []
+    for folder, lines in zip(batch.column(folder_col).to_pylist(),
+                             batch.column(line_col).to_pylist()):
+        for line in lines or []:
+            m = _SYNTHADD_LINE_RE.match(line.rstrip("\n\r"))
+            if m is None:
+                ids.append(folder + "/?")
+                texts.append("")
+                errs.append("unparseable line: " + line[:64])
+                continue
+            ids.append(folder + "/" + m.group(1))
+            texts.append(m.group(2))
+            errs.append("")
+    return pa.table({
+        "record_id": pa.array(ids, type=pa.string()),
+        "gold_text": pa.array(texts, type=pa.string()),
+        "error": pa.array(errs, type=pa.string()),
+    })
+
+
+# PubLayNet COCO category ids -> YOLO class ids (publaynet.py:4)
+_PUBLAYNET_CATEGORIES = {1: 1, 2: 0, 3: 4, 4: 3, 5: 2}
+
+
+def publaynet_to_layout(batch: pa.Table, *, json_col: str = "json") -> pa.Table:
+    """PubLayNet COCO JSON -> normalized YOLO layout rows
+    (publaynet.py:34-69): one row per annotation with the remapped
+    category id and the box as center/size fractions of the page, keyed
+    by the image file name. Unknown category ids are quarantined (error
+    column) instead of KeyError-ing the batch."""
+    rids, cats, xcs, ycs, ws, hs, errs = [], [], [], [], [], [], []
+    for doc in batch.column(json_col).to_pylist():
+        try:
+            data = json.loads(doc or "{}")
+        except json.JSONDecodeError:
+            continue
+        dims = {img["id"]: (str(img["file_name"]), img["width"], img["height"])
+                for img in data.get("images", [])}
+        for anno in data.get("annotations", []):
+            if anno["image_id"] not in dims:
+                continue
+            name, width, height = dims[anno["image_id"]]
+            x, y, w, h = anno["bbox"]
+            cat = _PUBLAYNET_CATEGORIES.get(anno.get("category_id"))
+            rids.append(name)
+            cats.append(-1 if cat is None else cat)
+            xcs.append((x + w * 0.5) / width)
+            ycs.append((y + h * 0.5) / height)
+            ws.append(w / width)
+            hs.append(h / height)
+            errs.append("" if cat is not None else
+                        "unknown category_id: %r" % (anno.get("category_id"),))
+    return pa.table({
+        "record_id": pa.array(rids, type=pa.string()),
+        "category": pa.array(cats, type=pa.int32()),
+        "x_center": pa.array(xcs, type=pa.float64()),
+        "y_center": pa.array(ycs, type=pa.float64()),
+        "w": pa.array(ws, type=pa.float64()),
+        "h": pa.array(hs, type=pa.float64()),
+        "error": pa.array(errs, type=pa.string()),
+    })
