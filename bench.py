@@ -58,23 +58,21 @@ def ensure_corpus(sf_dir: str, mult: int = 1) -> str:
 def run_headline(corpus_path: str, num_cpus: int, out_dir: str) -> dict:
     import ray
 
-    from webextract.pipelines.extract_pipeline import extract_pages
-    from webextract.sources.pages import read_pages
+    from webextract.pipelines.extract_pipeline import read_extract_pages
 
-    # prune the oracle gold column at the read: a production pages table has
-    # no pre-filled text; the byte-identity pass is a separate job
-    ds = read_pages(corpus_path, columns=["url", "warc_ts", "html", "lang"])
     in_bytes = sum(
         os.path.getsize(os.path.join(corpus_path, f))
         for f in os.listdir(corpus_path)
         if f.endswith(".parquet")
     )
     t0 = time.perf_counter()
-    # task-pool fused mode (concurrency=None): every CPU slot interchangeably
-    # reads/extracts/writes — measured 17.8 s vs 24.4 s (actor pool, 800k
-    # docs, 32 cpus) and needs no headroom sizing. bs512 amortizes the
-    # per-batch Arrow column builds (6.9 s vs 7.5 s at bs256 on 100k docs).
-    result = extract_pages(ds, concurrency=None, batch_size=512)
+    # SOURCE-FUSED path (read+extract+emit in one task per row group): the
+    # html payload never crosses the object store. At 32-wide the standard
+    # read->map path is plasma-bandwidth-bound — measured 60.9 s vs 35.9 s
+    # fused on the 2.4M-doc tier (39k vs 67k docs/s); identical output
+    # rows (pytest-pinned). Column pruning (no gold text) happens in the
+    # fused reader's `columns` list.
+    result = read_extract_pages(corpus_path, batch_size=512)
     result.write_parquet(out_dir)
     elapsed = time.perf_counter() - t0
     import pyarrow.parquet as pq
