@@ -1321,6 +1321,40 @@ WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000
 """
 
 
+def q_host_quota(sf_dir: str):
+    """Per-domain document cap (Gopher §A1.2 caps docs per domain to
+    bound source skew): keep the first `k` docs per source, by doc_id.
+
+    Scale shape = the `dedup_docs_rows` discipline: the keyed decision is
+    a (source, doc_id) keys-only shuffle whose groups emit at most k
+    winner ids; full rows are then retrieved map-side with
+    `winner_filter`, so text payloads never cross an all-to-all."""
+    import tempfile
+
+    from webextract.functions.dedup import winner_filter
+
+    k = 3
+
+    def topk(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())[:k]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    keys = _docs(sf_dir, ["source", "doc_id"])
+    winners = keys.groupby("source").map_groups(
+        topk, batch_format="pyarrow")
+    out = winner_filter(
+        _docs(sf_dir, ["doc_id", "source", "lang"]), winners, "doc_id",
+        tmp_dir=tempfile.mkdtemp(prefix="hostquota_"),
+    )
+    return out.select_columns(["doc_id", "source", "lang"])
+
+
+_SQL_HOST_QUOTA = """
+SELECT doc_id, source, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 3
+"""
+
+
 def q_seq_decode(sf_dir: str):
     """EOS-terminated sequence decode (RecAttnLabelDecode,
     rec_postprocess.py:255-346 analog): the first 20 chars of each doc are
@@ -1623,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "host_quota": q_host_quota,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1716,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
         "stratified_sample": _SQL_STRATIFIED,
+        "host_quota": _SQL_HOST_QUOTA,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (

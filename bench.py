@@ -132,6 +132,7 @@ def run_secondary(sf_dir: str, num_cpus: int) -> dict:
         "similarity_topk": entrymod.q_similarity_topk,
         "events_window": entrymod.q_events_window,
         "pricing_summary": entrymod.q_pricing_summary,
+        "paragraph_dedup": entrymod.q_paragraph_dedup,
     }
     times = {}
     for name, fn in conc_queries.items():
