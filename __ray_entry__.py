@@ -1029,6 +1029,101 @@ FROM e
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each click matched to the latest prior (or
+    simultaneous) view by the same user (functions/temporal.asof_join —
+    one keys+ids shuffle, vectorized searchsorted merge per user)."""
+    import ray.data
+
+    from webextract.functions.temporal import asof_join
+
+    def load(event_type: str, id_name: str, ts_name: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ).filter(expr=f"event_type == '{event_type}'")
+
+        def conv(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": b.column("user_id"),
+                ts_name: b.column("ts").cast(pa.int64()),
+                id_name: b.column("event_id"),
+            })
+
+        schema = pa.schema([("user_id", pa.int64()), (ts_name, pa.int64()),
+                            (id_name, pa.int64())])
+        return ds.map_batches(conv, batch_format="pyarrow"), schema
+
+    clicks, lschema = load("click", "event_id", "ts_us")
+    views, rschema = load("view", "view_event_id", "view_ts_us")
+    return asof_join(
+        clicks, views, by="user_id", left_ts="ts_us", right_ts="view_ts_us",
+        left_schema=lschema, right_schema=rschema, how="inner",
+    )
+
+
+# Right-side ts ties resolve to the max view_event_id in the engine (stable
+# tie-break sort on the payload column) — the GROUP BY here mirrors that.
+_SQL_EVENTS_ASOF = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts_us, c.event_id, v.view_ts_us, v.view_event_id
+FROM c ASOF JOIN v
+  ON c.user_id = v.user_id AND c.ts_us >= v.view_ts_us
+"""
+
+
+# 50 deterministic overlapping windows: lo_i = 2024-01-01 + i*37 min,
+# width 53 min (overlap factor 53/37), shared by engine and oracle.
+_IV_BASE_US = 1_704_067_200_000_000  # epoch_us('2024-01-01')
+_IV_STEP_US = 37 * 60 * 1_000_000
+_IV_WIDTH_US = 53 * 60 * 1_000_000
+_IV_N = 50
+
+
+def q_events_interval(sf_dir: str):
+    """Interval (range) join: events against 50 overlapping time windows,
+    broadcast probe with no shuffle (functions/temporal.interval_join)."""
+    import ray.data
+
+    from webextract.functions.temporal import interval_join
+
+    intervals = pa.table({
+        "interval_id": pa.array(range(_IV_N), type=pa.int64()),
+        "lo": pa.array([_IV_BASE_US + i * _IV_STEP_US for i in range(_IV_N)],
+                       type=pa.int64()),
+        "hi": pa.array(
+            [_IV_BASE_US + i * _IV_STEP_US + _IV_WIDTH_US
+             for i in range(_IV_N)], type=pa.int64()),
+    })
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def conv(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts_us": b.column("ts").cast(pa.int64())})
+
+    ds = ds.map_batches(conv, batch_format="pyarrow")
+    return interval_join(ds, intervals, ts="ts_us")
+
+
+_SQL_EVENTS_INTERVAL = f"""
+WITH iv AS (
+  SELECT i AS interval_id,
+         {_IV_BASE_US} + i * {_IV_STEP_US} AS lo,
+         {_IV_BASE_US} + i * {_IV_STEP_US} + {_IV_WIDTH_US} AS hi
+  FROM range({_IV_N}) t(i)
+)
+SELECT e.event_id, epoch_us(e.ts) AS ts_us, iv.interval_id
+FROM events e JOIN iv ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization per user (30-minute gap)."""
     import ray.data
@@ -1658,6 +1753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "host_quota": q_host_quota,
+        "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1752,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "stratified_sample": _SQL_STRATIFIED,
         "host_quota": _SQL_HOST_QUOTA,
+        "events_asof": _SQL_EVENTS_ASOF,
+        "events_interval": _SQL_EVENTS_INTERVAL,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (
