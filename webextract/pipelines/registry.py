@@ -126,7 +126,7 @@ def _op_repartition(ds, *, num_blocks: int, shuffle: bool = False):
 @register("salted_repartition")
 def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
                            salt_buckets: int = 16, key_extract: str = None,
-                           subkey: str = None):
+                           subkey: str = None, strategy: str = "sort"):
     """Skew defense: DETERMINISTIC hash partition on (key, salt).
 
     Every row gets a transient partition value whose HIGH bits are a
@@ -145,6 +145,14 @@ def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
       by crawl host — the hot-host case).
     * `subkey`: column providing the per-row salt component (defaults to the
       raw `key` column, which is unique for url-keyed tables).
+    * `strategy`: ``"sort"`` (default) range-partitions via a global sort on
+      the salt — rows get a byte-stable TOTAL order, so block contents AND
+      intra-block row order are identical across runs. ``"hash"`` uses
+      Ray's hash-shuffle repartition on the salt column (one all-to-all,
+      no sort): partition CONTENTS are still a pure function of row bytes
+      (salt -> partition is Ray's stable hash), but intra-block row order
+      follows block arrival — prefer it at 100 TB where the sort's extra
+      exchange dominates and downstream ops are order-insensitive.
 
     Everything is a pure function of row content — byte-identical partition
     assignment across runs (the resume-determinism contract, SURVEY.md §7.4).
@@ -191,6 +199,22 @@ def _op_salted_repartition(ds, *, key: str = "url", num_blocks: int = 64,
         return batch.append_column("_salt", pa.array(salts, type=pa.int64()))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    if strategy == "hash":
+        import copy
+
+        from ray.data.context import ShuffleStrategy
+
+        out = salted.repartition(num_blocks, keys=["_salt"])
+        # The planner validates keyed repartition against the PLAN's
+        # captured DataContext (shared object up the whole lineage chain),
+        # not the thread-local one — give this plan its own copy so the
+        # hash strategy applies here without leaking to the caller's
+        # dataset or to the global context.
+        out._plan._context = copy.deepcopy(out._plan._context)
+        out._plan._context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return out.drop_columns(["_salt"])
+    if strategy != "sort":
+        raise ValueError(f"salted_repartition: unknown strategy={strategy!r}")
     return salted.sort("_salt").repartition(num_blocks).drop_columns(["_salt"])
 
 
