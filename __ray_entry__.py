@@ -1029,6 +1029,29 @@ FROM e
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per doc (functions/tfidf.py — two keys-only
+    shuffles, idf as an exact integer ratio so doubles match the oracle)."""
+    from webextract.functions.tfidf import tfidf_topk
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), n_docs=n_docs, k=3)
+
+
+_SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id, tf.word, tf, df, (tf * n.n)::DOUBLE / df AS score
+FROM tf JOIN df USING (word), n
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, tf.word) <= 3
+"""
+
+
 def q_events_asof(sf_dir: str):
     """Backward as-of join: each click matched to the latest prior (or
     simultaneous) view by the same user (functions/temporal.asof_join —
@@ -1755,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota": q_host_quota,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "tfidf_topk": q_tfidf_topk,
         "table_extract": q_table_extract,
         "table_cell_match": q_table_cell_match,
         "similarity_topk": q_similarity_topk,
@@ -1851,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quota": _SQL_HOST_QUOTA,
         "events_asof": _SQL_EVENTS_ASOF,
         "events_interval": _SQL_EVENTS_INTERVAL,
+        "tfidf_topk": _SQL_TFIDF,
         "table_extract": _SQL_TABLE_EXTRACT,
         "table_cell_match": _SQL_CELL_MATCH,
         "similarity_topk": (
