@@ -162,7 +162,7 @@ def _pin_cpus(num_cpus: int) -> None:
         pass  # non-Linux: best effort
 
 
-def bench_once(headline_only: bool = False, mult: int = 1, repeats: int = 1) -> dict:
+def bench_once(headline_only: bool = False, mult: int = 1, repeats: int = 2) -> dict:
     import ray
 
     sf_dir = _sf_dir()
@@ -330,8 +330,9 @@ if __name__ == "__main__":
     p.add_argument("--headline-only", action="store_true")
     p.add_argument("--mult", type=int, default=1,
                    help="corpus size multiplier vs the bench tier")
-    p.add_argument("--repeats", type=int, default=1,
-                   help="timed headline repetitions; best (min) is reported")
+    p.add_argument("--repeats", type=int, default=2,
+                   help="timed headline repetitions; best (min) is reported "
+                        "(default 2: single samples vary ~2x on this box)")
     args = p.parse_args()
     if args.control:
         print(json.dumps(pure_cpu_control()))
