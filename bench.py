@@ -136,12 +136,16 @@ def run_secondary(sf_dir: str, num_cpus: int) -> dict:
     }
     times = {}
     for name, fn in conc_queries.items():
-        t0 = time.perf_counter()
-        ds = fn(sf_dir)
-        # consume fully without materializing to the driver
-        for _ in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            pass
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: single samples vary ~2x on this box
+            t0 = time.perf_counter()
+            ds = fn(sf_dir)
+            # consume fully without materializing to the driver
+            for _ in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                pass
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
