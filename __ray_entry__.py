@@ -28,9 +28,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# Concurrency kept modest: the correctness driver runs at sf=0.01 on a
-# shared local Ray; bench.py owns the full-width settings.
-_CONC = (1, 4)
+def _conc():
+    """Actor-pool bounds for the oracle queries: (1, 4) measured-best.
+
+    A wider cap (tried (1, 16) at 32 cpus) made every secondary SLOWER at
+    the sf0.1 tier — actor ramp latency dominates these short runs and the
+    extra pools starve task stages. Override via RAY_GRAFT_QUERY_CONC for
+    experiments on bigger corpora."""
+    import os
+
+    return (1, int(os.environ.get("RAY_GRAFT_QUERY_CONC", "4")))
 
 
 def _docs(sf_dir: str, columns=None):
@@ -48,7 +55,7 @@ def _extract_ds(sf_dir: str):
     from webextract.pipelines.extract_pipeline import extract_pages
     from webextract.sources.pages import pages_from_documents
 
-    return extract_pages(pages_from_documents(sf_dir), concurrency=_CONC)
+    return extract_pages(pages_from_documents(sf_dir), concurrency=_conc())
 
 
 def q_extract_text(sf_dir: str):
@@ -140,7 +147,7 @@ def q_training_prep(sf_dir: str):
 
     return prep_training_data(
         pages_from_documents(sf_dir), chunk_tokens=64, min_quality=0.5,
-        concurrency=_CONC,
+        concurrency=_conc(),
     )
 
 
@@ -326,7 +333,7 @@ def q_pii_scan(sf_dir: str):
         PiiScanner,
         fn_constructor_kwargs={"redact_col": False},
         batch_format="pyarrow",
-        concurrency=_CONC,
+        concurrency=_conc(),
     )
 
     def project(b: pa.Table) -> pa.Table:
@@ -448,7 +455,7 @@ def q_minhash_signatures(sf_dir: str):
     from webextract.functions.dedup import MinHasher
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=_CONC
+        MinHasher, batch_format="pyarrow", concurrency=_conc()
     )
 
     def project(b: pa.Table) -> pa.Table:
@@ -680,7 +687,7 @@ def q_orders_by_segment(sf_dir: str):
         SegmentJoiner,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow",
-        concurrency=_CONC,
+        concurrency=_conc(),
     )
     return (
         joined.groupby("c_mktsegment")
@@ -854,7 +861,7 @@ def q_pii_recall(sf_dir: str):
         PiiScanner,
         fn_constructor_kwargs={"redact_col": False},
         batch_format="pyarrow",
-        concurrency=_CONC,
+        concurrency=_conc(),
     )
 
     def project(b: pa.Table) -> pa.Table:
@@ -1507,7 +1514,7 @@ def q_seq_decode(sf_dir: str):
             SeqDecodeUDF,
             fn_constructor_kwargs={"kind": "attn", "charset": charset},
             batch_format="pyarrow",
-            concurrency=_CONC,
+            concurrency=_conc(),
         )
         .select_columns(["doc_id", "text"])
     )
@@ -1682,7 +1689,7 @@ def q_similarity_topk(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return topk_cosine(ds, _query_vec(sf_dir), k=10, concurrency=_CONC)
+    return topk_cosine(ds, _query_vec(sf_dir), k=10, concurrency=_conc())
 
 
 def q_similarity_topk_lsh(sf_dir: str):
@@ -1693,7 +1700,7 @@ def q_similarity_topk_lsh(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return topk_cosine_lsh(ds, _query_vec(sf_dir), k=5, n_planes=4,
-                           concurrency=_CONC)
+                           concurrency=_conc())
 
 
 def q_similarity_topk_ivf(sf_dir: str):
@@ -1704,7 +1711,7 @@ def q_similarity_topk_ivf(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return topk_cosine_ivf(ds, _query_vec(sf_dir), k=5, n_centroids=8,
-                           nprobe=2, concurrency=_CONC)
+                           nprobe=2, concurrency=_conc())
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1716,7 +1723,7 @@ def q_embedding_neardup(sf_dir: str):
                                columns=["vec_id", "embedding"])
     dim = len(_query_vec(sf_dir))
     return embedding_neardup(ds, tau=0.95, dim=dim, n_planes=6,
-                             concurrency=_CONC)
+                             concurrency=_conc())
 
 
 # --------------------------------------------------------------------------
