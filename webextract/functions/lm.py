@@ -1,0 +1,106 @@
+"""Corpus-unigram LM quality scoring (CCNet-style), fully distributed.
+
+CCNet/LLaMA-lineage pipelines score every document by its perplexity under
+a language model trained on a trusted corpus and filter on that score
+(Wenzek et al. 2019, "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data"). The reference's analog is dictionary-confidence
+scoring of recognized text (`mindocr/postprocess/rec_postprocess.py`
+char-dict softmax confidence + `drop_score` gating); the corpus-level
+re-expression is bits-per-token under the corpus's own unigram LM.
+
+Cross-engine exactness: a float ``-log2 p`` sum is order-dependent, so the
+per-token information content is QUANTIZED TO INTEGER BITS:
+
+    bits(w) = bit_length(total_tokens // count(w))
+
+i.e. ``floor(log2(N / cnt)) + 1`` within 1 bit of the true unigram
+information content — and a per-doc score that is a sum of INTEGERS with
+one final integer/integer division, so the engine and a DuckDB oracle
+produce bit-identical doubles (`length(bin(n // cnt))` on the SQL side).
+
+Distributed shape (no driver-side vocabulary, no broadcast):
+
+1. `map_batches` explodes docs into ``(doc_id, word, tf)`` — tf complete
+   per batch because a document never spans rows.
+2. ONE keys-only ``groupby(word)`` attaches ``bits = bit_length(N // cnt)``
+   where ``cnt = sum(tf)`` over the group (global occurrence count).
+3. ONE ``groupby(doc_id)`` folds ``lm_bits = sum(tf*bits)``,
+   ``n_tokens = sum(tf)``, ``avg_bits = lm_bits / n_tokens``.
+
+Both shuffles move only ``(id, word, small ints)`` — text payloads never
+enter an all-to-all. At 100 TB the word-keyed exchange is the same one
+`tfidf_topk` already pays; hot words (stopwords) produce large groups but
+each group reduces to per-doc rows map-side within `map_groups`.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from webextract.functions.tfidf import _explode_tf
+
+
+def unigram_lm_scores(ds, *, total_tokens: int, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Score every doc: ``(doc_id, n_tokens, lm_bits, avg_bits)`` where
+    ``avg_bits`` is the quantized bits-per-token under the corpus unigram
+    LM (higher = rarer vocabulary; CCNet keeps the low/middle band).
+
+    ``total_tokens`` is the corpus token count (a prior one-number
+    aggregate, like ``n_docs`` for `tfidf_topk`) so the pipeline stays one
+    lazy graph.
+    """
+    pairs = ds.map_batches(_explode_tf(text_col, id_col),
+                           batch_format="pyarrow")
+
+    mid_schema = pa.schema([(id_col, pa.int64()), ("tf", pa.int64()),
+                            ("bits", pa.int64())])
+
+    def attach_bits(group: pa.Table) -> pa.Table:
+        cnt = 0
+        for v in group.column("tf").to_pylist():
+            cnt += v
+        bits = (total_tokens // cnt).bit_length()
+        return pa.table({
+            id_col: group.column(id_col),
+            "tf": group.column("tf"),
+            "bits": pa.array([bits] * group.num_rows, type=pa.int64()),
+        }, schema=mid_schema)
+
+    with_bits = pairs.groupby("word").map_groups(attach_bits,
+                                                 batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("lm_bits", pa.int64()), ("avg_bits", pa.float64()),
+    ])
+
+    def fold_doc(group: pa.Table) -> pa.Table:
+        tfs = group.column("tf").to_pylist()
+        bits = group.column("bits").to_pylist()
+        n_tokens = sum(tfs)
+        lm_bits = sum(t * b for t, b in zip(tfs, bits))
+        return pa.table({
+            id_col: group.column(id_col).slice(0, 1),
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "lm_bits": pa.array([lm_bits], type=pa.int64()),
+            "avg_bits": pa.array([lm_bits / n_tokens], type=pa.float64()),
+        }, schema=out_schema)
+
+    return with_bits.groupby(id_col).map_groups(fold_doc,
+                                                batch_format="pyarrow")
+
+
+def corpus_token_count(ds, *, text_col: str = "text") -> int:
+    """One-number corpus token total (split-on-space, matching
+    `_explode_tf`): per-batch partial sums -> driver adds a handful of
+    ints. The only driver-side state is one integer per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        for t in batch.column(text_col).to_pylist():
+            n += len((t or "").split(" "))
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return int(part.sum("n"))

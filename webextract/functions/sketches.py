@@ -255,3 +255,93 @@ def top_k_words(ds, text_col: str = "text", k: int = 10,
         .rename_columns({"sum(n)": "n"})
     )
     return counted.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+class CmsSketch:
+    """Count-min sketch: d x w int64 counters; point query = min over rows.
+
+    Deterministic double hashing: row r uses ``h1 + r*h2`` (Kirsch-
+    Mitzenstein composition) over the same 64-bit hashes as `HllSketch`,
+    with ``h2`` a SplitMix re-mix of ``h1``. Guarantees: estimates never
+    undercount, and overcount <= e*N/w with probability 1 - (1/2)^d for
+    N total insertions (Cormode & Muthukrishnan 2005).
+    """
+
+    def __init__(self, d: int = 4, w: int = 2048,
+                 table: Optional[np.ndarray] = None):
+        assert w & (w - 1) == 0, "w must be a power of two"
+        self.d, self.w = d, w
+        self.table = (
+            table.astype(np.int64).reshape(d, w)
+            if table is not None
+            else np.zeros((d, w), dtype=np.int64)
+        )
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) bucket indices for hash vector h."""
+        x = h + _H_A
+        x = (x ^ (x >> np.uint64(30))) * _H_B
+        x = (x ^ (x >> np.uint64(27))) * _H_C
+        h2 = x ^ (x >> np.uint64(31))
+        rows = np.arange(self.d, dtype=np.uint64)[:, None]
+        mask = np.uint64(self.w - 1)
+        return ((h[None, :] + rows * h2[None, :]) & mask).astype(np.int64)
+
+    def add(self, values: List[str]) -> "CmsSketch":
+        if values:
+            idx = self._indices(_hash64_str(values))
+            for r in range(self.d):
+                np.add.at(self.table[r], idx[r], 1)
+        return self
+
+    def merge(self, other: "CmsSketch") -> "CmsSketch":
+        self.table += other.table
+        return self
+
+    def estimate(self, value: str) -> int:
+        idx = self._indices(_hash64_str([value]))
+        return int(min(self.table[r, idx[r, 0]] for r in range(self.d)))
+
+
+def cms_word_counts(ds, probes: List[str], *, text_col: str = "text",
+                    d: int = 4, w: int = 2048):
+    """Approximate corpus frequency of each probe word via a distributed
+    count-min sketch: per-block partial sketches fold by element-wise SUM
+    (up to 128 partials per fold task, ~64 KB each), the driver merges
+    <= n_blocks/128 arrays, and the probes are answered from the merged
+    sketch. Returns a pyarrow Table (word, est) sorted by word.
+
+    Same scale shape as `approx_distinct`: sketch partials — never words —
+    cross the wire, and driver state is O(d*w), independent of corpus
+    size. Estimates never undercount; overcount <= e*N/w w.p. 1-2^-d.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in batch.column(text_col).to_pylist():
+            words.extend((t or "").split(" "))
+        sk = CmsSketch(d, w).add(words)
+        return pa.table({"cms": pa.array([sk.table.ravel().tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cms": pa.array([], type=pa.list_(pa.int64()))})
+        flat = np.asarray(
+            batch.column("cms").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(batch.num_rows, -1)
+        return pa.table({"cms": pa.array([flat.sum(axis=0).tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=128)
+    )
+    merged = CmsSketch(d, w)
+    for row in folded.take_all():
+        merged.merge(CmsSketch(d, w, np.asarray(row["cms"], dtype=np.int64)))
+    out = sorted(probes)
+    return pa.table({
+        "word": pa.array(out, type=pa.string()),
+        "est": pa.array([merged.estimate(p) for p in out], type=pa.int64()),
+    })

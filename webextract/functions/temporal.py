@@ -189,3 +189,43 @@ def interval_join(ds, intervals: pa.Table, *, ts: str, lo: str = "lo",
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def key_lag(ds, *, by: str, ts: str, payload: str):
+    """Per-key LAG window: for every row, attach the PREVIOUS row's
+    ``payload`` and the time gap within its ``by`` partition, ordered by
+    ``(ts, payload)`` (total + deterministic, the `sort_words_by_poly`
+    made-total discipline). Rows with no predecessor are dropped, so the
+    output needs no nullable columns.
+
+    Output columns: ``(by, ts, payload, prev_<payload>, gap)`` with all of
+    ``ts``/``payload`` int64. ONE keys-only shuffle (`groupby(by)`), a
+    vectorized lexsort + diff per group — no per-row Python in the group
+    body. Scale: group size is bounded by per-key activity, the same bound
+    `sessionize` already relies on; payloads larger than one int64 column
+    should be re-attached afterwards via `functions.dedup.winner_filter`.
+    """
+    out_schema = pa.schema([
+        (by, pa.int64()), (ts, pa.int64()), (payload, pa.int64()),
+        (f"prev_{payload}", pa.int64()), ("gap", pa.int64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        p = np.asarray(group.column(payload).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if len(t) < 2:
+            return out_schema.empty_table()
+        order = np.lexsort((p, t))
+        t, p = t[order], p[order]
+        key = group.column(by).slice(0, 1).to_pylist() * (len(t) - 1)
+        return pa.table({
+            by: pa.array(key, type=pa.int64()),
+            ts: pa.array(t[1:]),
+            payload: pa.array(p[1:]),
+            f"prev_{payload}": pa.array(p[:-1]),
+            "gap": pa.array(t[1:] - t[:-1]),
+        }, schema=out_schema)
+
+    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
