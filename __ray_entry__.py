@@ -1916,6 +1916,112 @@ def q_cms_word_counts(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 6: link graph — outlink extraction, host degrees, PageRank
+# --------------------------------------------------------------------------
+
+
+def q_extract_links(sf_dir: str):
+    """Outlink/anchor extraction from the raw page HTML
+    (stages/links.py — crop-fan-out analog over <a href> regions). The
+    oracle reconstructs the corpus's deterministic nav + sidebar link
+    inventory per doc; corrupt (%50==7) and pdf (%25==3) rows emit no
+    links, mirroring the segmenter's quarantine/doctype gating."""
+    from webextract.sources.pages import pages_from_documents
+    from webextract.stages.links import extract_links
+
+    return extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+
+
+_SQL_EXTRACT_LINKS = """
+WITH ok AS (
+  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
+),
+nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
+ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok)
+SELECT doc_id, '/p' || i AS href,
+  (['Home','About','Products','Blog','Contact','Careers','Support','News'])
+    [((doc_id + i) % 8) + 1] AS anchor
+FROM nav
+UNION ALL
+SELECT doc_id, '/ad' || i AS href,
+  (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
+    [((doc_id * 3 + i) % 8) + 1] AS anchor
+FROM ads
+"""
+
+# Synthetic host graph shared by the engine and the SQL oracle (modular
+# rules only, like the messy-url synthesis): src = doc_id % 20,
+# dst = (doc_id*7 + 3) % 20. dst is always odd-shifted so no self-loops.
+
+
+def _host_edges_ds(sf_dir: str):
+    def conv(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ids % 20, type=pa.int64()),
+            "dst": pa.array((ids * 7 + 3) % 20, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(conv, batch_format="pyarrow")
+
+
+def q_host_degree(sf_dir: str):
+    """Exact per-host out/in degree over the synthetic host link graph
+    (functions/graph.degree_stats — per-batch combiner, one keys-only
+    groupby; multi-edges counted with multiplicity)."""
+    from webextract.functions.graph import degree_stats
+
+    return degree_stats(_host_edges_ds(sf_dir))
+
+
+_SQL_HOST_DEGREE = """
+WITH e AS (
+  SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst FROM documents
+)
+SELECT node, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg FROM (
+  SELECT src AS node, 1 AS o, 0 AS i FROM e
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM e
+) GROUP BY node
+"""
+
+
+def q_pagerank_hosts(sf_dir: str):
+    """PageRank over the DISTINCT host graph (functions/graph.pagerank —
+    per-iteration join + groupby moving only (node, double) pairs).
+    Rows-only: cross-block float sums are order-dependent; exactness vs a
+    dense local reference is pinned by pytest instead."""
+    from webextract.functions.dedup import exact_dedup
+    from webextract.functions.graph import pagerank
+
+    def key(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        return b.append_column("ek", pa.array(s * 1000 + d,
+                                              type=pa.int64()))
+
+    keyed = _host_edges_ds(sf_dir).map_batches(key, batch_format="pyarrow")
+    distinct = exact_dedup(keyed.select_columns(["ek", "src"]),
+                           key_col="ek", order_col="src")
+
+    def unkey(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ek = b.column("ek").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ek // 1000, type=pa.int64()),
+            "dst": pa.array(ek % 1000, type=pa.int64()),
+        })
+
+    edges = distinct.map_batches(unkey, batch_format="pyarrow")
+    return pagerank(edges, n_iter=5)
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -1986,6 +2092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores": q_lm_scores,
         "events_lag": q_events_lag,
         "cms_word_counts": q_cms_word_counts,
+        "extract_links": q_extract_links,
+        "host_degree": q_host_degree,
+        "pagerank_hosts": q_pagerank_hosts,
     }
 
 
@@ -2092,8 +2201,11 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _SQL_URL_DEDUP,
         "lm_scores": _SQL_LM_SCORES,
         "events_lag": _SQL_EVENTS_LAG,
+        "extract_links": _SQL_EXTRACT_LINKS,
+        "host_degree": _SQL_HOST_DEGREE,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
-        # cms_word_counts: hash-internal or approximate operators — not
+        # cms_word_counts / pagerank_hosts: hash-internal or approximate
+        # (order-dependent float-sum) operators — not
         # SQL-expressible; driver records the weaker rows-only check.
     }

@@ -99,3 +99,186 @@ def connected_components(edges, *, a_col: str = "id_a", b_col: str = "id_b",
             break
         prev_sum = cur_sum
     return labels.rename_columns({"label": "component"})
+
+
+def degree_stats(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Exact per-node (out_deg, in_deg) over an edge Dataset.
+
+    The host_stats combiner discipline: each batch pre-aggregates its
+    (node -> out, in) partial counts, so the single groupby shuffles one
+    row per (block, node) — never one per edge. Returns a Dataset
+    (node, out_deg, in_deg) with int64 counts.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for s in batch.column(src_col).to_pylist():
+            c = counts.setdefault(s, [0, 0])
+            c[0] += 1
+        for d in batch.column(dst_col).to_pylist():
+            c = counts.setdefault(d, [0, 0])
+            c[1] += 1
+        nodes = sorted(counts)
+        return pa.table({
+            "node": pa.array(nodes, type=pa.int64()),
+            "out_part": pa.array([counts[n][0] for n in nodes],
+                                 type=pa.int64()),
+            "in_part": pa.array([counts[n][1] for n in nodes],
+                                type=pa.int64()),
+        })
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("out_part"), Sum("in_part"))
+        .rename_columns({"sum(out_part)": "out_deg",
+                         "sum(in_part)": "in_deg"})
+    )
+
+
+_S_RANKS = pa.schema([("src", pa.int64()), ("rank", pa.float64())])
+
+
+def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst"):
+    """Distributed PageRank by power iteration over an edge Dataset
+    (DISTINCT edges; multi-edges should be deduped upstream).
+
+    Per iteration: ONE hash join delivers rank(src)/out_deg(src) to each
+    edge, ONE groupby(dst) sums the inbound mass, and ONE union+groupby
+    re-bases every node (including in-degree-0 nodes) at
+    ``(1-d)/n + d*(in_mass + dangling/n)``. Every shuffle moves only
+    (node, double) pairs — the connected_components discipline. Ranks are
+    materialized per round (the iteration-reuse rule) and repartitioned to
+    a bounded width so block count cannot multiply across rounds.
+
+    Dangling-node mass (out-degree 0) is redistributed uniformly: the
+    dangling node SET is computed once (tiny anti join); its per-round
+    mass is one scalar. Float sums across blocks are order-dependent, so
+    ranks are approximate at the last bit — validate against a local
+    reference within tolerance (rows-only op, like the LSH/IVF family).
+    """
+    from ray.data.aggregate import Sum
+
+    from webextract.functions.joins import hash_join
+
+    def eprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column(src_col).cast(pa.int64()),
+            "dst": batch.column(dst_col).cast(pa.int64()),
+        })
+
+    e = edges.map_batches(eprep, batch_format="pyarrow").materialize()
+    nparts = max(2, min(64, e.count() // 4096 + 1))
+    e = e.repartition(nparts).materialize()
+
+    # out-degree per src, attached to the edge list ONCE (rank/out_deg is
+    # then a per-edge division each round, no second join)
+    def attach_deg(group: pa.Table) -> pa.Table:
+        deg = group.num_rows
+        return pa.table({
+            "src": group.column("src"),
+            "dst": group.column("dst"),
+            "out_deg": pa.array([deg] * deg, type=pa.int64()),
+        })
+
+    edeg = (
+        e.groupby("src").map_groups(attach_deg, batch_format="pyarrow")
+        .repartition(nparts).materialize()
+    )
+    _s_edeg = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("out_deg", pa.int64())])
+
+    # node set = distinct(src) ∪ distinct(dst); dangling = nodes - srcs
+    def halves(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks()
+        d = batch.column("dst").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    nodes = (
+        e.map_batches(halves, batch_format="pyarrow")
+        .groupby("node").map_groups(first, batch_format="pyarrow")
+        .repartition(nparts).materialize()
+    )
+    n = nodes.count()
+    srcs = e.groupby("src").map_groups(first, batch_format="pyarrow") \
+        .select_columns(["src"]).rename_columns({"src": "node"})
+    dangling = hash_join(
+        nodes, srcs, on="node", how="anti",
+        left_schema=pa.schema([("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64())]),
+    ).materialize()
+    n_dangling = dangling.count()
+
+    base = (1.0 - damping) / n
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("node"),
+            "rank": pa.array([1.0 / n] * batch.num_rows, type=pa.float64()),
+        }, schema=_S_RANKS)
+
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        dm = 0.0
+        if n_dangling:
+            dr = hash_join(
+                ranks.rename_columns({"src": "node"}), dangling, on="node",
+                how="semi",
+                left_schema=pa.schema([("node", pa.int64()),
+                                       ("rank", pa.float64())]),
+                right_schema=pa.schema([("node", pa.int64())]),
+            )
+            dm = float(dr.sum("rank") or 0.0)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            d = batch.column("out_deg").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": batch.column("dst"),
+                "mass": pa.array(r / d, type=pa.float64()),
+            })
+
+        joined = hash_join(edeg, ranks, on="src",
+                           left_schema=_s_edeg, right_schema=_S_RANKS)
+        inmass = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("mass"))
+            .rename_columns({"sum(mass)": "mass"})
+        )
+
+        extra = base + damping * dm / n
+
+        def rebase(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            m = batch.column("mass").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": batch.column("node"),
+                "rank": pa.array(damping * m + extra, type=pa.float64()),
+            }, schema=_S_RANKS)
+
+        # nodes with no in-edges have no inmass group: union a zero row
+        # per node so every node re-bases
+        zeros = nodes.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "mass": pa.array([0.0] * b.num_rows,
+                                                 type=pa.float64())}),
+            batch_format="pyarrow")
+        ranks = (
+            inmass.union(zeros)
+            .groupby("node").aggregate(Sum("mass"))
+            .rename_columns({"sum(mass)": "mass"})
+            .map_batches(rebase, batch_format="pyarrow")
+            .repartition(nparts)
+        ).materialize()
+
+    return ranks.rename_columns({"src": "node"})
