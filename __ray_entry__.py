@@ -2022,6 +2022,184 @@ def q_pagerank_hosts(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 7: window/OLAP — running aggregates, rollup, pivot,
+# per-group quantiles, funnel, left + salted joins
+# --------------------------------------------------------------------------
+
+
+def q_docs_running(sf_dir: str):
+    """Per-language running character totals + row numbers (the SQL
+    ``SUM OVER (PARTITION BY lang ORDER BY doc_id)`` pair) via the
+    bucketed distributed prefix sum (functions/window.running_agg): group
+    size is bounded by bucket density, never by language frequency — the
+    hot-key-safe shape a 100 TB per-language scan needs."""
+    from webextract.functions.window import running_agg
+
+    return running_agg(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        by="lang", order="doc_id", val="n_chars", bucket_width=256)
+
+
+_SQL_DOCS_RUNNING = """
+SELECT lang, doc_id, n_chars,
+  (sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT
+    AS running_n_chars,
+  (row_number() OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT AS rn
+FROM documents
+"""
+
+
+def q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): finest level is the only full-data
+    shuffle; the (lang) and () levels fold the bounded finest aggregate
+    (functions/window.rollup_counts)."""
+    from webextract.functions.window import rollup_counts
+
+    return rollup_counts(_docs(sf_dir, ["lang", "source", "n_chars"]),
+                         a="lang", b="source", val="n_chars")
+
+
+_SQL_DOCS_ROLLUP = """
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """Wide pivot: one row per lang, one count column per source
+    src0..src4 (closed category list — conditional aggregation, SQL
+    FILTER clauses)."""
+    from webextract.functions.window import pivot_counts
+
+    return pivot_counts(
+        _docs(sf_dir, ["lang", "source", "n_chars"]),
+        index="lang", pivot="source",
+        categories=[f"src{i}" for i in range(5)], val="n_chars")
+
+
+_SQL_LANG_SOURCE_PIVOT = """
+SELECT lang,
+  count(*) FILTER (WHERE source = 'src0')::BIGINT AS src0,
+  count(*) FILTER (WHERE source = 'src1')::BIGINT AS src1,
+  count(*) FILTER (WHERE source = 'src2')::BIGINT AS src2,
+  count(*) FILTER (WHERE source = 'src3')::BIGINT AS src3,
+  count(*) FILTER (WHERE source = 'src4')::BIGINT AS src4
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+GROUP BY lang
+"""
+
+
+def q_doc_length_quantiles_by_lang(sf_dir: str):
+    """EXACT per-language quantiles over the bounded-cardinality length
+    column: one row per distinct (lang, n_chars) crosses the shuffle
+    (functions/window.group_quantiles)."""
+    from webextract.functions.window import group_quantiles
+
+    return group_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
+                           by="lang", val="n_chars")
+
+
+_SQL_QUANTILES_BY_LANG = """
+SELECT lang, 0.5::DOUBLE AS q, quantile_disc(n_chars, 0.5)::BIGINT AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::BIGINT
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::BIGINT
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-step conversion funnel view -> click -> purchase per user
+    (functions/window.funnel): step i is reached at the earliest event of
+    its type at-or-after step i-1's reach time; per-step user counts are
+    summed with one partial+final aggregate."""
+    import ray.data
+
+    from webextract.functions.window import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, by="user_id", ts="ts", step_col="event_type",
+                  steps=["view", "click", "purchase"])
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_users
+UNION ALL
+SELECT 'click', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL
+SELECT 'purchase', (SELECT count(*) FROM s2)::BIGINT
+"""
+
+
+def q_orders_customers_left(sf_dir: str):
+    """LEFT OUTER hash join: every order keeps its row; orders whose
+    customer is outside the c_custkey <= 500 cut get a NULL c_name
+    (functions/joins.hash_join how="left")."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).rename_columns({"o_custkey": "c_custkey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).filter(expr="c_custkey <= 500")
+    return hash_join(orders, cust, on="c_custkey", how="left")
+
+
+_SQL_ORDERS_CUSTOMERS_LEFT = """
+SELECT o_custkey AS c_custkey, o_orderkey, c_name
+FROM orders LEFT JOIN (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500
+) c ON o_custkey = c.c_custkey
+"""
+
+
+def q_orders_customers_salted(sf_dir: str):
+    """The inner orders x customers join through the SKEW-DEFEATING salted
+    path (functions/joins.salted_hash_join): left keys split across 4
+    deterministic salts, right side replicated per salt — same result as
+    the plain hash join, per-group cross products bounded by ~1/4."""
+    import ray.data
+
+    from webextract.functions.joins import salted_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).rename_columns({"o_custkey": "c_custkey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return salted_hash_join(
+        orders, cust, on="c_custkey", salt_from="o_orderkey", n_salt=4,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string())]))
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2095,6 +2273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "host_degree": q_host_degree,
         "pagerank_hosts": q_pagerank_hosts,
+        "docs_running": q_docs_running,
+        "docs_rollup": q_docs_rollup,
+        "lang_source_pivot": q_lang_source_pivot,
+        "doc_length_quantiles_by_lang": q_doc_length_quantiles_by_lang,
+        "events_funnel": q_events_funnel,
+        "orders_customers_left": q_orders_customers_left,
+        "orders_customers_salted": q_orders_customers_salted,
     }
 
 
@@ -2203,6 +2388,16 @@ def oracle_sql() -> dict[str, str]:
         "events_lag": _SQL_EVENTS_LAG,
         "extract_links": _SQL_EXTRACT_LINKS,
         "host_degree": _SQL_HOST_DEGREE,
+        "docs_running": _SQL_DOCS_RUNNING,
+        "docs_rollup": _SQL_DOCS_ROLLUP,
+        "lang_source_pivot": _SQL_LANG_SOURCE_PIVOT,
+        "doc_length_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
+        "orders_customers_left": _SQL_ORDERS_CUSTOMERS_LEFT,
+        "orders_customers_salted": (
+            "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts: hash-internal or approximate

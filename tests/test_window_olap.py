@@ -1,0 +1,219 @@
+"""Unit tests for the window/OLAP operators (functions/window.py) and the
+left/salted join extensions (functions/joins.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from webextract.functions.joins import hash_join, salted_hash_join
+from webextract.functions.window import (funnel, group_quantiles,
+                                         pivot_counts, rollup_counts,
+                                         running_agg)
+
+
+def _ds(table: pa.Table, blocks: int = 3):
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+# ---------------------------------------------------------------- running
+
+
+def _running_fixture(n=100, keys=("a", "b", "c")):
+    # orders deliberately interleaved and non-contiguous per key
+    rows = [(keys[i % len(keys)], i * 7 % 997, i % 13) for i in range(n)]
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.string()),
+        "o": pa.array([r[1] for r in rows], type=pa.int64()),
+        "v": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def test_running_agg_matches_bruteforce():
+    t = _running_fixture()
+    # bucket_width small enough that every key spans multiple buckets
+    out = running_agg(_ds(t), by="k", order="o", val="v",
+                      bucket_width=64).to_pandas()
+    assert len(out) == t.num_rows
+    # brute force per key
+    import collections
+    per_key = collections.defaultdict(list)
+    for k, o, v in zip(t.column("k").to_pylist(), t.column("o").to_pylist(),
+                       t.column("v").to_pylist()):
+        per_key[k].append((o, v))
+    expect = {}
+    for k, items in per_key.items():
+        items.sort()
+        run = 0
+        for rn, (o, v) in enumerate(items, start=1):
+            run += v
+            expect[(k, o)] = (v, run, rn)
+    for r in out.itertuples():
+        v, run, rn = expect[(r.k, int(r.o))]
+        assert (int(r.v), int(r.running_v), int(r.rn)) == (v, run, rn)
+
+
+def test_running_agg_crosses_buckets():
+    # one key, orders 0..9, bucket width 4 -> 3 buckets; offsets must chain
+    t = pa.table({"k": pa.array(["x"] * 10),
+                  "o": pa.array(list(range(10)), type=pa.int64()),
+                  "v": pa.array([1] * 10, type=pa.int64())})
+    out = running_agg(_ds(t, 2), by="k", order="o", val="v",
+                      bucket_width=4).to_pandas().sort_values("o")
+    assert list(out.running_v) == list(range(1, 11))
+    assert list(out.rn) == list(range(1, 11))
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def _docs_table():
+    return pa.table({
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr"]),
+        "source": pa.array(["s0", "s0", "s1", "s0", "s2", "s1"]),
+        "n": pa.array([10, 20, 30, 5, 7, 100], type=pa.int64()),
+    })
+
+
+def test_rollup_levels():
+    out = rollup_counts(_ds(_docs_table()), a="lang", b="source",
+                        val="n").to_pandas()
+    finest = out[out.source.notna()]
+    assert len(finest) == 5  # distinct (lang, source) pairs
+    lang_level = out[out.source.isna() & out.lang.notna()]
+    got = {r.lang: (int(r.n_docs), int(r.chars))
+           for r in lang_level.itertuples()}
+    assert got == {"en": (3, 60), "de": (2, 12), "fr": (1, 100)}
+    grand = out[out.lang.isna()]
+    assert len(grand) == 1
+    assert int(grand.n_docs.iloc[0]) == 6
+    assert int(grand.chars.iloc[0]) == 172
+
+
+def test_pivot_closed_categories():
+    out = pivot_counts(_ds(_docs_table()), index="lang", pivot="source",
+                       categories=["s0", "s1"], val="n").to_pandas()
+    out = out.set_index("lang")
+    # s2 is outside the closed list: de keeps only its s0 row
+    assert int(out.loc["de", "s0"]) == 1 and int(out.loc["de", "s1"]) == 0
+    assert int(out.loc["en", "s0"]) == 2 and int(out.loc["en", "s1"]) == 1
+    assert int(out.loc["fr", "s1"]) == 1
+
+
+# ------------------------------------------------------------- quantiles
+
+
+def test_group_quantiles_duckdb_rank_convention():
+    # n=70 per group: rank(0.99) = ceil(69.3)-1 = 69 (the max), not 68
+    vals = list(range(70))
+    t = pa.table({"g": pa.array(["a"] * 70), "v": pa.array(vals,
+                                                           type=pa.int64())})
+    out = group_quantiles(_ds(t), by="g", val="v",
+                          qs=(0.5, 0.99)).to_pandas()
+    got = {float(r.q): int(r.value) for r in out.itertuples()}
+    assert got == {0.5: 34, 0.99: 69}
+    import duckdb
+    ref = duckdb.connect().execute(
+        "SELECT quantile_disc(v, 0.5), quantile_disc(v, 0.99) FROM "
+        "(SELECT unnest(range(70)) AS v)").fetchone()
+    assert (got[0.5], got[0.99]) == (ref[0], ref[1])
+
+
+def test_group_quantiles_weighted_histogram():
+    # value 1 x99 + value 2 x1: q=0.99 -> rank 98 -> still 1
+    t = pa.table({"g": pa.array(["a"] * 100),
+                  "v": pa.array([1] * 99 + [2], type=pa.int64())})
+    out = group_quantiles(_ds(t), by="g", val="v", qs=(0.99, 1.0)).to_pandas()
+    got = {float(r.q): int(r.value) for r in out.itertuples()}
+    assert got == {0.99: 1, 1.0: 2}
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_order_and_ties():
+    rows = [
+        # u1 completes in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        # u2 clicks BEFORE viewing -> click step not reached after view
+        (2, 10, "click"), (2, 20, "view"),
+        # u3: tie timestamps count as progress
+        (3, 10, "view"), (3, 10, "click"), (3, 10, "buy"),
+        # u4 views only
+        (4, 5, "view"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "et": pa.array([r[2] for r in rows]),
+    })
+    out = funnel(_ds(t), by="u", ts="ts", step_col="et",
+                 steps=["view", "click", "buy"]).to_pandas()
+    got = dict(zip(out.step, out.n_users.astype(int)))
+    assert got == {"view": 4, "click": 2, "buy": 2}
+
+
+def test_funnel_retry_after_early_step():
+    # click at 5 (before view) AND at 25 (after): the later one counts
+    rows = [(1, 5, "click"), (1, 10, "view"), (1, 25, "click")]
+    t = pa.table({"u": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+                  "et": pa.array([r[2] for r in rows])})
+    out = funnel(_ds(t, 1), by="u", ts="ts", step_col="et",
+                 steps=["view", "click"]).to_pandas()
+    got = dict(zip(out.step, out.n_users.astype(int)))
+    assert got == {"view": 1, "click": 1}
+
+
+# ----------------------------------------------------------------- joins
+
+
+L = pa.schema([("k", pa.int64()), ("lid", pa.int64())])
+R = pa.schema([("k", pa.int64()), ("rname", pa.string())])
+
+
+def test_left_join_nulls_for_misses():
+    left = pa.table({"k": [1, 2, 3, 3], "lid": [10, 20, 30, 31]}, schema=L)
+    right = pa.table({"k": [1, 3], "rname": ["a", "c"]}, schema=R)
+    out = hash_join(_ds(left), _ds(right), on="k", how="left",
+                    left_schema=L, right_schema=R).to_pandas()
+    assert len(out) == 4
+    miss = out[out.rname.isna()]
+    assert list(miss.k) == [2]
+    assert set(out[out.k == 3].rname) == {"c"}
+
+
+def test_salted_join_matches_plain():
+    left = pa.table({"k": pa.array([i % 5 for i in range(200)],
+                                   type=pa.int64()),
+                     "lid": pa.array(range(200), type=pa.int64())})
+    right = pa.table({"k": pa.array([0, 1, 2, 3, 4, 4], type=pa.int64()),
+                      "rname": pa.array(list("abcdef"))})
+    plain = hash_join(_ds(left), _ds(right), on="k",
+                      left_schema=L.set(1, pa.field("lid", pa.int64())),
+                      right_schema=R).to_pandas()
+    salted = salted_hash_join(
+        _ds(left), _ds(right), on="k", salt_from="lid", n_salt=4,
+        left_schema=pa.schema([("k", pa.int64()), ("lid", pa.int64())]),
+        right_schema=R).to_pandas()
+    key = ["k", "lid", "rname"]
+    assert (plain[key].sort_values(key, ignore_index=True)
+            .equals(salted[key].sort_values(key, ignore_index=True)))
+
+
+def test_salted_join_defeats_max_group():
+    # hot key 0: 400 left x 2 right = 800 cross > max_group=300; salt 4
+    # splits left into ~100-row sub-keys -> ~200 per group, under the cap.
+    left = pa.table({"k": pa.array([0] * 400, type=pa.int64()),
+                     "lid": pa.array(range(400), type=pa.int64())})
+    right = pa.table({"k": pa.array([0, 0], type=pa.int64()),
+                      "rname": pa.array(["x", "y"])})
+    ls = pa.schema([("k", pa.int64()), ("lid", pa.int64())])
+    with pytest.raises(Exception):
+        hash_join(_ds(left), _ds(right), on="k", max_group=300,
+                  left_schema=ls, right_schema=R).to_pandas()
+    out = salted_hash_join(_ds(left), _ds(right), on="k", salt_from="lid",
+                           n_salt=4, max_group=300, left_schema=ls,
+                           right_schema=R).to_pandas()
+    assert len(out) == 800
+    assert set(out.rname) == {"x", "y"}

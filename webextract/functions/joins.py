@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_join(ds, small_table: pa.Table, *, key: str,
@@ -73,6 +74,8 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
 
     `how`:
     * ``"inner"`` — per-key cross product of left x right rows;
+    * ``"left"``  — inner plus unmatched left rows with NULL right payload
+      (SQL LEFT OUTER JOIN);
     * ``"semi"``  — left rows whose key EXISTS on the right (payload_r
       columns are not emitted);
     * ``"anti"``  — left rows whose key does NOT exist on the right.
@@ -101,7 +104,7 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     column to the declared type, so a declared/actual dtype drift (e.g.
     string vs large_string) converges instead of breaking the union.
     """
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join how={how!r}")
     if how in ("semi", "anti"):
         right = right.select_columns([on])
@@ -172,11 +175,20 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
                 arrays.append(group.column(c).take(idx))
                 names.append(c)
             return pa.Table.from_arrays(arrays, names=names)
-        if not li or not ri:
+        if not li or (not ri and how == "inner"):
             return pa.Table.from_arrays(
                 [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
                 names=[on] + payload_l + payload_r,
             )
+        if not ri:  # how == "left": unmatched keys keep left rows, null right
+            idx = pa.array(li, type=pa.int64())
+            arrays = [group.column(on).take(idx)]
+            for c in payload_l:
+                arrays.append(group.column(c).take(idx))
+            for c in payload_r:
+                arrays.append(pa.nulls(len(li), type=types[c]))
+            return pa.Table.from_arrays(
+                arrays, names=[on] + payload_l + payload_r)
         if len(li) * len(ri) > max_group:
             raise ValueError(
                 f"hash_join: key {group.column(on)[0].as_py()!r} cross product "
@@ -197,3 +209,72 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
         return pa.Table.from_arrays(out_arrays, names=out_names)
 
     return unioned.groupby(on).map_groups(join_group, batch_format="pyarrow")
+
+
+def _splitmix64(x):
+    """Vectorized SplitMix64 over a uint64 numpy array (the corpus.mix
+    constant schedule) — deterministic, no RNG state."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def salted_hash_join(left, right, *, on: str, salt_from: str,
+                     n_salt: int = 8, max_group: int = 100_000,
+                     left_schema: pa.Schema, right_schema: pa.Schema):
+    """Skew-defeating inner hash join: a hot key whose cross product would
+    blow `hash_join`'s `max_group` guard is SPLIT across ``n_salt``
+    sub-keys.
+
+    The big/skewed LEFT side gets a deterministic per-row salt
+    (SplitMix64 of its ``salt_from`` int column, so reruns produce
+    identical partitioning — no RNG); the RIGHT side is replicated once
+    per salt (xN_salt row blowup — keep the right side the smaller one).
+    Both then join on the composite ``key#salt`` string with the normal
+    one-shuffle `hash_join`; each hot-key group shrinks by ~n_salt. Output
+    columns match ``hash_join(how="inner")`` (the composite key is
+    dropped).
+
+    Scale shape: right-side replication costs n_salt x |right| shuffled
+    rows — the classic salting trade (pay a bounded fan-out to bound the
+    per-group cross product). For a small right side prefer
+    `broadcast_join`; salting is for big-big joins with hot keys.
+    """
+    import numpy as np
+
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    key_t = left_schema.field(on).type
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        sv = np.asarray(batch.column(salt_from).cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)).astype(np.uint64)
+        salt = (_splitmix64(sv) % np.uint64(n_salt)).astype(np.int64)
+        ks = pc.binary_join_element_wise(
+            pc.cast(batch.column(on), pa.string()),
+            pc.cast(pa.array(salt), pa.string()), "#")
+        return batch.append_column("_ks", ks)
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_salt))
+        rep = batch.take(idx)
+        salts = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        ks = pc.binary_join_element_wise(
+            pc.cast(rep.column(on), pa.string()),
+            pc.cast(pa.array(salts), pa.string()), "#")
+        return rep.append_column("_ks", ks)
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow")
+    rsalted = (right.map_batches(explode_right, batch_format="pyarrow")
+               .drop_columns([on]))
+    ls = left_schema.append(pa.field("_ks", pa.string()))
+    rs = pa.schema([f for f in right_schema if f.name != on]).append(
+        pa.field("_ks", pa.string()))
+    joined = hash_join(lsalted, rsalted, on="_ks", max_group=max_group,
+                       left_schema=ls, right_schema=rs)
+    return joined.drop_columns(["_ks"])

@@ -1,0 +1,258 @@
+"""Distributed window / OLAP operators: running aggregates (prefix sums),
+rollup, pivot, per-group exact quantiles, and funnel analysis.
+
+The reference has no relational layer (SURVEY.md §2.4 scope note); these
+are the analytic shapes a 100 TB crawl/metrics pipeline needs on top of
+the extraction engine, each built so no stage materializes the full data:
+
+* :func:`running_agg` — per-key running SUM + ROW_NUMBER (the SQL
+  ``SUM(v) OVER (PARTITION BY k ORDER BY o)`` pair) via a two-phase
+  bucketed prefix sum. A naive ``groupby(key).map_groups`` would pull an
+  entire key partition into one task — at 100 TB a hot key (one language)
+  is terabytes. Instead rows are grouped by ``(key, order//bucket_width)``
+  so group size is bounded by bucket density; per-bucket totals (ONE tiny
+  row per bucket) are folded into per-bucket starting offsets on the
+  driver and broadcast back. Two keys-only-plus-value shuffles of the
+  projected columns, never a global sort.
+* :func:`rollup_counts` — GROUP BY ROLLUP(a, b): one full-data shuffle to
+  the finest level, then the coarser levels are re-aggregated from the
+  FINEST AGGREGATE (bounded by |a|x|b| distinct pairs), never from the
+  data again.
+* :func:`pivot_counts` — wide conditional-count pivot from the same
+  finest-level aggregate.
+* :func:`group_quantiles` — exact per-group quantiles over a
+  bounded-cardinality int column: ``groupby(key, value).count()`` moves
+  one row per distinct (key, value); the tiny histogram folds on the
+  driver (same discipline as the global ``doc_length_quantiles``).
+* :func:`funnel` — ordered-step conversion over an event log: per-key
+  groups compute the earliest time each step could complete (step i
+  matched at the first event >= step i-1's match), partial step counts
+  are summed with one aggregate. Group size is bounded by per-key
+  activity (the `sessionize` bound).
+
+Determinism: every order is made total (order col is required unique per
+key for running_agg; numpy sorts are stable), no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def running_agg(ds, *, by: str, order: str, val: str,
+                bucket_width: int = 1 << 14,
+                by_type: pa.DataType = pa.string()):
+    """Per-key running sum of ``val`` and row number, ordered by ``order``
+    (which must be unique within each ``by`` partition — the made-total
+    ordering discipline).
+
+    Output columns: ``(by, order, val, running_<val>, rn)``; ``order`` /
+    ``val`` must be int64-castable, ``by`` may be any hashable type.
+
+    Scale shape: phase A aggregates ``Sum(val), Count()`` per
+    ``(by, order // bucket_width)`` — one tiny row per bucket crosses to
+    the driver (choose ``bucket_width`` so keys x buckets stays ~1e5-1e6;
+    the fold is O(buckets)). Phase B is a ``groupby(by, bucket)`` whose
+    group size is bounded by bucket density, NOT by key frequency — a hot
+    key spreads over many buckets instead of one giant group.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        o = b.column(order).cast(pa.int64())
+        return b.append_column(
+            "_bucket", pc.floor(pc.divide(o, pa.scalar(bucket_width)))
+            .cast(pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    totals = (
+        bucketed.groupby([by, "_bucket"])
+        .aggregate(Sum(val, alias_name="s"), Count())
+        .take_all()
+    )
+    # Fold per-bucket totals into per-bucket STARTING offsets (exclusive
+    # prefix) per key. Bounded driver state: one row per (key, bucket).
+    totals.sort(key=lambda r: (str(r[by]), r["_bucket"]))
+    offsets: Dict[Tuple, Tuple[int, int]] = {}
+    cur_key, run_s, run_n = object(), 0, 0
+    for r in totals:
+        if r[by] != cur_key:
+            cur_key, run_s, run_n = r[by], 0, 0
+        offsets[(r[by], r["_bucket"])] = (run_s, run_n)
+        run_s += int(r["s"])
+        run_n += int(r["count()"])
+    ref = ray.put(offsets)
+
+    out_schema = pa.schema([
+        pa.field(by, by_type),
+        (order, pa.int64()), (val, pa.int64()),
+        (f"running_{val}", pa.int64()), ("rn", pa.int64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        offs = ray.get(ref)
+        o = np.asarray(group.column(order).cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(group.column(val).cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        idx = np.argsort(o, kind="stable")
+        o, v = o[idx], v[idx]
+        key = group.column(by)[0].as_py()
+        off_s, off_n = offs[(key, group.column("_bucket")[0].as_py())]
+        return pa.table({
+            by: pa.array([key] * len(o), type=out_schema.field(by).type),
+            order: pa.array(o),
+            val: pa.array(v),
+            f"running_{val}": pa.array(off_s + np.cumsum(v)),
+            "rn": pa.array(off_n + np.arange(1, len(o) + 1, dtype=np.int64)),
+        }, schema=out_schema)
+
+    return bucketed.groupby([by, "_bucket"]).map_groups(
+        grp, batch_format="pyarrow")
+
+
+def _finest_counts(ds, a: str, b: str, val: str):
+    """groupby(a, b) -> (n, s) aggregate table on the driver (bounded by
+    |a| x |b| distinct pairs — the rollup/pivot contract)."""
+    from ray.data.aggregate import Count, Sum
+
+    rows = (
+        ds.groupby([a, b])
+        .aggregate(Count(), Sum(val, alias_name="s"))
+        .take_all()
+    )
+    return [(r[a], r[b], int(r["count()"]), int(r["s"])) for r in rows]
+
+
+def rollup_counts(ds, *, a: str, b: str, val: str) -> pa.Table:
+    """GROUP BY ROLLUP(a, b): count + sum(val) at (a, b), (a, NULL) and
+    (NULL, NULL) levels — SQL ROLLUP null convention. The full data is
+    shuffled ONCE (to the finest level); coarser levels fold the finest
+    aggregate, which is bounded by distinct-pair cardinality."""
+    finest = _finest_counts(ds, a, b, val)
+    finest.sort(key=lambda t: (str(t[0]), str(t[1])))
+    rows: List[Tuple] = [(av, bv, n, s) for av, bv, n, s in finest]
+    by_a: Dict = {}
+    for av, bv, n, s in finest:
+        cn, cs = by_a.get(av, (0, 0))
+        by_a[av] = (cn + n, cs + s)
+    rows += [(av, None, n, s) for av, (n, s) in sorted(by_a.items())]
+    rows.append((None, None, sum(n for _, _, n, _ in finest),
+                 sum(s for _, _, _, s in finest)))
+    return pa.table({
+        a: pa.array([r[0] for r in rows], type=pa.string()),
+        b: pa.array([r[1] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "chars": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+def pivot_counts(ds, *, index: str, pivot: str,
+                 categories: Sequence[str], val: str) -> pa.Table:
+    """Wide pivot: one row per ``index`` value, one count column per
+    category of ``pivot`` (rows with other categories are ignored —
+    callers pass the closed category list, "no silent caps" on the
+    emitted columns). Built from the finest-level aggregate; the wide
+    table is bounded by |index| rows x |categories| columns."""
+    finest = _finest_counts(ds, index, pivot, val)
+    idx_vals = sorted({av for av, bv, _, _ in finest
+                       if bv in set(categories)})
+    pos = {v: i for i, v in enumerate(idx_vals)}
+    cols = {c: [0] * len(idx_vals) for c in categories}
+    for av, bv, n, _ in finest:
+        if bv in cols and av in pos:
+            cols[bv][pos[av]] = n
+    out = {index: pa.array(idx_vals, type=pa.string())}
+    for c in categories:
+        out[c] = pa.array(cols[c], type=pa.int64())
+    return pa.table(out)
+
+
+def group_quantiles(ds, *, by: str, val: str,
+                    qs: Sequence[float] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """EXACT per-group quantiles over a bounded-cardinality int column:
+    the shuffle moves one row per distinct (by, val); the driver folds
+    each group's tiny histogram. Rank convention matches DuckDB
+    ``quantile_disc``: the smallest v whose cumulative share reaches q,
+    i.e. rank ``ceil(q*n) - 1`` (0-based) — NOT ``floor(q*(n-1))``; the
+    two differ whenever q*n lands strictly between integers' gaps (e.g.
+    q=0.99, n=70 -> rank 69 vs 68)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        ds.groupby([by, val]).aggregate(Count()).take_all()
+    )
+    groups: Dict = {}
+    for r in hist:
+        groups.setdefault(r[by], []).append((int(r[val]), int(r["count()"])))
+    out_by, out_q, out_v = [], [], []
+    for key in sorted(groups, key=str):
+        pairs = sorted(groups[key])
+        total = sum(n for _, n in pairs)
+        for q in qs:
+            target = max(0, math.ceil(q * total) - 1)
+            cum = 0
+            for v, n in pairs:
+                if cum + n > target:
+                    out_by.append(key)
+                    out_q.append(q)
+                    out_v.append(v)
+                    break
+                cum += n
+    return pa.table({
+        by: pa.array(out_by, type=pa.string()),
+        "q": pa.array(out_q, type=pa.float64()),
+        "value": pa.array(out_v, type=pa.int64()),
+    })
+
+
+def funnel(ds, *, by: str, ts: str, step_col: str,
+           steps: Sequence[str]):
+    """Ordered-step funnel: for each ``by`` key, step i is reached at the
+    earliest event of type ``steps[i]`` whose ``ts`` >= the time step i-1
+    was reached (ties allowed — same-timestamp progress counts). Returns
+    one row per step: ``(step, n_users)`` where n_users = keys reaching
+    that step. Per-key groups are bounded by key activity; step counts
+    are summed with one aggregate (partial + final, the RecMetric
+    pattern — mindocr/metrics/rec_metrics.py:16-170 analog)."""
+    from ray.data.aggregate import Sum
+
+    steps = list(steps)
+    n_steps = len(steps)
+    step_schema = pa.schema(
+        [(f"s{i}", pa.int64()) for i in range(n_steps)])
+
+    def grp(group: pa.Table) -> pa.Table:
+        t = np.asarray(group.column(ts).cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+        labels = group.column(step_col).to_pylist()
+        reached = np.zeros(n_steps, dtype=np.int64)
+        cur = -(1 << 62)
+        for i, s in enumerate(steps):
+            mask = np.fromiter((x == s for x in labels), dtype=bool,
+                               count=len(labels))
+            cand = t[mask & (t >= cur)] if mask.any() else t[:0]
+            if len(cand) == 0:
+                break
+            cur = int(cand.min())
+            reached[i] = 1
+        return pa.table(
+            {f"s{i}": pa.array([int(reached[i])]) for i in range(n_steps)},
+            schema=step_schema)
+
+    flags = ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    agg = flags.aggregate(*[Sum(f"s{i}", alias_name=f"n{i}")
+                            for i in range(n_steps)])
+    return pa.table({
+        "step": pa.array(steps, type=pa.string()),
+        "n_users": pa.array([int(agg[f"n{i}"] or 0)
+                             for i in range(n_steps)], type=pa.int64()),
+    })
