@@ -2200,6 +2200,155 @@ def q_orders_customers_salted(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 8: aggregate/set extensions — exact count-distinct,
+# variance from integer partials, ordered string_agg, set ops,
+# deterministic hash sampling, KLL quantile sketch
+# --------------------------------------------------------------------------
+
+
+def q_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type — two keys-only
+    groupby stages (functions/agg.count_distinct_by), no payload ever
+    shuffled and no driver-side set."""
+    import ray.data
+
+    from webextract.functions.agg import count_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return count_distinct_by(ds, by="event_type", of="user_id")
+
+
+_SQL_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q_chars_moments_by_lang(sf_dir: str):
+    """Per-language sample variance/stddev of doc length from exact int64
+    partial sums + ONE final double expression (functions/agg.moments_by)
+    — bit-identical to the SQL oracle computing the same literal formula
+    over the same integer aggregates (the tfidf integer-ratio
+    discipline)."""
+    from webextract.functions.agg import moments_by
+
+    return moments_by(_docs(sf_dir, ["lang", "n_chars"]),
+                      by="lang", val="n_chars")
+
+
+_SQL_CHARS_MOMENTS = """
+SELECT lang, count(*)::BIGINT AS n,
+  (count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))::DOUBLE
+    / (count(*) * (count(*) - 1))::DOUBLE AS var_samp,
+  sqrt(
+    (count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))::DOUBLE
+      / (count(*) * (count(*) - 1))::DOUBLE) AS std_samp
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_collect_per_lang(sf_dir: str):
+    """Ordered per-group string_agg: doc_ids of long docs (n_chars > 500)
+    per language, ascending, comma-joined (functions/agg.collect_sorted;
+    group size bounded by the upstream filter, cap raises — no silent
+    truncation)."""
+    from webextract.functions.agg import collect_sorted
+
+    ds = _docs(sf_dir, ["lang", "doc_id", "n_chars"]).filter(
+        expr="n_chars > 500").select_columns(["lang", "doc_id"])
+    return collect_sorted(ds, by="lang", val="doc_id")
+
+
+_SQL_COLLECT_PER_LANG = """
+SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS vals
+FROM documents WHERE n_chars > 500 GROUP BY lang
+"""
+
+
+def q_langs_src_intersect(sf_dir: str):
+    """SQL INTERSECT over derived key sets: languages appearing in BOTH
+    src0 and src1 documents (functions/agg.key_intersect — per-side
+    distinct + semi probe, three keys-only shuffles)."""
+    from webextract.functions.agg import key_intersect
+
+    ks = pa.schema([("lang", pa.string())])
+    left = _docs(sf_dir, ["lang", "source"]).filter(
+        expr="source == 'src0'").select_columns(["lang"])
+    right = _docs(sf_dir, ["lang", "source"]).filter(
+        expr="source == 'src1'").select_columns(["lang"])
+    return key_intersect(left, right, on="lang",
+                         left_schema=ks, right_schema=ks)
+
+
+_SQL_LANGS_INTERSECT = """
+SELECT lang FROM documents WHERE source = 'src0'
+INTERSECT
+SELECT lang FROM documents WHERE source = 'src1'
+"""
+
+
+def q_custkeys_except(sf_dir: str):
+    """SQL EXCEPT over key sets: customer keys absent from the first 1000
+    orderkeys (functions/agg.key_except — distinct + anti probe; the cut
+    keeps the result non-trivial, as in `customers_no_orders` — the full
+    orders table covers every customer in this synthetic data)."""
+    import ray.data
+
+    from webextract.functions.agg import key_except
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey"])
+        .filter(expr="o_orderkey <= 1000")
+        .select_columns(["o_custkey"])
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    ks = pa.schema([("c_custkey", pa.int64())])
+    return key_except(cust, orders, on="c_custkey",
+                      left_schema=ks, right_schema=ks)
+
+
+_SQL_CUSTKEYS_EXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderkey <= 1000
+"""
+
+
+def q_docs_sample_per_lang(sf_dir: str):
+    """Deterministic pseudo-uniform 3-sample per language: priority =
+    md5(doc_id) hex, k smallest per group, per-block partial top-k first
+    so the final shuffle moves <= k rows per (block, lang)
+    (functions/agg.hash_sample_per_group)."""
+    from webextract.functions.agg import hash_sample_per_group
+
+    return hash_sample_per_group(_docs(sf_dir, ["lang", "doc_id"]),
+                                 by="lang", id_col="doc_id", k=3)
+
+
+_SQL_SAMPLE_PER_LANG = """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 3
+"""
+
+
+def q_doc_length_quantiles_sketch(sf_dir: str):
+    """KLL-style streaming quantile sketch over doc lengths — the
+    UNBOUNDED-cardinality companion to the exact histogram-fold
+    quantiles: per-block O(k log) partials, distributed fold, <= 2% rank
+    error pinned by pytest (functions/sketches.approx_quantiles).
+    Approximate by construction -> rows-only at the driver."""
+    from webextract.functions.sketches import approx_quantiles
+
+    return approx_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars",
+                            (0.5, 0.9, 0.99))
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2280,6 +2429,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "orders_customers_left": q_orders_customers_left,
         "orders_customers_salted": q_orders_customers_salted,
+        "users_per_type": q_users_per_type,
+        "chars_moments_by_lang": q_chars_moments_by_lang,
+        "docs_collect_per_lang": q_docs_collect_per_lang,
+        "langs_src_intersect": q_langs_src_intersect,
+        "custkeys_except": q_custkeys_except,
+        "docs_sample_per_lang": q_docs_sample_per_lang,
+        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
     }
 
 
@@ -2398,9 +2554,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
+        "users_per_type": _SQL_USERS_PER_TYPE,
+        "chars_moments_by_lang": _SQL_CHARS_MOMENTS,
+        "docs_collect_per_lang": _SQL_COLLECT_PER_LANG,
+        "langs_src_intersect": _SQL_LANGS_INTERSECT,
+        "custkeys_except": _SQL_CUSTKEYS_EXCEPT,
+        "docs_sample_per_lang": _SQL_SAMPLE_PER_LANG,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
-        # cms_word_counts / pagerank_hosts: hash-internal or approximate
+        # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
+        # hash-internal or approximate
         # (order-dependent float-sum) operators — not
         # SQL-expressible; driver records the weaker rows-only check.
     }

@@ -1,0 +1,187 @@
+"""Distributed aggregate extensions: exact per-group COUNT(DISTINCT),
+variance/stddev from integer partial sums, ordered string_agg, set
+INTERSECT/EXCEPT over derived key sets, and deterministic hash-priority
+per-group sampling.
+
+All follow the reference's partial+final discipline (`RecMetric` partial
+counters + AllReduce — mindocr/metrics/rec_metrics.py:16-170): per-batch
+or per-group partials, ONE keys-only shuffle, small finish. No stage
+materializes payload-sized data on the driver.
+
+Float determinism: variance/stddev are computed from EXACT int64 partial
+sums with a single final IEEE-double expression — write the SQL oracle as
+the SAME literal expression over the same integer aggregates and the
+doubles are bit-identical (the tfidf integer-ratio discipline; int64
+overflow bound: sum(x^2) must stay < 2^63 — holds to ~1e12 rows of
+x <= 3e5, i.e. crawl scale with room).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def count_distinct_by(ds, *, by: str, of: str, out_name: str = "n_distinct"):
+    """Exact COUNT(DISTINCT of) per `by` group in two keys-only stages:
+    dedup (by, of) pairs with one groupby, then count pairs per key. Only
+    key columns ever cross a shuffle; no payload, no driver state."""
+    from ray.data.aggregate import Count
+
+    pairs = ds.groupby([by, of]).aggregate(Count())
+    return (
+        pairs.groupby(by).aggregate(Count())
+        .rename_columns({"count()": out_name})
+    )
+
+
+def moments_by(ds, *, by: str, val: str):
+    """Per-group sample variance + stddev from integer partial sums:
+    ``var = (n*Σx² − (Σx)²) / (n*(n−1))``, ``std = sqrt(var)`` — one
+    groupby of three int64 partials, one double division + sqrt at the
+    end (round-only-at-end, det_base_postprocess.py:110-128 discipline).
+
+    Output: ``(by, n, var_samp, std_samp)``; groups with n < 2 emit null
+    variance (SQL var_samp convention).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        x = b.column(val).cast(pa.int64())
+        return b.append_column("_x2", pc.multiply_checked(x, x))
+
+    agg = (
+        ds.map_batches(add_sq, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum(val, alias_name="sx"),
+                   Sum("_x2", alias_name="sxx"),
+                   Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sxx - sx * sx
+        den = n * (n - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = num.astype(np.float64) / den.astype(np.float64)
+        valid = n >= 2
+        var_arr = pa.array(var, type=pa.float64(), mask=~valid)
+        std_arr = pa.array(np.sqrt(var), type=pa.float64(), mask=~valid)
+        return pa.table({
+            by: b.column(by),
+            "n": pa.array(n),
+            "var_samp": var_arr,
+            "std_samp": std_arr,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def collect_sorted(ds, *, by: str, val: str, sep: str = ",",
+                   out_name: str = "vals", max_group: int = 100_000):
+    """Ordered per-group string_agg: sort each group by `val` ascending and
+    join the stringified values with `sep` (SQL
+    ``string_agg(val, sep ORDER BY val)``). Inherently a per-key gather —
+    a group materializes in one task, so `max_group` RAISES on groups
+    beyond the cap (no silent truncation); filter/pre-aggregate upstream
+    to bound group size."""
+    out_schema = pa.schema([(by, pa.string()), (out_name, pa.string())])
+
+    def grp(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        if group.num_rows > max_group:
+            raise ValueError(
+                f"collect_sorted: group {group.column(by)[0].as_py()!r} has "
+                f"{group.num_rows} rows > max_group={max_group}")
+        v = np.sort(group.column(val).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False))
+        return pa.table({
+            by: group.column(by).slice(0, 1),
+            out_name: pa.array([sep.join(str(int(x)) for x in v)]),
+        }, schema=out_schema)
+
+    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+
+
+def key_intersect(left, right, *, on: str,
+                  left_schema: pa.Schema, right_schema: pa.Schema):
+    """SQL INTERSECT over single-column key sets: distinct keys present on
+    BOTH sides. Distinct is a keys-only groupby per side; the probe is a
+    semi hash_join — three keys-only shuffles total, no payload."""
+    from webextract.functions.joins import hash_join
+
+    ldist = left.groupby(on).count().select_columns([on])
+    rdist = right.groupby(on).count().select_columns([on])
+    ks = pa.schema([left_schema.field(on)])
+    return hash_join(ldist, rdist, on=on, how="semi",
+                     left_schema=ks, right_schema=pa.schema(
+                         [right_schema.field(on)]))
+
+
+def key_except(left, right, *, on: str,
+               left_schema: pa.Schema, right_schema: pa.Schema):
+    """SQL EXCEPT over single-column key sets: distinct left keys absent
+    from the right (anti probe)."""
+    from webextract.functions.joins import hash_join
+
+    ldist = left.groupby(on).count().select_columns([on])
+    rdist = right.groupby(on).count().select_columns([on])
+    return hash_join(ldist, rdist, on=on, how="anti",
+                     left_schema=pa.schema([left_schema.field(on)]),
+                     right_schema=pa.schema([right_schema.field(on)]))
+
+
+def hash_sample_per_group(ds, *, by: str, id_col: str, k: int):
+    """Deterministic pseudo-uniform k-sample per group: priority =
+    ``md5(str(id))`` hex digest, keep the k smallest per group — a
+    rerun-stable "random" sample whose SQL mirror is
+    ``QUALIFY row_number() OVER (PARTITION BY by ORDER BY
+    md5(id::VARCHAR), id) <= k``.
+
+    Scale shape: a per-BATCH partial top-k per group first (each block
+    emits at most k rows per group it contains), so the final
+    ``groupby(by)`` shuffles <= k x n_blocks tiny rows — never the table.
+    """
+    out_schema = pa.schema([
+        (by, pa.string()), (id_col, pa.int64()), ("_pri", pa.string())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64()).to_pylist()
+        pri = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        t = pa.table({
+            by: b.column(by).cast(pa.string()),
+            id_col: pa.array(ids, type=pa.int64()),
+            "_pri": pa.array(pri, type=pa.string()),
+        }, schema=out_schema)
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("_pri", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        keep: List[int] = []
+        seen = {}
+        col = t.column(by).to_pylist()
+        for i, g in enumerate(col):
+            c = seen.get(g, 0)
+            if c < k:
+                keep.append(i)
+                seen[g] = c + 1
+        return t.take(pa.array(keep, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_pri", "ascending"),
+                                                (id_col, "ascending")])
+        return group.take(idx[:k]).select([by, id_col])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final, batch_format="pyarrow")
+    )
