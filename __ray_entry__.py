@@ -2349,6 +2349,81 @@ def q_doc_length_quantiles_sketch(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 9: FULL OUTER join, CUBE, interpolated quantiles
+# --------------------------------------------------------------------------
+
+
+def q_orders_customers_full(sf_dir: str):
+    """FULL OUTER hash join with misses on BOTH sides: orders cut to
+    o_orderkey <= 1000 (their customers partly outside the right cut) vs
+    customers cut to c_custkey <= 500 (partly orderless within the left
+    cut) — unmatched rows survive from each side with typed NULL payload
+    (functions/joins.hash_join how="full")."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey"])
+        .filter(expr="o_orderkey <= 1000")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).filter(expr="c_custkey <= 500")
+    return hash_join(orders, cust, on="c_custkey", how="full")
+
+
+_SQL_ORDERS_CUSTOMERS_FULL = """
+SELECT coalesce(o.o_custkey, c.c_custkey) AS c_custkey, o.o_orderkey, c.c_name
+FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 1000) o
+FULL OUTER JOIN
+     (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source): rollup levels plus the source margin,
+    all folded from the bounded finest aggregate
+    (functions/window.cube_counts)."""
+    from webextract.functions.window import cube_counts
+
+    return cube_counts(_docs(sf_dir, ["lang", "source", "n_chars"]),
+                       a="lang", b="source", val="n_chars")
+
+
+_SQL_DOCS_CUBE = """
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+def q_doc_length_quantiles_cont(sf_dir: str):
+    """INTERPOLATED per-language quantiles (SQL quantile_cont) from the
+    bounded histogram shuffle — bit-identical to DuckDB's
+    (1-f)*v_lo + f*v_hi evaluation order
+    (functions/window.group_quantiles_cont)."""
+    from webextract.functions.window import group_quantiles_cont
+
+    return group_quantiles_cont(_docs(sf_dir, ["lang", "n_chars"]),
+                                by="lang", val="n_chars")
+
+
+_SQL_QUANTILES_CONT = """
+SELECT lang, 0.5::DOUBLE AS q, quantile_cont(n_chars, 0.5) AS value
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.9::DOUBLE, quantile_cont(n_chars, 0.9)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.99::DOUBLE, quantile_cont(n_chars, 0.99)
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2436,6 +2511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_except": q_custkeys_except,
         "docs_sample_per_lang": q_docs_sample_per_lang,
         "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
+        "orders_customers_full": q_orders_customers_full,
+        "docs_cube": q_docs_cube,
+        "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
     }
 
 
@@ -2560,6 +2638,9 @@ def oracle_sql() -> dict[str, str]:
         "langs_src_intersect": _SQL_LANGS_INTERSECT,
         "custkeys_except": _SQL_CUSTKEYS_EXCEPT,
         "docs_sample_per_lang": _SQL_SAMPLE_PER_LANG,
+        "orders_customers_full": _SQL_ORDERS_CUSTOMERS_FULL,
+        "docs_cube": _SQL_DOCS_CUBE,
+        "doc_length_quantiles_cont": _SQL_QUANTILES_CONT,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:

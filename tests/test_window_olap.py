@@ -7,7 +7,9 @@ import pytest
 import ray.data
 
 from webextract.functions.joins import hash_join, salted_hash_join
-from webextract.functions.window import (funnel, group_quantiles,
+from webextract.functions.window import (cube_counts, funnel,
+                                         group_quantiles,
+                                         group_quantiles_cont,
                                          pivot_counts, rollup_counts,
                                          running_agg)
 
@@ -199,6 +201,47 @@ def test_salted_join_matches_plain():
     key = ["k", "lid", "rname"]
     assert (plain[key].sort_values(key, ignore_index=True)
             .equals(salted[key].sort_values(key, ignore_index=True)))
+
+
+def test_cube_has_both_margins():
+    out = cube_counts(_ds(_docs_table()), a="lang", b="source",
+                      val="n").to_pandas()
+    src_margin = out[out.lang.isna() & out.source.notna()]
+    got = {r.source: (int(r.n_docs), int(r.chars))
+           for r in src_margin.itertuples()}
+    assert got == {"s0": (3, 35), "s1": (2, 130), "s2": (1, 7)}
+    # rollup levels still present
+    assert len(out[out.source.isna() & out.lang.notna()]) == 3
+    assert len(out[out.lang.isna() & out.source.isna()]) == 1
+
+
+def test_group_quantiles_cont_matches_duckdb_bits():
+    import duckdb
+
+    vals = [3, 10, 14, 20, 50, 51, 7, 7, 100]
+    t = pa.table({"g": pa.array(["a"] * len(vals)),
+                  "v": pa.array(vals, type=pa.int64())})
+    qs = (0.123, 0.37, 0.5, 0.77, 0.99)
+    out = group_quantiles_cont(_ds(t), by="g", val="v", qs=qs).to_pandas()
+    got = {float(r.q): float(r.value) for r in out.itertuples()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals])
+    for q in qs:
+        ref = con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+        assert got[q] == ref  # bit-identical, not approx
+
+
+def test_full_join_both_side_misses():
+    L2 = pa.schema([("k", pa.int64()), ("lid", pa.int64())])
+    left = pa.table({"k": [1, 2], "lid": [10, 20]}, schema=L2)
+    right = pa.table({"k": [2, 3], "rname": ["b", "c"]}, schema=R)
+    out = hash_join(_ds(left), _ds(right), on="k", how="full",
+                    left_schema=L2, right_schema=R).to_pandas()
+    assert len(out) == 3
+    assert out[out.k == 1].rname.isna().all()
+    assert out[out.k == 3].lid.isna().all()
+    assert out[out.k == 2].lid.iloc[0] == 20
+    assert out[out.k == 2].rname.iloc[0] == "b"
 
 
 def test_salted_join_defeats_max_group():

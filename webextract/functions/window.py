@@ -214,6 +214,76 @@ def group_quantiles(ds, *, by: str, val: str,
     })
 
 
+def group_quantiles_cont(ds, *, by: str, val: str,
+                         qs: Sequence[float] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """INTERPOLATED per-group quantiles (SQL ``quantile_cont``) from the
+    same one-row-per-distinct-(by, val) histogram shuffle as
+    `group_quantiles`. Bit-identical to DuckDB: rank ``h = q*(n-1)``,
+    result ``(1-f)*v[floor(h)] + f*v[floor(h)+1]`` with ``f = h-floor(h)``
+    — DuckDB evaluates THAT form, not ``v_lo + f*(v_hi-v_lo)`` (the two
+    differ in the last ulp; measured, not assumed)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([by, val]).aggregate(Count()).take_all()
+    groups: Dict = {}
+    for r in hist:
+        groups.setdefault(r[by], []).append((int(r[val]), int(r["count()"])))
+
+    def value_at(pairs, rank: int) -> int:
+        cum = 0
+        for v, n in pairs:
+            if cum + n > rank:
+                return v
+            cum += n
+        return pairs[-1][0]
+
+    out_by, out_q, out_v = [], [], []
+    for key in sorted(groups, key=str):
+        pairs = sorted(groups[key])
+        total = sum(n for _, n in pairs)
+        for q in qs:
+            h = q * (total - 1)
+            lo = math.floor(h)
+            f = h - lo
+            v_lo = value_at(pairs, lo)
+            v_hi = value_at(pairs, min(lo + 1, total - 1))
+            out_by.append(key)
+            out_q.append(q)
+            out_v.append((1 - f) * v_lo + f * v_hi)
+    return pa.table({
+        by: pa.array(out_by, type=pa.string()),
+        "q": pa.array(out_q, type=pa.float64()),
+        "value": pa.array(out_v, type=pa.float64()),
+    })
+
+
+def cube_counts(ds, *, a: str, b: str, val: str) -> pa.Table:
+    """GROUP BY CUBE(a, b): the rollup levels plus the (NULL, b) margin —
+    same single full-data shuffle; all margins fold the bounded finest
+    aggregate."""
+    finest = _finest_counts(ds, a, b, val)
+    finest.sort(key=lambda t: (str(t[0]), str(t[1])))
+    rows: List[Tuple] = [(av, bv, n, s) for av, bv, n, s in finest]
+    for keep, drop in ((0, 1), (1, 0)):
+        margin: Dict = {}
+        for tup in finest:
+            k = tup[keep]
+            cn, cs = margin.get(k, (0, 0))
+            margin[k] = (cn + tup[2], cs + tup[3])
+        for k, (n, s) in sorted(margin.items()):
+            rows.append((k, None, n, s) if keep == 0 else (None, k, n, s))
+    rows.append((None, None, sum(n for _, _, n, _ in finest),
+                 sum(s for _, _, _, s in finest)))
+    return pa.table({
+        a: pa.array([r[0] for r in rows], type=pa.string()),
+        b: pa.array([r[1] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "chars": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 def funnel(ds, *, by: str, ts: str, step_col: str,
            steps: Sequence[str]):
     """Ordered-step funnel: for each ``by`` key, step i is reached at the
