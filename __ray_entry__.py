@@ -2424,6 +2424,87 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 10: RIGHT join, rank/ntile windows, full-data k-means
+# --------------------------------------------------------------------------
+
+
+def q_orders_customers_right(sf_dir: str):
+    """RIGHT OUTER hash join (same planted misses as the FULL query):
+    customers with no order inside the o_orderkey <= 1000 cut survive
+    with NULL order payload; orders whose customer is outside the
+    c_custkey <= 500 cut are dropped (functions/joins.hash_join
+    how="right")."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey"])
+        .filter(expr="o_orderkey <= 1000")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).filter(expr="c_custkey <= 500")
+    return hash_join(orders, cust, on="c_custkey", how="right")
+
+
+_SQL_ORDERS_CUSTOMERS_RIGHT = """
+SELECT c.c_custkey AS c_custkey, o.o_orderkey, c.c_name
+FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 1000) o
+RIGHT JOIN
+     (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_docs_rank_per_lang(sf_dir: str):
+    """Per-language RANK / DENSE_RANK over doc length plus NTILE(4):
+    one-row-per-distinct-(lang, n_chars) histogram shuffle for the rank
+    bases, tie groups (never whole key partitions) for the row numbers
+    (functions/window.rank_agg)."""
+    from webextract.functions.window import rank_agg
+
+    return rank_agg(_docs(sf_dir, ["lang", "doc_id", "n_chars"]),
+                    by="lang", val="n_chars", tiebreak="doc_id", n_tiles=4)
+
+
+_SQL_DOCS_RANK = """
+SELECT lang, doc_id, n_chars,
+       RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS drnk,
+       NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+FROM documents
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full-data distributed k-means (k=10, 5 fixed Lloyd's passes, every
+    pass one map_batches + distributed Sum fold) over the embeddings
+    table; returns exactly k rows (cluster, n) — empty clusters report 0.
+    Iterative, not SQL-expressible -> rows-only at the driver
+    (functions/clustering.kmeans_fit/assign)."""
+    import ray.data
+
+    from webextract.functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    k = 10
+    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=k, n_iter=5)
+    asn = kmeans_assign(emb, cents, col="embedding", id_col="vec_id")
+    from ray.data.aggregate import Count
+
+    sizes = {int(r["cluster"]): int(r["count()"])
+             for r in asn.groupby("cluster").aggregate(Count()).take_all()}
+    return pa.table({
+        "cluster": pa.array(list(range(k)), type=pa.int64()),
+        "n": pa.array([sizes.get(c, 0) for c in range(k)], type=pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2514,6 +2595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_full": q_orders_customers_full,
         "docs_cube": q_docs_cube,
         "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
+        "orders_customers_right": q_orders_customers_right,
+        "docs_rank_per_lang": q_docs_rank_per_lang,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -2641,6 +2725,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_customers_full": _SQL_ORDERS_CUSTOMERS_FULL,
         "docs_cube": _SQL_DOCS_CUBE,
         "doc_length_quantiles_cont": _SQL_QUANTILES_CONT,
+        "orders_customers_right": _SQL_ORDERS_CUSTOMERS_RIGHT,
+        "docs_rank_per_lang": _SQL_DOCS_RANK,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:

@@ -260,3 +260,70 @@ def test_salted_join_defeats_max_group():
                            right_schema=R).to_pandas()
     assert len(out) == 800
     assert set(out.rname) == {"x", "y"}
+
+
+def test_right_join_nulls_for_left_misses():
+    left = pa.table({"k": [1, 3, 3], "lid": [10, 30, 31]}, schema=L)
+    right = pa.table({"k": [1, 2, 3], "rname": ["a", "b", "c"]}, schema=R)
+    out = hash_join(_ds(left), _ds(right), on="k", how="right",
+                    left_schema=L, right_schema=R).to_pandas()
+    # inner matches: k=1 (1x1), k=3 (2x1); unmatched right: k=2
+    assert len(out) == 4
+    miss = out[out.lid.isna()]
+    assert list(miss.k) == [2] and list(miss.rname) == ["b"]
+    # left-only keys never appear
+    left_only = pa.table({"k": [9], "lid": [90]}, schema=L)
+    out2 = hash_join(_ds(left_only), _ds(right), on="k", how="right",
+                     left_schema=L, right_schema=R).to_pandas()
+    assert len(out2) == 3 and out2.lid.isna().all()
+
+
+# ------------------------------------------------------------------ rank
+
+
+def test_rank_agg_matches_duckdb():
+    import duckdb
+
+    from webextract.functions.window import rank_agg
+
+    # interleaved keys with heavy ties in v
+    n = 120
+    t = pa.table({
+        "k": pa.array([("x", "y", "z")[i % 3] for i in range(n)]),
+        "id": pa.array(range(n), type=pa.int64()),
+        "v": pa.array([i * i % 7 for i in range(n)], type=pa.int64()),
+    })
+    got = (rank_agg(_ds(t, 4), by="k", val="v", tiebreak="id", n_tiles=4)
+           .to_pandas().sort_values(["k", "id"], ignore_index=True))
+    exp = duckdb.sql("""
+        SELECT k, id, v,
+               RANK() OVER (PARTITION BY k ORDER BY v) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS drnk,
+               NTILE(4) OVER (PARTITION BY k ORDER BY v, id) AS tile
+        FROM t ORDER BY k, id
+    """).df()
+    for c in ("rnk", "drnk", "tile"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_rank_agg_ntile_fewer_rows_than_tiles():
+    import duckdb
+
+    from webextract.functions.window import rank_agg
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "id": pa.array([0, 1, 2], type=pa.int64()),
+        "v": pa.array([5, 5, 9], type=pa.int64()),
+    })
+    got = (rank_agg(_ds(t, 2), by="k", val="v", tiebreak="id", n_tiles=4)
+           .to_pandas().sort_values(["k", "id"], ignore_index=True))
+    exp = duckdb.sql("""
+        SELECT k, id, v,
+               RANK() OVER (PARTITION BY k ORDER BY v) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS drnk,
+               NTILE(4) OVER (PARTITION BY k ORDER BY v, id) AS tile
+        FROM t ORDER BY k, id
+    """).df()
+    for c in ("rnk", "drnk", "tile"):
+        assert got[c].tolist() == exp[c].tolist(), c

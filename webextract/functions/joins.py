@@ -76,6 +76,8 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     * ``"inner"`` — per-key cross product of left x right rows;
     * ``"left"``  — inner plus unmatched left rows with NULL right payload
       (SQL LEFT OUTER JOIN);
+    * ``"right"`` — inner plus unmatched RIGHT rows with NULL left payload
+      (SQL RIGHT OUTER JOIN);
     * ``"full"``  — left plus unmatched RIGHT rows with NULL left payload
       (SQL FULL OUTER JOIN);
     * ``"semi"``  — left rows whose key EXISTS on the right (payload_r
@@ -106,7 +108,7 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     column to the declared type, so a declared/actual dtype drift (e.g.
     string vs large_string) converges instead of breaking the union.
     """
-    if how not in ("inner", "left", "full", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"unknown join how={how!r}")
     if how in ("semi", "anti"):
         right = right.select_columns([on])
@@ -177,7 +179,7 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
                 arrays.append(group.column(c).take(idx))
                 names.append(c)
             return pa.Table.from_arrays(arrays, names=names)
-        if not li and how == "full":  # right-only key: null left payload
+        if not li and how in ("full", "right"):  # right-only key: null left
             idx = pa.array(ri, type=pa.int64())
             arrays = [group.column(on).take(idx)]
             for c in payload_l:
@@ -186,7 +188,7 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
                 arrays.append(group.column(c).take(idx))
             return pa.Table.from_arrays(
                 arrays, names=[on] + payload_l + payload_r)
-        if not li or (not ri and how == "inner"):
+        if not li or (not ri and how in ("inner", "right")):
             return pa.Table.from_arrays(
                 [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
                 names=[on] + payload_l + payload_r,

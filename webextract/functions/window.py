@@ -117,6 +117,80 @@ def running_agg(ds, *, by: str, order: str, val: str,
         grp, batch_format="pyarrow")
 
 
+def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
+             by_type: pa.DataType = pa.string()):
+    """Per-key ``RANK() / DENSE_RANK() OVER (PARTITION BY by ORDER BY
+    val)`` plus ``NTILE(n_tiles) OVER (... ORDER BY val, tiebreak)``.
+
+    Scale shape: phase A is ``groupby(by, val).count()`` — the shuffle
+    moves ONE row per distinct (by, val) pair and the driver folds that
+    bounded histogram into per-value rank bases (same
+    bounded-cardinality contract as :func:`group_quantiles`; for an
+    unbounded value column quantile-sketch first). Phase B groups rows
+    by ``(by, val)`` — group size = tie count, never key frequency — so
+    a hot key spreads across its distinct values; NTILE's total order is
+    made total by the required-unique ``tiebreak``.
+
+    NTILE follows the SQL convention: with n rows and k tiles the first
+    ``n % k`` tiles hold ``n//k + 1`` rows, the rest ``n//k``.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([by, val]).aggregate(Count()).take_all()
+    per_key: Dict = {}
+    for r in hist:
+        per_key.setdefault(r[by], []).append((int(r[val]), int(r["count()"])))
+    bases: Dict[Tuple, Tuple[int, int, int]] = {}
+    totals: Dict = {}
+    for key, pairs in per_key.items():
+        pairs.sort()
+        cum = 0
+        for i, (v, n) in enumerate(pairs):
+            bases[(key, v)] = (cum + 1, i + 1, cum)  # rank, dense, rows-before
+            cum += n
+        totals[key] = cum
+    ref = ray.put((bases, totals))
+
+    out_schema = pa.schema([
+        pa.field(by, by_type), (tiebreak, pa.int64()), (val, pa.int64()),
+        ("rnk", pa.int64()), ("drnk", pa.int64()), ("tile", pa.int64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        b, t = ray.get(ref)
+        key = group.column(by)[0].as_py()
+        v = int(group.column(val)[0].as_py())
+        rank, dense, before = b[(key, v)]
+        n, k = t[key], n_tiles
+        tb = np.asarray(group.column(tiebreak).cast(pa.int64())
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(tb, kind="stable")
+        rn = before + np.arange(1, len(tb) + 1, dtype=np.int64)
+        big, size_small = n % k, n // k
+        size_big = size_small + 1
+        cut = big * size_big
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // max(size_big, 1) + 1,
+            big + (rn - cut - 1) // max(size_small, 1) + 1,
+        ).astype(np.int64)
+        m = len(tb)
+        out = {
+            by: pa.array([key] * m, type=out_schema.field(by).type),
+            tiebreak: pa.array(tb[order]),
+            val: pa.array(np.full(m, v, dtype=np.int64)),
+            "rnk": pa.array(np.full(m, rank, dtype=np.int64)),
+            "drnk": pa.array(np.full(m, dense, dtype=np.int64)),
+            "tile": pa.array(tile),
+        }
+        return pa.table(out, schema=out_schema)
+
+    return ds.groupby([by, val]).map_groups(grp, batch_format="pyarrow")
+
+
 def _finest_counts(ds, a: str, b: str, val: str):
     """groupby(a, b) -> (n, s) aggregate table on the driver (bounded by
     |a| x |b| distinct pairs — the rollup/pivot contract)."""
