@@ -2504,6 +2504,59 @@ def q_kmeans_clusters(sf_dir: str):
     })
 
 
+def q_neardup_keep(sf_dir: str):
+    """END-TO-END near-dedup retention — the workflow a 100 TB dedup run
+    actually executes: LSH candidates -> exact-Jaccard verify -> connected
+    components -> keep the min-doc_id winner per cluster -> anti-join the
+    losers out of the corpus. Only (doc_id, lang) crosses the final
+    shuffle (keys + tiny metadata — at full scale you select keys, never
+    text, into this join; the text is re-read once for the surviving
+    partition write)."""
+    from webextract.functions.graph import connected_components
+    from webextract.functions.joins import hash_join
+
+    pairs = q_neardup_pairs_exact(sf_dir)
+    comp = connected_components(pairs)  # (node, component)
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        keep = pc.not_equal(b.column("node"), b.column("component"))
+        return pa.table({"doc_id": b.column("node").filter(keep)})
+
+    losers = comp.map_batches(losers_only, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return hash_join(
+        docs, losers, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
+_SQL_NEARDUP_KEEP = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2598,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_right": q_orders_customers_right,
         "docs_rank_per_lang": q_docs_rank_per_lang,
         "kmeans_clusters": q_kmeans_clusters,
+        "neardup_keep": q_neardup_keep,
     }
 
 
@@ -2727,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_cont": _SQL_QUANTILES_CONT,
         "orders_customers_right": _SQL_ORDERS_CUSTOMERS_RIGHT,
         "docs_rank_per_lang": _SQL_DOCS_RANK,
+        "neardup_keep": _SQL_NEARDUP_KEEP,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
