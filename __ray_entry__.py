@@ -678,40 +678,22 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: small customer side shipped once via ray.put."""
-    import ray
+    """Broadcast join: small customer side shipped once via ray.put,
+    probed with vectorized pc.index_in + take (no per-row Python)
+    (functions/joins.broadcast_join)."""
     import ray.data
     from ray.data.aggregate import Count
+
+    from webextract.functions.joins import broadcast_join
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    lookup_ref = ray.put(
-        dict(
-            zip(
-                cust.column("c_custkey").to_pylist(),
-                cust.column("c_mktsegment").to_pylist(),
-            )
-        )
-    )
-
-    class SegmentJoiner:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            seg = [self.lookup.get(k) for k in b.column("o_custkey").to_pylist()]
-            return b.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
-
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    )
-    joined = orders.map_batches(
-        SegmentJoiner,
-        fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow",
-        concurrency=_conc(),
-    )
+    ).rename_columns({"o_custkey": "c_custkey"})
+    joined = broadcast_join(orders, cust, key="c_custkey",
+                            concurrency=_conc())
     return (
         joined.groupby("c_mktsegment")
         .aggregate(Count())

@@ -31,36 +31,49 @@ def broadcast_join(ds, small_table: pa.Table, *, key: str,
     import ray
 
     value_cols = value_cols or [c for c in small_table.column_names if c != key]
-    lookup = {}
-    keys = small_table.column(key).to_pylist()
-    cols = {c: small_table.column(c).to_pylist() for c in value_cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(cols[c][i] for c in value_cols)
-    ref = ray.put(lookup)
-
-    value_types = [small_table.schema.field(c).type for c in value_cols]
+    ref = ray.put(small_table.select([key] + value_cols).combine_chunks())
 
     class Joiner:
-        def __init__(self, ref, key, value_cols, value_types):
-            self.lookup = ray.get(ref)
+        """Vectorized probe: pc.index_in against the broadcast key array,
+        then take() the value columns (a null index yields a null row —
+        the left-join miss), no per-row Python."""
+
+        def __init__(self, ref, key, value_cols):
+            small = ray.get(ref)
+            self.keys = small.column(key).combine_chunks()
+            # duplicate small-side keys: LAST occurrence wins (the
+            # dict-overwrite semantics of the pre-vectorized version);
+            # drop earlier duplicates so index_in's first match IS the
+            # last logical occurrence
+            import numpy as np
+
+            seen = set()
+            dup = np.zeros(len(self.keys), dtype=bool)
+            for i in range(len(self.keys) - 1, -1, -1):
+                k = self.keys[i].as_py()
+                if k in seen:
+                    dup[i] = True
+                seen.add(k)
+            if dup.any():
+                keep = pa.array(~dup)
+                small = small.filter(keep)
+                self.keys = small.column(key).combine_chunks()
+            self.values = {c: small.column(c).combine_chunks()
+                           for c in value_cols}
             self.key = key
             self.value_cols = value_cols
-            self.value_types = value_types
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            misses = (None,) * len(self.value_cols)
-            rows = [self.lookup.get(k, misses)
-                    for k in batch.column(self.key).to_pylist()]
-            for j, (c, t) in enumerate(zip(self.value_cols, self.value_types)):
-                batch = batch.append_column(
-                    c, pa.array([r[j] for r in rows], type=t)
-                )
+            idx = pc.index_in(batch.column(self.key).combine_chunks(),
+                              value_set=self.keys)
+            for c in self.value_cols:
+                batch = batch.append_column(c, self.values[c].take(idx))
             return batch
 
     return ds.map_batches(
         Joiner,
-        fn_constructor_kwargs={"ref": ref, "key": key, "value_cols": value_cols,
-                               "value_types": value_types},
+        fn_constructor_kwargs={"ref": ref, "key": key,
+                               "value_cols": value_cols},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
