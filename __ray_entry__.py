@@ -2562,6 +2562,49 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
 )
 
 
+def q_pack_docs(sf_dir: str):
+    """Training-batch LINEAR PACKING: assign each doc (ordered by doc_id
+    within its language stream) to a fixed-capacity token pack by its
+    exclusive prefix sum — pack_id = (running_tokens - n_chars) // cap.
+    The prefix sum is the bucketed distributed running_agg (no global
+    sort, no per-key giant groups); the pack assignment is one stateless
+    map afterward. This is the first-pass grouping of
+    sample-packing/concat-and-chunk training prep."""
+    from webextract.functions.window import running_agg
+
+    cap = 8192
+    ran = running_agg(_docs(sf_dir, ["lang", "doc_id", "n_chars"]),
+                      by="lang", order="doc_id", val="n_chars")
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "pack_id": pa.array([], type=pa.int64()),
+            })
+        run = b.column("running_n_chars")
+        tok = b.column("n_chars")
+        pack = pc.divide(pc.subtract(run, tok), pa.scalar(cap, pa.int64()))
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": b.column("doc_id"),
+            "n_chars": tok,
+            "pack_id": pack.cast(pa.int64()),
+        })
+
+    return ran.map_batches(assign, batch_format="pyarrow")
+
+
+_SQL_PACK_DOCS = """
+SELECT lang, doc_id, n_chars,
+       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+         - n_chars) // 8192)::BIGINT AS pack_id
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2657,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rank_per_lang": q_docs_rank_per_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "neardup_keep": q_neardup_keep,
+        "pack_docs": q_pack_docs,
     }
 
 
@@ -2787,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_customers_right": _SQL_ORDERS_CUSTOMERS_RIGHT,
         "docs_rank_per_lang": _SQL_DOCS_RANK,
         "neardup_keep": _SQL_NEARDUP_KEEP,
+        "pack_docs": _SQL_PACK_DOCS,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
