@@ -2605,6 +2605,67 @@ FROM documents
 """
 
 
+def q_top_words_per_lang(sf_dir: str):
+    """EXACT per-language top-5 words: per-batch (lang, word) combiner
+    pre-aggregation (the shuffle moves one row per distinct pair per
+    block, never one per token), one keys-only groupby, then a per-lang
+    finish whose group size is bounded by the language's distinct
+    vocabulary. Ties break word-ascending (made total)."""
+    from ray.data.aggregate import Sum
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        langs = b.column("lang").combine_chunks()
+        reps = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat_words = words.flatten()
+        flat_langs = langs.take(
+            pa.array(np.repeat(np.arange(len(reps)), reps)))
+        t = pa.table({"lang": flat_langs, "word": flat_words})
+        return (t.group_by(["lang", "word"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "word", "n"]))
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def top5(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "word": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        cnt = np.asarray(group.column("cnt").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        words = group.column("word").to_pylist()
+        order = sorted(range(len(cnt)), key=lambda i: (-cnt[i], words[i]))[:5]
+        idx = pa.array(order, type=pa.int64())
+        return pa.table({
+            "lang": group.column("lang").take(idx),
+            "word": group.column("word").take(idx),
+            "cnt": group.column("cnt").cast(pa.int64()).take(idx),
+        })
+
+    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
+
+
+_SQL_TOP_WORDS_PER_LANG = """
+WITH c AS (
+  SELECT lang, word, count(*)::BIGINT AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY lang, word
+)
+SELECT lang, word, cnt FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY cnt DESC, word) <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2701,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "neardup_keep": q_neardup_keep,
         "pack_docs": q_pack_docs,
+        "top_words_per_lang": q_top_words_per_lang,
     }
 
 
@@ -2832,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_rank_per_lang": _SQL_DOCS_RANK,
         "neardup_keep": _SQL_NEARDUP_KEEP,
         "pack_docs": _SQL_PACK_DOCS,
+        "top_words_per_lang": _SQL_TOP_WORDS_PER_LANG,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
