@@ -2509,14 +2509,17 @@ def q_kmeans_clusters(sf_dir: str):
     })
 
 
-def q_neardup_keep(sf_dir: str):
-    """END-TO-END near-dedup retention — the workflow a 100 TB dedup run
-    actually executes: LSH candidates -> exact-Jaccard verify -> connected
-    components -> keep the min-doc_id winner per cluster -> anti-join the
-    losers out of the corpus. Only (doc_id, lang) crosses the final
-    shuffle (keys + tiny metadata — at full scale you select keys, never
-    text, into this join; the text is re-read once for the surviving
-    partition write)."""
+_DOC_COL_TYPES = {"doc_id": pa.int64(), "lang": pa.string(),
+                  "source": pa.string(), "n_chars": pa.int64(),
+                  "text": pa.string()}
+
+
+def _neardup_survivors(sf_dir: str, columns: list):
+    """Docs (projected to `columns`) that survive near-dedup: connected
+    components of the exact-verified pair graph, losers (node !=
+    component) anti-joined out. Only the projected columns cross the
+    anti join's shuffle — at full scale you select keys + tiny metadata,
+    never text."""
     from webextract.functions.graph import connected_components
     from webextract.functions.joins import hash_join
 
@@ -2530,13 +2533,20 @@ def q_neardup_keep(sf_dir: str):
         return pa.table({"doc_id": b.column("node").filter(keep)})
 
     losers = comp.map_batches(losers_only, batch_format="pyarrow")
-    docs = _docs(sf_dir, ["doc_id", "lang"])
+    docs = _docs(sf_dir, columns)
     return hash_join(
         docs, losers, on="doc_id", how="anti",
-        left_schema=pa.schema([("doc_id", pa.int64()),
-                               ("lang", pa.string())]),
+        left_schema=pa.schema([(c, _DOC_COL_TYPES[c]) for c in columns]),
         right_schema=pa.schema([("doc_id", pa.int64())]),
     )
+
+
+def q_neardup_keep(sf_dir: str):
+    """END-TO-END near-dedup retention — the workflow a 100 TB dedup run
+    actually executes: LSH candidates -> exact-Jaccard verify -> connected
+    components -> keep the min-doc_id winner per cluster -> anti-join the
+    losers out of the corpus (`_neardup_survivors`)."""
+    return _neardup_survivors(sf_dir, ["doc_id", "lang"])
 
 
 _SQL_NEARDUP_KEEP = (
@@ -2562,19 +2572,13 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
 )
 
 
-def q_pack_docs(sf_dir: str):
-    """Training-batch LINEAR PACKING: assign each doc (ordered by doc_id
-    within its language stream) to a fixed-capacity token pack by its
-    exclusive prefix sum — pack_id = (running_tokens - n_chars) // cap.
-    The prefix sum is the bucketed distributed running_agg (no global
-    sort, no per-key giant groups); the pack assignment is one stateless
-    map afterward. This is the first-pass grouping of
-    sample-packing/concat-and-chunk training prep."""
+def _assign_packs(ds, cap: int = 8192):
+    """(lang, doc_id, n_chars) -> + pack_id via the bucketed distributed
+    prefix sum: pack_id = (exclusive running char count) // cap per
+    language stream. One stateless map after running_agg."""
     from webextract.functions.window import running_agg
 
-    cap = 8192
-    ran = running_agg(_docs(sf_dir, ["lang", "doc_id", "n_chars"]),
-                      by="lang", order="doc_id", val="n_chars")
+    ran = running_agg(ds, by="lang", order="doc_id", val="n_chars")
 
     def assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -2595,6 +2599,16 @@ def q_pack_docs(sf_dir: str):
         })
 
     return ran.map_batches(assign, batch_format="pyarrow")
+
+
+def q_pack_docs(sf_dir: str):
+    """Training-batch LINEAR PACKING: assign each doc (ordered by doc_id
+    within its language stream) to a fixed-capacity pack by its
+    exclusive prefix sum. The prefix sum is the bucketed distributed
+    running_agg (no global sort, no per-key giant groups); the pack
+    assignment is one stateless map afterward. This is the first-pass
+    grouping of sample-packing/concat-and-chunk training prep."""
+    return _assign_packs(_docs(sf_dir, ["lang", "doc_id", "n_chars"]))
 
 
 _SQL_PACK_DOCS = """
@@ -2664,6 +2678,48 @@ SELECT lang, word, cnt FROM c
 QUALIFY row_number() OVER (
   PARTITION BY lang ORDER BY cnt DESC, word) <= 5
 """
+
+
+def q_training_mix(sf_dir: str):
+    """HERO COMPOSITION — the dedup-then-pack manifest a training-data
+    run ships to the trainer: near-dedup survivors (`_neardup_survivors`:
+    LSH -> exact-Jaccard -> connected components -> anti-join losers)
+    flow straight into per-language linear packing (`_assign_packs`:
+    bucketed distributed prefix sums). Output: one row per surviving doc
+    with its (lang, pack_id) batch assignment. Every stage is the
+    already-oracle-green primitive; the SQL mirror composes the same
+    CTEs."""
+    survivors = _neardup_survivors(sf_dir, ["doc_id", "lang", "n_chars"])
+    return _assign_packs(survivors)
+
+
+_SQL_TRAINING_MIX = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+)
+SELECT lang, doc_id, n_chars,
+       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+         - n_chars) // 8192)::BIGINT AS pack_id
+FROM survivors
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -2763,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep": q_neardup_keep,
         "pack_docs": q_pack_docs,
         "top_words_per_lang": q_top_words_per_lang,
+        "training_mix": q_training_mix,
     }
 
 
@@ -2895,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_keep": _SQL_NEARDUP_KEEP,
         "pack_docs": _SQL_PACK_DOCS,
         "top_words_per_lang": _SQL_TOP_WORDS_PER_LANG,
+        "training_mix": _SQL_TRAINING_MIX,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
