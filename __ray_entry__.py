@@ -2722,6 +2722,25 @@ FROM survivors
 )
 
 
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-style near-dup pairs: pairwise cosine computed ONLY
+    inside k-means clusters (candidate generation by semantic bucket —
+    functions/clustering.cluster_neardup). The driver's embeddings are
+    near-orthogonal (max off-diagonal cosine ~0.51, measured), so 0
+    pairs at tau=0.9 is the CORRECT answer — the planted-duplicate
+    pytest (test_clustering) pins the positive case. Iterative k-means
+    upstream -> rows-only at the driver."""
+    import ray.data
+
+    from webextract.functions.clustering import cluster_neardup, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=10, n_iter=3)
+    return cluster_neardup(emb, cents, col="embedding", id_col="vec_id",
+                           threshold=0.9)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2820,6 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": q_pack_docs,
         "top_words_per_lang": q_top_words_per_lang,
         "training_mix": q_training_mix,
+        "semdedup_pairs": q_semdedup_pairs,
     }
 
 
