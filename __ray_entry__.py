@@ -2742,6 +2742,349 @@ def q_semdedup_pairs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 12: lead/ffill windows, arg-min, bivariate corr, Bloom
+# semi join, triangle count, table checksum, PII extraction, percent_rank
+# --------------------------------------------------------------------------
+
+
+def _events_ts(sf_dir: str, extra_cols=()):
+    """events projected to int64 (user_id, ts_us, event_id [, extra])."""
+    import ray.data
+
+    cols = ["event_id", "ts", "user_id", *extra_cols]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def conv(b: pa.Table) -> pa.Table:
+        out = {
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+        }
+        for c in extra_cols:
+            out[c] = b.column(c)
+        return pa.table(out)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def q_events_lead(sf_dir: str):
+    """Per-user LEAD window (functions/temporal.key_lead): next event id
+    + time gap within each user, ordered (ts, event_id); last event per
+    user dropped so no nullable columns."""
+    from webextract.functions.temporal import key_lead
+
+    return key_lead(_events_ts(sf_dir), by="user_id", ts="ts_us",
+                    payload="event_id")
+
+
+_SQL_EVENTS_LEAD = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT user_id, ts_us, event_id,
+  lead(event_id) OVER w AS next_event_id,
+  lead(ts_us) OVER w - ts_us AS gap
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+QUALIFY next_event_id IS NOT NULL
+"""
+
+
+def q_first_event_per_user(sf_dir: str):
+    """Per-user ARG-MIN (functions/agg.first_by): the lexicographically
+    first (ts, event_id) row per user — SQL min_by / QUALIFY
+    row_number()=1. Combiner-first: one candidate per (key, block)
+    through the shuffle."""
+    from webextract.functions.agg import first_by
+
+    return first_by(_events_ts(sf_dir), by="user_id",
+                    order=["ts_us", "event_id"])
+
+
+_SQL_FIRST_EVENT = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) = 1
+"""
+
+
+def q_chars_words_corr(sf_dir: str):
+    """Per-language Pearson correlation + sample covariance between doc
+    char length and word count (functions/agg.corr_by) — five exact
+    int64 partial sums per group, one final double expression
+    (round-only-at-end; the SQL oracle is the same literal formula)."""
+    from webextract.functions.agg import corr_by
+
+    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def add_words(b: pa.Table) -> pa.Table:
+        nw = pc.add(pc.count_substring(b.column("text"), " "),
+                    1).cast(pa.int64())
+        return pa.table({"lang": b.column("lang"),
+                         "n_chars": b.column("n_chars"),
+                         "n_words": nw})
+
+    return corr_by(docs.map_batches(add_words, batch_format="pyarrow"),
+                   by="lang", x="n_chars", y="n_words")
+
+
+# len(string_split(text,' ')) == count(' ')+1 by the single-space corpus
+# contract; the final expressions are the SAME int64->double formula the
+# engine evaluates, so covar/corr are bit-identical.
+_SQL_CHARS_WORDS_CORR = """
+WITH m AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(string_split(text, ' '))::BIGINT AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+  FROM m GROUP BY lang
+)
+SELECT lang, n,
+  CASE WHEN n >= 2 THEN (n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE
+       END AS covar_samp,
+  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+    (n*sxy - sx*sy)::DOUBLE
+      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+  END AS corr
+FROM s
+"""
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-invariant whole-table fingerprint
+    (functions/checksum.table_checksum): one (count, Σ md5_number_lower
+    mod 2^63) pair over (doc_id, lang, text) — the 16-byte cross-cluster
+    verification handshake. Hash convention measured identical to DuckDB
+    md5_number_lower; see module docstring."""
+    from webextract.functions.checksum import table_checksum
+
+    return table_checksum(_docs(sf_dir, ["doc_id", "lang", "text"]),
+                          ["doc_id", "lang", "text"])
+
+
+_SQL_TABLE_CHECKSUM = """
+SELECT count(*)::BIGINT AS n_rows,
+  CAST(sum(md5_number_lower(concat_ws('|', doc_id, lang, text)))::HUGEINT
+       % 9223372036854775808 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+def q_orders_bloom_semi(sf_dir: str):
+    """EXACT semi join with a Bloom prefilter
+    (functions/joins.bloom_semi_join): orders placed by BUILDING-segment
+    customers. The bitmap (built distributed from the customer side,
+    broadcast once) drops definite non-matches BEFORE the shuffle — at
+    10^12 left rows the exchange carries ~matches + fp x n instead of
+    every row; the trailing exact semi join removes false positives, so
+    the result is exactly SQL IN (...)."""
+    import ray.data
+
+    from webextract.functions.joins import bloom_semi_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_mktsegment"), "BUILDING")
+        return pa.table({"o_custkey": b.filter(keep).column("c_custkey")
+                        .cast(pa.int64())})
+
+    building = cust.map_batches(keys, batch_format="pyarrow")
+    return bloom_semi_join(
+        orders, building, on="o_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
+
+
+_SQL_ORDERS_BLOOM_SEMI = """
+SELECT o_custkey, o_orderkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_host_triangles(sf_dir: str):
+    """Exact triangle count of the synthetic host link graph
+    (functions/graph.triangle_count — canonical-orient dedup, apex wedge
+    self-join, composite-key closure semi join; two keys-only
+    exchanges). The base `_host_edges_ds` functional graph is
+    triangle-free, so this query adds the deterministic ring + chord
+    families (a, a+1) and (a, a+2) — 54 distinct undirected edges, 28
+    triangles at every sf (the SQL oracle mirrors the same synthesis)."""
+    from webextract.functions.graph import triangle_count
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        a = (ids % 20).astype(np.int64)
+        fams = [((ids * 7 + 3) % 20).astype(np.int64),
+                (a + 1) % 20, (a + 2) % 20]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, a, a])),
+            "dst": pa.array(np.concatenate(fams)),
+        })
+
+    return triangle_count(
+        _docs(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow"))
+
+
+_SQL_HOST_TRIANGLES = """
+WITH d AS (
+  SELECT doc_id % 20 AS a, (doc_id * 7 + 3) % 20 AS b FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 1) % 20 FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 2) % 20 FROM documents
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM d WHERE a <> b
+),
+w AS (
+  SELECT e1.v AS v1, e2.v AS v2
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM w JOIN e ON w.v1 = e.u AND w.v2 = e.v
+"""
+
+
+def q_events_ffill(sf_dir: str):
+    """Per-user forward fill (functions/temporal.key_ffill): carry the
+    most recent click's value forward over non-click events, ordered
+    (ts, event_id); rows before a user's first click dropped (SQL
+    last_value IGNORE NULLS + QUALIFY NOT NULL)."""
+    from webextract.functions.temporal import key_ffill
+
+    ds = _events_ts(sf_dir, extra_cols=("event_type", "value"))
+
+    def mask(b: pa.Table) -> pa.Table:
+        clicked = pc.equal(b.column("event_type"), "click")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "event_id": b.column("event_id"),
+            "v": pc.if_else(clicked, b.column("value"),
+                            pa.nulls(b.num_rows, type=pa.float64())),
+        })
+
+    return key_ffill(ds.map_batches(mask, batch_format="pyarrow"),
+                     by="user_id", ts="ts_us", order2="event_id", val="v")
+
+
+_SQL_EVENTS_FFILL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN event_type = 'click' THEN value END AS v
+  FROM events
+)
+SELECT user_id, ts_us, event_id,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM e
+QUALIFY filled IS NOT NULL
+"""
+
+
+def q_pii_extract(sf_dir: str):
+    """PII EXTRACTION (explode): the planted-entity corpus of
+    `pii_recall`, but emitting the matched substring itself per span —
+    the redaction-audit artifact (what exactly left the corpus). Same
+    detectors (functions/pii), same plant schedule (doc_id % 4)."""
+    from webextract.functions.pii import PiiScanner
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 4 == 1:
+                out.append(f"{t} reach me at user{i}@example.com")
+            elif i % 4 == 2:
+                out.append(f"{t} id 123-45-6789")
+            elif i % 4 == 3:
+                out.append(f"{t} from 10.1.2.{i % 250}")
+            else:
+                out.append(t or "")
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(out, type=pa.string()),
+        })
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.string()),
+                            ("match", pa.string())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        spans = b.column("pii_spans").to_pylist()
+        o_id, o_kind, o_match = [], [], []
+        for i, t, ss in zip(ids, texts, spans):
+            for s in ss:
+                o_id.append(i)
+                o_kind.append(s["kind"])
+                o_match.append(t[s["start"]:s["end"]])
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "kind": pa.array(o_kind, type=pa.string()),
+            "match": pa.array(o_match, type=pa.string()),
+        }, schema=out_schema)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(PiiScanner, fn_constructor_kwargs={"redact_col": False},
+                     batch_format="pyarrow", concurrency=_conc())
+        .map_batches(explode, batch_format="pyarrow")
+    )
+
+
+_SQL_PII_EXTRACT = """
+SELECT doc_id, 'email' AS kind,
+       'user' || doc_id || '@example.com' AS match
+FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 'ssn_like', '123-45-6789' FROM documents WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'ipv4', '10.1.2.' || (doc_id % 250)
+FROM documents WHERE doc_id % 4 = 3
+"""
+
+
+def q_docs_pct_rank_per_lang(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per language over doc char length
+    (functions/window.rank_agg pct=True) — each an exact-int IEEE
+    division appended to the rank/ntile histogram pass."""
+    from webextract.functions.window import rank_agg
+
+    return rank_agg(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                    by="lang", val="n_chars", tiebreak="doc_id",
+                    n_tiles=4, pct=True)
+
+
+_SQL_DOCS_PCT_RANK = """
+SELECT lang, doc_id, n_chars,
+  rank() OVER v AS rnk,
+  dense_rank() OVER v AS drnk,
+  ntile(4) OVER w AS tile,
+  percent_rank() OVER v AS prnk,
+  cume_dist() OVER v AS cume
+FROM documents
+WINDOW v AS (PARTITION BY lang ORDER BY n_chars),
+       w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2840,6 +3183,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_lang": q_top_words_per_lang,
         "training_mix": q_training_mix,
         "semdedup_pairs": q_semdedup_pairs,
+        "events_lead": q_events_lead,
+        "first_event_per_user": q_first_event_per_user,
+        "chars_words_corr": q_chars_words_corr,
+        "table_checksum": q_table_checksum,
+        "orders_bloom_semi": q_orders_bloom_semi,
+        "host_triangles": q_host_triangles,
+        "events_ffill": q_events_ffill,
+        "pii_extract": q_pii_extract,
+        "docs_pct_rank_per_lang": q_docs_pct_rank_per_lang,
     }
 
 
@@ -2973,6 +3325,15 @@ def oracle_sql() -> dict[str, str]:
         "pack_docs": _SQL_PACK_DOCS,
         "top_words_per_lang": _SQL_TOP_WORDS_PER_LANG,
         "training_mix": _SQL_TRAINING_MIX,
+        "events_lead": _SQL_EVENTS_LEAD,
+        "first_event_per_user": _SQL_FIRST_EVENT,
+        "chars_words_corr": _SQL_CHARS_WORDS_CORR,
+        "table_checksum": _SQL_TABLE_CHECKSUM,
+        "orders_bloom_semi": _SQL_ORDERS_BLOOM_SEMI,
+        "host_triangles": _SQL_HOST_TRIANGLES,
+        "events_ffill": _SQL_EVENTS_FFILL,
+        "pii_extract": _SQL_PII_EXTRACT,
+        "docs_pct_rank_per_lang": _SQL_DOCS_PCT_RANK,
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:

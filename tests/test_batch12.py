@@ -1,0 +1,205 @@
+"""Library-level pins for the round-3 batch-12 additions: lead/ffill
+windows, arg-min first_by, bivariate corr, Bloom semi join, triangle
+count, order-invariant table checksum, percent_rank/cume_dist."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _tbl(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------- key_lead
+
+
+def test_key_lead_mirrors_lag(ray_session):
+    from webextract.functions.temporal import key_lag, key_lead
+
+    t = _tbl(k=[1, 1, 1, 2, 2, 3],
+             ts=[10, 5, 7, 1, 2, 9],
+             p=[100, 101, 102, 200, 201, 300])
+    ds = ray.data.from_arrow(t).repartition(3)
+    lead = key_lead(ds, by="k", ts="ts", payload="p").to_pandas()
+    lag = key_lag(ds, by="k", ts="ts", payload="p").to_pandas()
+    # lead rows are the lag rows re-anchored on the predecessor
+    lead = lead.sort_values(["k", "ts"], ignore_index=True)
+    lag = lag.sort_values(["k", "ts"], ignore_index=True)
+    assert lead.next_p.tolist() == lag.p.tolist()
+    assert lead.p.tolist() == lag.prev_p.tolist()
+    assert lead.gap.tolist() == lag.gap.tolist()
+    # singleton key 3 contributes nothing
+    assert 3 not in set(lead.k)
+
+
+# ---------------------------------------------------------------- first_by
+
+
+def test_first_by_layout_invariant(ray_session):
+    from webextract.functions.agg import first_by
+
+    rng = np.arange(40)
+    t = _tbl(k=(rng % 4).tolist(),
+             ts=((rng * 7) % 11).tolist(),
+             p=rng.tolist())
+    expect = {}
+    for k, ts, p in zip(t.column("k").to_pylist(),
+                        t.column("ts").to_pylist(),
+                        t.column("p").to_pylist()):
+        cur = expect.get(k)
+        if cur is None or (ts, p) < cur:
+            expect[k] = (ts, p)
+    for nparts in (1, 5, 13):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = first_by(ds, by="k", order=["ts", "p"]).to_pandas()
+        got = got.sort_values("k", ignore_index=True)
+        assert {r.k: (r.ts, r.p) for r in got.itertuples()} == expect
+
+
+# ----------------------------------------------------------------- corr_by
+
+
+def test_corr_by_perfect_and_inverse(ray_session):
+    from webextract.functions.agg import corr_by
+
+    x = list(range(1, 21))
+    t = _tbl(g=["a"] * 20 + ["b"] * 20 + ["c"] * 2,
+             x=x + x + [5, 5],
+             y=[3 * v + 1 for v in x] + [-2 * v for v in x] + [1, 9])
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = corr_by(ds, by="g", x="x", y="y").to_pandas()
+    got = got.set_index("g")
+    assert got.loc["a", "corr"] == 1.0
+    assert got.loc["b", "corr"] == -1.0
+    # zero variance in x -> null corr, covar still defined
+    assert np.isnan(got.loc["c", "corr"])
+    assert got.loc["c", "covar_samp"] == 0.0
+
+
+# ---------------------------------------------------------------- checksum
+
+
+def test_table_checksum_invariance_and_sensitivity(ray_session):
+    from webextract.functions.checksum import table_checksum
+
+    t = _tbl(id=[1, 2, 3, 4], s=["a", "b", "c", "d"])
+    base = table_checksum(ray.data.from_arrow(t), ["id", "s"]).to_pandas()
+    # row order / partitioning invariant
+    perm = t.take(pa.array([3, 1, 0, 2]))
+    for nparts in (1, 3):
+        again = table_checksum(
+            ray.data.from_arrow(perm).repartition(nparts),
+            ["id", "s"]).to_pandas()
+        assert again.checksum[0] == base.checksum[0]
+        assert again.n_rows[0] == 4
+    # any single-value change moves the checksum
+    mut = _tbl(id=[1, 2, 3, 4], s=["a", "b", "X", "d"])
+    changed = table_checksum(ray.data.from_arrow(mut), ["id", "s"]).to_pandas()
+    assert changed.checksum[0] != base.checksum[0]
+
+
+def test_table_checksum_matches_duckdb_md5_convention():
+    import hashlib
+    import struct
+
+    import duckdb
+
+    val = duckdb.connect().execute(
+        "SELECT md5_number_lower('x|y')").fetchone()[0]
+    d = hashlib.md5(b"x|y").digest()
+    assert struct.unpack("<Q", d[8:])[0] == val
+
+
+# -------------------------------------------------------------- bloom join
+
+
+def test_bloom_bits_no_false_negatives(ray_session):
+    from webextract.functions.joins import _splitmix64, bloom_bits
+
+    keys = list(range(0, 3000, 3))
+    ds = ray.data.from_arrow(_tbl(k=keys)).repartition(4)
+    bits, mask, n = bloom_bits(ds, on="k", m_bits=1 << 14, n_hashes=4)
+
+    def member(x):
+        h = np.uint64(x)
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                hh = _splitmix64(np.array(
+                    [h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(i)],
+                    dtype=np.uint64))[0] & mask
+                if not (bits[int(hh) >> 6] >> (hh & np.uint64(63))) & np.uint64(1):
+                    return False
+        return True
+
+    assert all(member(k) for k in keys)  # Bloom guarantee
+    misses = [x for x in range(1, 3000, 3) if not member(x)]
+    assert len(misses) > 800  # fp rate far below 20% at 16 bits/key
+
+
+def test_bloom_semi_join_exact(ray_session):
+    from webextract.functions.joins import bloom_semi_join
+
+    left = ray.data.from_arrow(
+        _tbl(k=list(range(100)), payload=list(range(1000, 1100)))
+    ).repartition(5)
+    right = ray.data.from_arrow(_tbl(k=[2, 3, 5, 7, 11, 97])).repartition(2)
+    got = bloom_semi_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("payload", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64())])).to_pandas()
+    assert sorted(got.k) == [2, 3, 5, 7, 11, 97]
+    assert sorted(got.payload) == [1002, 1003, 1005, 1007, 1011, 1097]
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from webextract.functions.graph import triangle_count
+
+    # K4 = 4 triangles; edges given directed/duplicated/self-looped
+    k4 = _tbl(src=[0, 0, 0, 1, 1, 2, 2, 0, 3],
+              dst=[1, 2, 3, 2, 3, 3, 1, 0, 3])
+    got = triangle_count(ray.data.from_arrow(k4).repartition(3)).to_pandas()
+    assert got.n_triangles.tolist() == [4]
+    # triangle-free path graph still emits exactly one row (0)
+    path = _tbl(src=[0, 1, 2], dst=[1, 2, 3])
+    got0 = triangle_count(ray.data.from_arrow(path)).to_pandas()
+    assert got0.n_triangles.tolist() == [0]
+
+
+# ------------------------------------------------------------------- ffill
+
+
+def test_key_ffill_hand_case(ray_session):
+    from webextract.functions.temporal import key_ffill
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 1, 2], type=pa.int64()),
+        "o": pa.array([0, 0, 0, 0, 0, 0], type=pa.int64()),
+        "v": pa.array([None, 5.0, None, 7.0, None, None],
+                      type=pa.float64()),
+    })
+    got = key_ffill(ray.data.from_arrow(t).repartition(2),
+                    by="k", ts="ts", order2="o", val="v").to_pandas()
+    got = got.sort_values(["k", "ts"], ignore_index=True)
+    # key 1: first row dropped (no prior non-null), then 5, 5, 7
+    assert got.k.tolist() == [1, 1, 1]
+    assert got.filled.tolist() == [5.0, 5.0, 7.0]
+
+
+# ---------------------------------------------------------- percent_rank
+
+
+def test_rank_agg_pct_single_row_partition(ray_session):
+    from webextract.functions.window import rank_agg
+
+    t = _tbl(g=["a", "a", "a", "b"], v=[10, 10, 20, 5],
+             tb=[1, 2, 3, 4])
+    got = rank_agg(ray.data.from_arrow(t), by="g", val="v", tiebreak="tb",
+                   n_tiles=2, pct=True).to_pandas()
+    got = got.sort_values(["g", "tb"], ignore_index=True)
+    assert got.prnk.tolist() == [0.0, 0.0, 1.0, 0.0]  # single-row b -> 0.0
+    assert got.cume.tolist() == [2 / 3, 2 / 3, 1.0, 1.0]

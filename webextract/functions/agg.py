@@ -185,3 +185,107 @@ def hash_sample_per_group(ds, *, by: str, id_col: str, k: int):
         .groupby(by)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def first_by(ds, *, by: str, order: Sequence[str]):
+    """Per-group ARG-MIN: the single row of each ``by`` group that is
+    lexicographically smallest under ``order`` (SQL
+    ``min_by`` / ``QUALIFY row_number() OVER (... ORDER BY order) = 1``).
+
+    Two stages, combiner-first: a per-batch partial keeps ONE candidate
+    row per key in the batch (vectorized lexsort + unique-first, no
+    Python row loop), then ``groupby(by).map_groups`` picks the winner
+    among <= n_blocks candidates per key. Only ``(by, *order)`` int64
+    columns exist in the stream, so the shuffle is keys-only and the
+    per-key group is bounded by the block count, not the key's row count
+    — the `RecMetric` partial+AllReduce shape.
+    """
+    cols = [by, *order]
+    out_schema = pa.schema([(c, pa.int64()) for c in cols])
+
+    def _argmin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        arrays = [np.asarray(t.column(c).to_numpy(zero_copy_only=False),
+                             dtype=np.int64) for c in cols]
+        # lexsort: last key is primary -> sort by (by, *order)
+        sort_keys = tuple(reversed(arrays))
+        perm = np.lexsort(sort_keys)
+        keys_sorted = arrays[0][perm]
+        _, first_idx = np.unique(keys_sorted, return_index=True)
+        take = perm[first_idx]
+        return pa.table(
+            {c: pa.array(a[take]) for c, a in zip(cols, arrays)},
+            schema=out_schema)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _argmin(b.select(cols))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(_argmin, batch_format="pyarrow")
+    )
+
+
+def corr_by(ds, *, by: str, x: str, y: str):
+    """Per-group sample covariance + Pearson correlation from exact int64
+    partial sums: one groupby of five integer partials
+    ``(Σx, Σy, Σx², Σy², Σxy)`` + Count, then a single final
+    IEEE-double expression per group (round-only-at-end):
+
+    ``covar_samp = (n·Σxy − Σx·Σy) / (n·(n−1))``
+    ``corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``
+
+    Write the SQL oracle as the SAME literal expression over the same
+    integer aggregates and both doubles are bit-identical. Groups with
+    n < 2 or zero variance in either column emit nulls (SQL convention).
+
+    Output: ``(by, n, covar_samp, corr)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        xs = b.column(x).cast(pa.int64())
+        ys = b.column(y).cast(pa.int64())
+        return pa.table({
+            by: b.column(by),
+            "_x": xs, "_y": ys,
+            "_xx": pc.multiply_checked(xs, xs),
+            "_yy": pc.multiply_checked(ys, ys),
+            "_xy": pc.multiply_checked(xs, ys),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("_x", alias_name="sx"), Sum("_y", alias_name="sy"),
+                   Sum("_xx", alias_name="sxx"), Sum("_yy", alias_name="syy"),
+                   Sum("_xy", alias_name="sxy"), Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            covar = num.astype(np.float64) / (n * (n - 1)).astype(np.float64)
+            corr = num.astype(np.float64) / (
+                np.sqrt(denx.astype(np.float64))
+                * np.sqrt(deny.astype(np.float64)))
+        ok_cov = n >= 2
+        ok_corr = ok_cov & (denx > 0) & (deny > 0)
+        return pa.table({
+            by: b.column(by),
+            "n": pa.array(n),
+            "covar_samp": pa.array(covar, type=pa.float64(), mask=~ok_cov),
+            "corr": pa.array(corr, type=pa.float64(), mask=~ok_corr),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -229,3 +229,87 @@ def key_lag(ds, *, by: str, ts: str, payload: str):
         }, schema=out_schema)
 
     return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+
+
+def key_lead(ds, *, by: str, ts: str, payload: str):
+    """Per-key LEAD window: for every row, attach the NEXT row's
+    ``payload`` and the time gap to it within its ``by`` partition,
+    ordered ``(ts, payload)`` (total + deterministic). Rows with no
+    successor are dropped, so the output needs no nullable columns.
+
+    Output columns: ``(by, ts, payload, next_<payload>, gap)``, all of
+    ``ts``/``payload`` int64. Same scale shape as :func:`key_lag` — ONE
+    keys-only shuffle, vectorized lexsort + shift per group.
+    """
+    out_schema = pa.schema([
+        (by, pa.int64()), (ts, pa.int64()), (payload, pa.int64()),
+        (f"next_{payload}", pa.int64()), ("gap", pa.int64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        p = np.asarray(group.column(payload).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if len(t) < 2:
+            return out_schema.empty_table()
+        order = np.lexsort((p, t))
+        t, p = t[order], p[order]
+        key = group.column(by).slice(0, 1).to_pylist() * (len(t) - 1)
+        return pa.table({
+            by: pa.array(key, type=pa.int64()),
+            ts: pa.array(t[:-1]),
+            payload: pa.array(p[:-1]),
+            f"next_{payload}": pa.array(p[1:]),
+            "gap": pa.array(t[1:] - t[:-1]),
+        }, schema=out_schema)
+
+    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+
+
+def key_ffill(ds, *, by: str, ts: str, order2: str, val: str):
+    """Per-key forward fill (SQL ``last_value(val IGNORE NULLS) OVER
+    (PARTITION BY by ORDER BY ts, order2 ROWS UNBOUNDED PRECEDING)``):
+    every row gets the most recent non-null ``val`` at or before it in
+    its partition. Rows before the first non-null value are DROPPED so
+    the output's ``filled`` column is non-nullable (the key_lag
+    discipline — the SQL mirror is the same query + ``QUALIFY filled IS
+    NOT NULL``).
+
+    Output: ``(by, ts, order2, filled)`` with ``filled`` float64. ONE
+    keys-only+value shuffle; the group body is a vectorized index
+    forward-scan (``np.maximum.accumulate`` over last-valid indices), no
+    per-row Python.
+    """
+    out_schema = pa.schema([
+        (by, pa.int64()), (ts, pa.int64()), (order2, pa.int64()),
+        ("filled", pa.float64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o2 = np.asarray(group.column(order2).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        col = group.column(val)
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.asarray(pc.is_null(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).to_numpy(zero_copy_only=False))
+        order = np.lexsort((o2, t))
+        t, o2, v, valid = t[order], o2[order], v[order], valid[order]
+        last = np.where(valid, np.arange(n), -1)
+        last = np.maximum.accumulate(last)
+        keep = last >= 0
+        key = group.column(by).slice(0, 1).to_pylist() * int(keep.sum())
+        return pa.table({
+            by: pa.array(key, type=pa.int64()),
+            ts: pa.array(t[keep]),
+            order2: pa.array(o2[keep]),
+            "filled": pa.array(v[last[keep]]),
+        }, schema=out_schema)
+
+    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")

@@ -118,7 +118,7 @@ def running_agg(ds, *, by: str, order: str, val: str,
 
 
 def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
-             by_type: pa.DataType = pa.string()):
+             by_type: pa.DataType = pa.string(), pct: bool = False):
     """Per-key ``RANK() / DENSE_RANK() OVER (PARTITION BY by ORDER BY
     val)`` plus ``NTILE(n_tiles) OVER (... ORDER BY val, tiebreak)``.
 
@@ -133,6 +133,11 @@ def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
 
     NTILE follows the SQL convention: with n rows and k tiles the first
     ``n % k`` tiles hold ``n//k + 1`` rows, the rest ``n//k``.
+
+    ``pct=True`` appends ``prnk`` = PERCENT_RANK() = (rank−1)/(n−1)
+    (0.0 for a single-row partition, the SQL convention) and ``cume`` =
+    CUME_DIST() = (rows ≤ val)/n — each one exact-int IEEE division, so
+    both doubles are bit-identical to the SQL window functions.
     """
     import ray
     from ray.data.aggregate import Count
@@ -152,10 +157,13 @@ def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
         totals[key] = cum
     ref = ray.put((bases, totals))
 
-    out_schema = pa.schema([
+    fields = [
         pa.field(by, by_type), (tiebreak, pa.int64()), (val, pa.int64()),
         ("rnk", pa.int64()), ("drnk", pa.int64()), ("tile", pa.int64()),
-    ])
+    ]
+    if pct:
+        fields += [("prnk", pa.float64()), ("cume", pa.float64())]
+    out_schema = pa.schema(fields)
 
     def grp(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -186,6 +194,11 @@ def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
             "drnk": pa.array(np.full(m, dense, dtype=np.int64)),
             "tile": pa.array(tile),
         }
+        if pct:
+            prnk = float(rank - 1) / float(n - 1) if n > 1 else 0.0
+            cume = float(before + m) / float(n)
+            out["prnk"] = pa.array(np.full(m, prnk, dtype=np.float64))
+            out["cume"] = pa.array(np.full(m, cume, dtype=np.float64))
         return pa.table(out, schema=out_schema)
 
     return ds.groupby([by, val]).map_groups(grp, batch_format="pyarrow")
