@@ -3085,6 +3085,107 @@ WINDOW v AS (PARTITION BY lang ORDER BY n_chars),
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 13: composite-key join, per-group HLL, winsorize
+# --------------------------------------------------------------------------
+
+
+def q_first_event_by_type(sf_dir: str):
+    """Composite-key (3-column) hash join
+    (functions/joins.hash_join_on): the keep-first winners per (user,
+    event_type) joined BACK to the events table on (user_id, event_type,
+    event_id) to retrieve the winning row's timestamp — the
+    dedup-decision-then-payload-retrieval shape on a multi-column key.
+    One packed-key hash exchange; key columns ride as left payload."""
+    from webextract.functions.joins import hash_join_on
+
+    winners = q_dedup_events(sf_dir)
+    events = _events_ts(sf_dir, extra_cols=("event_type",))
+    return hash_join_on(
+        winners, events,
+        on=["user_id", "event_type", "event_id"],
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("event_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts_us", pa.int64()),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string())]))
+
+
+_SQL_FIRST_EVENT_BY_TYPE = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY event_id) = 1
+"""
+
+
+def q_approx_users_per_type(sf_dir: str):
+    """Per-group HLL distinct (functions/sketches.approx_distinct_by) —
+    the unbounded-cardinality scale path beside the exact
+    `users_per_type`: one 1-KiB register row per (key, block) through
+    the shuffle instead of one row per distinct pair. Approximate ->
+    rows-only; the ~3% error bound is pytest-pinned against the exact
+    counts."""
+    import ray.data
+
+    from webextract.functions.sketches import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return approx_distinct_by(ds, by="event_type", of="user_id", p=10)
+
+
+def q_winsorized_lengths(sf_dir: str):
+    """Winsorize: clamp doc lengths to the corpus [p05, p95] — the
+    standard outlier-trim before length-based quality scoring. The
+    quantiles come from the bounded groupby(value).count() histogram
+    fold (`doc_length_quantiles` discipline, DuckDB quantile_disc
+    convention v[floor(q*(n-1))]); the clamp itself is one vectorized
+    map_batches."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars").aggregate(Count())
+        .rename_columns({"count()": "n"})
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    total = sum(r["n"] for r in hist)
+    vals = []
+    for q in (0.05, 0.95):
+        t = int(q * (total - 1))
+        cum = 0
+        for row in hist:
+            if cum + row["n"] > t:
+                vals.append(row["n_chars"])
+                break
+            cum += row["n"]
+    lo, hi = vals
+
+    def clamp(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars")
+        w = pc.min_element_wise(pc.max_element_wise(x, lo), hi)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars_w": w.cast(pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        clamp, batch_format="pyarrow")
+
+
+_SQL_WINSORIZED = """
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, least(greatest(n_chars, lo), hi)::BIGINT AS n_chars_w
+FROM documents, q
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -3192,6 +3293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ffill": q_events_ffill,
         "pii_extract": q_pii_extract,
         "docs_pct_rank_per_lang": q_docs_pct_rank_per_lang,
+        "first_event_by_type": q_first_event_by_type,
+        "approx_users_per_type": q_approx_users_per_type,
+        "winsorized_lengths": q_winsorized_lengths,
     }
 
 
@@ -3334,6 +3438,10 @@ def oracle_sql() -> dict[str, str]:
         "events_ffill": _SQL_EVENTS_FFILL,
         "pii_extract": _SQL_PII_EXTRACT,
         "docs_pct_rank_per_lang": _SQL_DOCS_PCT_RANK,
+        "first_event_by_type": _SQL_FIRST_EVENT_BY_TYPE,
+        "winsorized_lengths": _SQL_WINSORIZED,
+        # approx_users_per_type: HLL estimate — approximate by design,
+        # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
         # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
         # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:

@@ -203,3 +203,70 @@ def test_rank_agg_pct_single_row_partition(ray_session):
     got = got.sort_values(["g", "tb"], ignore_index=True)
     assert got.prnk.tolist() == [0.0, 0.0, 1.0, 0.0]  # single-row b -> 0.0
     assert got.cume.tolist() == [2 / 3, 2 / 3, 1.0, 1.0]
+
+
+# -------------------------------------------------------- composite join
+
+
+def test_hash_join_on_no_cross_key_pollution(ray_session):
+    from webextract.functions.joins import hash_join_on
+
+    # ("a", 12) must NOT match ("a1", 2) — the packed key is separated
+    lds = ray.data.from_arrow(pa.table({
+        "k1": pa.array(["a", "a1", "b"]), "k2": pa.array([12, 2, 3]),
+        "lv": pa.array([1, 2, 3])})).repartition(2)
+    rds = ray.data.from_arrow(pa.table({
+        "k1": pa.array(["a1", "b", "a"]), "k2": pa.array([2, 3, 99]),
+        "rv": pa.array([10, 20, 30])})).repartition(2)
+    got = hash_join_on(
+        lds, rds, on=["k1", "k2"],
+        left_schema=pa.schema([("k1", pa.string()), ("k2", pa.int64()),
+                               ("lv", pa.int64())]),
+        right_schema=pa.schema([("k1", pa.string()), ("k2", pa.int64()),
+                                ("rv", pa.int64())])).to_pandas()
+    got = got.sort_values(["k1", "k2"], ignore_index=True)
+    assert list(zip(got.k1, got.k2, got.lv, got.rv)) == [
+        ("a1", 2, 2, 10), ("b", 3, 3, 20)]
+
+
+def test_hash_join_on_semi_anti(ray_session):
+    from webextract.functions.joins import hash_join_on
+
+    lds = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, 2]), "b": pa.array([1, 2, 1, 2]),
+        "v": pa.array([10, 20, 30, 40])}))
+    rds = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2]), "b": pa.array([2, 1])}))
+    ls = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                    ("v", pa.int64())])
+    rs = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    semi = hash_join_on(lds, rds, on=["a", "b"], how="semi",
+                        left_schema=ls, right_schema=rs).to_pandas()
+    anti = hash_join_on(lds, rds, on=["a", "b"], how="anti",
+                        left_schema=ls, right_schema=rs).to_pandas()
+    assert sorted(semi.v) == [20, 30]
+    assert sorted(anti.v) == [10, 40]
+
+
+# ------------------------------------------------------- per-group HLL
+
+
+def test_approx_distinct_by_error_bound(ray_session):
+    from webextract.functions.sketches import approx_distinct_by
+
+    # groups with known cardinalities 100 / 1000 / 7
+    keys, vals = [], []
+    for g, n in (("a", 100), ("b", 1000), ("c", 7)):
+        for i in range(n):
+            keys.append(g)
+            vals.append(f"{g}-{i}")
+        # duplicates must not inflate the estimate
+        for i in range(min(n, 50)):
+            keys.append(g)
+            vals.append(f"{g}-{i}")
+    t = pa.table({"g": pa.array(keys), "v": pa.array(vals)})
+    got = approx_distinct_by(
+        ray.data.from_arrow(t).repartition(6), by="g", of="v",
+        p=10).to_pandas().set_index("g")
+    for g, n in (("a", 100), ("b", 1000), ("c", 7)):
+        assert abs(got.loc[g, "n_distinct_approx"] - n) / n < 0.15

@@ -357,9 +357,17 @@ def bloom_bits(keys_ds, *, on: str, m_bits: int = 1 << 20,
             acc |= np.frombuffer(blob, dtype=np.uint64)
         return pa.table({"bits": pa.array([acc.tobytes()], type=pa.binary())})
 
-    folded = (
+    # batch_size=None: ONE partial bitmap per input block, not per
+    # 1024-row default batch. Two-level tree fold: at 10^6 blocks the
+    # partials are ~m_bits/8 x n_blocks bytes — OR them 16-ways first so
+    # no single task ingests them all.
+    partials = (
         keys_ds.select_columns([on])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    folded = (
+        partials.repartition(16)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(fold, batch_format="pyarrow", batch_size=None)
         .take(1)
@@ -421,3 +429,43 @@ def bloom_semi_join(left, right, *, on: str, m_bits: int = 1 << 20,
     return hash_join(survivors, right, on=on, how="semi",
                      max_group=max_group, left_schema=left_schema,
                      right_schema=right_schema)
+
+
+def hash_join_on(left, right, *, on: "List[str]", how: str = "inner",
+                 max_group: int = 100_000,
+                 left_schema: pa.Schema, right_schema: pa.Schema):
+    """Composite-key (multi-column) hash join: pack the key columns into
+    one ``\\x1f``-separated string key and delegate to :func:`hash_join`.
+
+    The packed key is exact for int64/string key columns (decimal int
+    rendering is unambiguous; the unit separator never appears in the
+    corpus's key strings — a key string containing ``\\x1f`` would need
+    caller-side escaping). The LEFT side's original key columns ride
+    along as payload and are re-emitted; the right side's are dropped
+    (they are equal by definition). ``how`` is limited to the shapes
+    where that equality holds for every output row: inner / semi / anti.
+
+    Scale shape: identical to `hash_join` — one hash exchange on the
+    packed key; the pack adds one vectorized cast+join kernel per side.
+    """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError("hash_join_on supports inner/semi/anti only")
+    if len(on) < 2:
+        raise ValueError("hash_join_on needs >= 2 key columns")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_ck", pa.array([], type=pa.string()))
+        parts = [pc.cast(batch.column(c), pa.string()) for c in on]
+        ck = pc.binary_join_element_wise(*parts, "\x1f")
+        return batch.append_column("_ck", ck)
+
+    lpacked = left.map_batches(pack, batch_format="pyarrow")
+    rpacked = (right.map_batches(pack, batch_format="pyarrow")
+               .drop_columns(list(on)))
+    ls = left_schema.append(pa.field("_ck", pa.string()))
+    rs = pa.schema([f for f in right_schema if f.name not in on]).append(
+        pa.field("_ck", pa.string()))
+    joined = hash_join(lpacked, rpacked, on="_ck", how=how,
+                       max_group=max_group, left_schema=ls, right_schema=rs)
+    return joined.drop_columns(["_ck"])

@@ -466,3 +466,63 @@ def approx_quantiles(ds, col: str, qs, k: int = 256) -> pa.Table:
         "value": pa.array([merged.quantile(q) for q in qs],
                           type=pa.int64()),
     })
+
+
+def approx_distinct_by(ds, *, by: str, of: str, p: int = 10):
+    """Approximate per-group COUNT(DISTINCT of) — the unbounded-
+    cardinality scale path beside the exact `agg.count_distinct_by`
+    (which shuffles one row per DISTINCT (by, of) pair; at 10^12 rows
+    with high-cardinality values that exchange is itself the bottleneck).
+
+    Per-batch: ONE HLL register array per key PRESENT in the batch
+    (2^p bytes, p=10 -> 1 KiB, ~3.2% rel. error); the groupby then
+    merges <= n_blocks partials per key register-wise — group size is
+    bounded by the block count, never the key's row count. Only
+    (key, registers) rows cross the shuffle.
+
+    Output: ``(by, n_distinct_approx float64)`` — approximate, so no SQL
+    oracle; the error bound is pytest-pinned.
+    """
+    import numpy as np
+
+    reg_type = pa.list_(pa.uint8())
+    out_partial = pa.schema([(by, pa.string()), ("regs", reg_type)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_partial.empty_table()
+        keys = batch.column(by).to_pylist()
+        vals = batch.column(of).to_pylist()
+        per_key = {}
+        for k, v in zip(keys, vals):
+            if v is not None:
+                per_key.setdefault(k, []).append(str(v))
+        ks, regs = [], []
+        for k, vs in per_key.items():
+            ks.append(k)
+            regs.append(HllSketch(p).add(vs).registers.tolist())
+        return pa.table({by: pa.array(ks, type=pa.string()),
+                         "regs": pa.array(regs, type=reg_type)},
+                        schema=out_partial)
+
+    out_schema = pa.schema([(by, pa.string()),
+                            ("n_distinct_approx", pa.float64())])
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        acc = HllSketch(p)
+        for regs in group.column("regs").to_pylist():
+            acc.merge(HllSketch(p, registers=np.asarray(regs,
+                                                        dtype=np.uint8)))
+        return pa.table({
+            by: group.column(by).slice(0, 1),
+            "n_distinct_approx": pa.array([acc.estimate()],
+                                          type=pa.float64()),
+        }, schema=out_schema)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(merge, batch_format="pyarrow")
+    )
