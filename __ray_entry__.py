@@ -3185,6 +3185,34 @@ FROM documents, q
 """
 
 
+def q_ssjoin_pairs(sf_dir: str):
+    """EXACT all-pairs set-similarity join (functions/ssjoin.py,
+    prefix-filtered PPJoin-lite): every doc pair with word-3-gram
+    Jaccard >= 0.8, no LSH recall term — the exact counterpart to
+    `neardup_pairs` candidate generation. Threshold compares are integer
+    cross-multiplications (4/5), jac is one IEEE division; the SQL
+    oracle computes the same integer counts."""
+    from webextract.functions.ssjoin import ssjoin_pairs
+
+    return ssjoin_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+_SQL_SSJOIN = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
+      FROM w, unnest(range(0, greatest(len(words) - 2, 1))) AS t(i)),
+s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT id_a, id_b, i, sa.n + sb.n - i AS u
+  FROM inter JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, i::DOUBLE / u AS jac FROM p WHERE i * 5 >= u * 4
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3296,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_by_type": q_first_event_by_type,
         "approx_users_per_type": q_approx_users_per_type,
         "winsorized_lengths": q_winsorized_lengths,
+        "ssjoin_pairs": q_ssjoin_pairs,
     }
 
 
@@ -3440,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pct_rank_per_lang": _SQL_DOCS_PCT_RANK,
         "first_event_by_type": _SQL_FIRST_EVENT_BY_TYPE,
         "winsorized_lengths": _SQL_WINSORIZED,
+        "ssjoin_pairs": _SQL_SSJOIN,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

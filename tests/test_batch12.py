@@ -270,3 +270,56 @@ def test_approx_distinct_by_error_bound(ray_session):
         p=10).to_pandas().set_index("g")
     for g, n in (("a", 100), ("b", 1000), ("c", 7)):
         assert abs(got.loc[g, "n_distinct_approx"] - n) / n < 0.15
+
+
+# -------------------------------------------------------- exact ssjoin
+
+
+def test_ssjoin_exact_vs_bruteforce(ray_session):
+    from webextract.functions.ssjoin import _shingles, ssjoin_pairs
+
+    # 20 docs from a tiny vocab: pairs (2i, 2i+1) are planted near-dups
+    # (one word changed), the rest unrelated
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(10):
+        words = [base[(j * (i + 3) + i) % len(base)] for j in range(30)]
+        texts.append(" ".join(words))
+        mut = list(words)
+        mut[7] = "CHANGED"
+        texts.append(" ".join(mut))
+    t = pa.table({"doc_id": pa.array(range(20), type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    # brute-force truth at threshold 0.7
+    def jac(a, b):
+        sa, sb = set(_shingles(a, 3)), set(_shingles(b, 3))
+        inter = len(sa & sb)
+        return inter, len(sa) + len(sb) - inter
+
+    expect = set()
+    for a in range(20):
+        for b in range(a + 1, 20):
+            i, u = jac(texts[a], texts[b])
+            if u and i * 10 >= 7 * u:
+                expect.add((a, b))
+    assert expect  # the planted pairs are above threshold
+
+    got = ssjoin_pairs(ray.data.from_arrow(t).repartition(4),
+                       threshold=0.7).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == expect
+    for r in got.itertuples():
+        i, u = jac(texts[r.id_a], texts[r.id_b])
+        assert r.jac == i / u
+
+
+def test_ssjoin_prefix_length_is_exact_integer():
+    from fractions import Fraction
+
+    from webextract.functions.ssjoin import _ceil_mul
+
+    # float ceil(0.8*35) would be 29; the exact value is 28
+    assert _ceil_mul(Fraction(4, 5), 35) == 28
+    assert _ceil_mul(Fraction(4, 5), 36) == 29
+    assert _ceil_mul(Fraction(9, 10), 10) == 9

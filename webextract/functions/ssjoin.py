@@ -1,0 +1,169 @@
+"""Exact all-pairs set-similarity join (prefix-filtered, PPJoin-lite).
+
+The LSH chain (`functions/dedup.neardup_pairs`) generates near-dup
+candidates PROBABILISTICALLY — recall < 1 by construction. This module is
+the EXACT counterpart: every document pair whose word-n-gram-set Jaccard
+meets the threshold is found, with no hash-family recall term, using the
+prefix-filtering principle (Bayardo et al., WWW'07 "Scaling Up All Pairs
+Similarity Search"; Xiao et al., WWW'08 PPJoin):
+
+  order every document's distinct shingle set by ONE global total order;
+  if J(a, b) >= t, then the first ``|s| - ceil(t*|s|) + 1`` shingles of a
+  and b (their "prefixes") must share at least one element.
+
+So candidates = pairs co-occurring in at least one prefix-shingle group —
+an EXACT superset of the answer — then a join-back-to-text pass verifies
+integer intersection/union counts. All threshold comparisons are exact
+integer cross-multiplications of the threshold's rational form (never
+float-rounded: ``ceil(0.8 * 35)`` in floats is 29, not 28 — a wrong
+prefix length silently LOSES pairs).
+
+Scale shape: prefix emission is a per-row map (|prefix| ~ (1-t)|s| rows
+per doc, keys-only); candidate generation is a per-shingle-group pair
+scan bounded by shingle frequency (a stop-shingle hotter than
+``max_group`` RAISES — no silent caps; production would df-order the
+canonical order to push frequent shingles OUT of prefixes, which needs a
+broadcast df dictionary — documented tradeoff, lexicographic order keeps
+this module state-free); verification is the neardup chain's two hash
+joins, shuffling (pair, text) rows only for surviving candidates.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+
+def _shingles(text: str, n: int) -> List[str]:
+    """Distinct word n-grams, mirroring the SQL oracle's gram CTE
+    (``words[i+1 : i+n]`` over ``range(0, greatest(len-n+1, 1))``)."""
+    words = text.split(" ")
+    return sorted({
+        " ".join(words[i:i + n])
+        for i in range(max(len(words) - (n - 1), 1))
+    })
+
+
+def _ceil_mul(frac: Fraction, n: int) -> int:
+    """Exact ceil(frac * n) in integer arithmetic."""
+    return -((-frac.numerator * n) // frac.denominator)
+
+
+def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
+                 max_group: int = 100_000, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """All (id_a < id_b, jac) pairs with word-n-gram Jaccard >= threshold.
+
+    EXACT: prefix-filter candidate generation (complete by construction)
+    + integer-count verification; ``jac`` is the single IEEE division
+    intersection/union, bit-identical to a SQL mirror computing the same
+    integer counts.
+    """
+    from .joins import hash_join
+
+    t = Fraction(threshold).limit_denominator(10_000)
+
+    prefix_schema = pa.schema([
+        ("gram", pa.string()), ("doc_id", pa.int64()), ("sz", pa.int64()),
+    ])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        o_gram, o_id, o_sz = [], [], []
+        for i, txt in zip(ids, texts):
+            grams = _shingles(txt or "", n)
+            sz = len(grams)
+            keep = sz - _ceil_mul(t, sz) + 1
+            for g in grams[:keep]:
+                o_gram.append(g)
+                o_id.append(i)
+                o_sz.append(sz)
+        return pa.table({"gram": pa.array(o_gram, type=pa.string()),
+                         "doc_id": pa.array(o_id, type=pa.int64()),
+                         "sz": pa.array(o_sz, type=pa.int64())},
+                        schema=prefix_schema)
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return pair_schema.empty_table()
+        if m * (m - 1) // 2 > max_group:
+            raise ValueError(
+                f"ssjoin_pairs: shingle group of {m} docs exceeds "
+                f"max_group={max_group} candidate pairs — df-order the "
+                "canonical order or raise max_group")
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        szs = group.column("sz").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids,))
+        ids, szs = ids[order], szs[order]
+        o_a, o_b = [], []
+        for i in range(m):
+            for j in range(i + 1, m):
+                if ids[i] == ids[j]:
+                    continue
+                lo, hi = sorted((int(szs[i]), int(szs[j])))
+                # length filter: J >= t requires t*max(|a|,|b|) <= min
+                if t.numerator * hi > lo * t.denominator:
+                    continue
+                a, bb = sorted((int(ids[i]), int(ids[j])))
+                o_a.append(a)
+                o_b.append(bb)
+        return pa.table({"id_a": pa.array(o_a, type=pa.int64()),
+                         "id_b": pa.array(o_b, type=pa.int64())},
+                        schema=pair_schema)
+
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1) if group.num_rows else \
+            pair_schema.empty_table()
+
+    cand = (
+        docs.map_batches(prefix, batch_format="pyarrow")
+        .groupby("gram").map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"]).map_groups(first_pair,
+                                              batch_format="pyarrow")
+    )
+
+    texts_a = docs.rename_columns({id_col: "id_a", text_col: "text_a"})
+    texts_b = docs.rename_columns({id_col: "id_b", text_col: "text_b"})
+    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    j1 = hash_join(cand, texts_a, on="id_a",
+                   left_schema=pair_schema, right_schema=s_ta)
+    s_j1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("text_a", pa.string())])
+    j2 = hash_join(j1, texts_b, on="id_b",
+                   left_schema=s_j1, right_schema=s_tb)
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jac", pa.float64())])
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        o_a, o_b, o_j = [], [], []
+        for a, bb, ta, tb in zip(b.column("id_a").to_pylist(),
+                                 b.column("id_b").to_pylist(),
+                                 b.column("text_a").to_pylist(),
+                                 b.column("text_b").to_pylist()):
+            sa = set(_shingles(ta or "", n))
+            sb = set(_shingles(tb or "", n))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            # exact rational threshold compare — the SQL mirror is the
+            # same integer cross-multiplication
+            if union and inter * t.denominator >= t.numerator * union:
+                o_a.append(a)
+                o_b.append(bb)
+                o_j.append(float(inter) / float(union))
+        return pa.table({"id_a": pa.array(o_a, type=pa.int64()),
+                         "id_b": pa.array(o_b, type=pa.int64()),
+                         "jac": pa.array(o_j, type=pa.float64())},
+                        schema=out_schema)
+
+    return j2.map_batches(verify, batch_format="pyarrow")
