@@ -3213,6 +3213,49 @@ SELECT id_a, id_b, i::DOUBLE / u AS jac FROM p WHERE i * 5 >= u * 4
 """
 
 
+def q_events_rolling(sf_dir: str):
+    """Per-user ROWS-frame rolling window (functions/window.key_rolling):
+    SUM/COUNT/AVG of the last 3 events' integer cents, ordered
+    (ts, event_id). The value is floored to cents FIRST so the rolling
+    sum is exact int64 and roll_avg one IEEE division — the SQL mirror
+    uses the same floor + cast + `(sum OVER w)::DOUBLE / count OVER w`."""
+    from webextract.functions.window import key_rolling
+
+    ds = _events_ts(sf_dir, extra_cols=("value",))
+
+    def cents(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(c),
+        })
+
+    return key_rolling(ds.map_batches(cents, batch_format="pyarrow"),
+                       by="user_id", ts="ts_us", order2="event_id",
+                       val="cents", window=3)
+
+
+_SQL_EVENTS_ROLLING = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_us, event_id,
+  (sum(cents) OVER w)::BIGINT AS roll_sum,
+  count(*) OVER w AS roll_n,
+  (sum(cents) OVER w)::DOUBLE / (count(*) OVER w) AS roll_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3325,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_per_type": q_approx_users_per_type,
         "winsorized_lengths": q_winsorized_lengths,
         "ssjoin_pairs": q_ssjoin_pairs,
+        "events_rolling": q_events_rolling,
     }
 
 
@@ -3470,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         "first_event_by_type": _SQL_FIRST_EVENT_BY_TYPE,
         "winsorized_lengths": _SQL_WINSORIZED,
         "ssjoin_pairs": _SQL_SSJOIN,
+        "events_rolling": _SQL_EVENTS_ROLLING,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -323,3 +323,76 @@ def test_ssjoin_prefix_length_is_exact_integer():
     assert _ceil_mul(Fraction(4, 5), 35) == 28
     assert _ceil_mul(Fraction(4, 5), 36) == 29
     assert _ceil_mul(Fraction(9, 10), 10) == 9
+
+
+# ------------------------------------------------------------ rolling
+
+
+def test_key_rolling_hand_case(ray_session):
+    from webextract.functions.window import key_rolling
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 9], type=pa.int64()),
+        "o": pa.array([0, 0, 0, 0, 0], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 7], type=pa.int64()),
+    })
+    got = key_rolling(ray.data.from_arrow(t).repartition(2),
+                      by="k", ts="ts", order2="o", val="v",
+                      window=3).to_pandas()
+    got = got.sort_values(["k", "ts"], ignore_index=True)
+    assert got.roll_sum.tolist() == [10, 30, 60, 90, 7]
+    assert got.roll_n.tolist() == [1, 2, 3, 3, 1]
+    assert got.roll_avg.tolist() == [10.0, 15.0, 20.0, 30.0, 7.0]
+
+
+def test_key_rolling_window_ge_group(ray_session):
+    from webextract.functions.window import key_rolling
+
+    t = pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([1, 2], type=pa.int64()),
+        "o": pa.array([0, 0], type=pa.int64()),
+        "v": pa.array([5, 6], type=pa.int64()),
+    })
+    got = key_rolling(ray.data.from_arrow(t), by="k", ts="ts",
+                      order2="o", val="v", window=10).to_pandas()
+    got = got.sort_values("ts", ignore_index=True)
+    assert got.roll_sum.tolist() == [5, 11]
+
+
+def test_ssjoin_property_random_corpora(ray_session):
+    """Randomized (seeded) completeness check: ssjoin == brute force on
+    30 short docs over a tiny vocab, three seeds, two thresholds."""
+    import random
+
+    from webextract.functions.ssjoin import _shingles, ssjoin_pairs
+
+    vocab = "aa bb cc dd ee ff gg hh".split()
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        texts = []
+        for i in range(30):
+            if i % 3 == 2 and texts:
+                base = texts[rng.randrange(len(texts))].split()
+                j = rng.randrange(len(base))
+                base[j] = rng.choice(vocab)  # near-dup of an earlier doc
+                texts.append(" ".join(base))
+            else:
+                texts.append(" ".join(rng.choice(vocab)
+                                      for _ in range(12)))
+        t = pa.table({"doc_id": pa.array(range(30), type=pa.int64()),
+                      "text": pa.array(texts)})
+        for num, den in ((1, 2), (4, 5)):
+            expect = set()
+            for a in range(30):
+                for b in range(a + 1, 30):
+                    sa = set(_shingles(texts[a], 3))
+                    sb = set(_shingles(texts[b], 3))
+                    i = len(sa & sb)
+                    u = len(sa) + len(sb) - i
+                    if u and i * den >= num * u:
+                        expect.add((a, b))
+            got = ssjoin_pairs(ray.data.from_arrow(t).repartition(3),
+                               threshold=num / den).to_pandas()
+            assert set(zip(got.id_a, got.id_b)) == expect, (seed, num, den)

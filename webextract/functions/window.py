@@ -413,3 +413,58 @@ def funnel(ds, *, by: str, ts: str, step_col: str,
         "n_users": pa.array([int(agg[f"n{i}"] or 0)
                              for i in range(n_steps)], type=pa.int64()),
     })
+
+
+def key_rolling(ds, *, by: str, ts: str, order2: str, val: str,
+                window: int):
+    """Per-key ROWS-frame rolling aggregate: for every row, the SUM /
+    COUNT / AVG of ``val`` over the last ``window`` rows (``ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW``) ordered ``(ts, order2)``
+    within its ``by`` partition.
+
+    Determinism/bit-identity contract: ``val`` must be int64 — the
+    rolling sum is an exact integer (cumsum difference), and ``roll_avg``
+    is the single IEEE division ``roll_sum / roll_n``; mirror the SQL as
+    ``(sum(val) OVER w)::DOUBLE / count(*) OVER w``. ONE keys-only
+    shuffle, vectorized cumsum per group.
+
+    Output: ``(by, ts, order2, roll_sum, roll_n, roll_avg)``.
+    """
+    if window < 1:
+        raise ValueError("key_rolling: window must be >= 1")
+    out_schema = pa.schema([
+        (by, pa.int64()), (ts, pa.int64()), (order2, pa.int64()),
+        ("roll_sum", pa.int64()), ("roll_n", pa.int64()),
+        ("roll_avg", pa.float64()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o2 = np.asarray(group.column(order2).to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        v = np.asarray(group.column(val).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((o2, t))
+        t, o2, v = t[order], o2[order], v[order]
+        cs = np.cumsum(v)
+        lag = np.concatenate([np.zeros(min(window, m), dtype=np.int64),
+                              cs[:-window] if m > window else
+                              np.empty(0, dtype=np.int64)])
+        roll = cs - lag
+        n = np.minimum(np.arange(1, m + 1, dtype=np.int64), window)
+        key = group.column(by).slice(0, 1).to_pylist() * m
+        return pa.table({
+            by: pa.array(key, type=pa.int64()),
+            ts: pa.array(t),
+            order2: pa.array(o2),
+            "roll_sum": pa.array(roll),
+            "roll_n": pa.array(n),
+            "roll_avg": pa.array(roll.astype(np.float64)
+                                 / n.astype(np.float64)),
+        }, schema=out_schema)
+
+    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
