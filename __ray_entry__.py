@@ -3257,6 +3257,250 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 15: corpus profiling + vocabulary encode
+# --------------------------------------------------------------------------
+
+
+def q_dup_profile(sf_dir: str):
+    """Duplication profile: how many (user, event_type) groups occur
+    exactly k times — the dedup-analysis artifact that sizes a dedup
+    run before paying for it (the documents table is exact-dup-free by
+    construction, so the profile runs on the event log's real
+    multiplicity distribution). Two keys-only shuffles
+    (groupby(keys).count, then groupby(count).count); payload never
+    crosses either."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return (
+        ds.groupby(["user_id", "event_type"]).aggregate(Count())
+        .rename_columns({"count()": "copies"})
+        .groupby("copies").aggregate(Count())
+        .rename_columns({"count()": "n_groups"})
+    )
+
+
+_SQL_DUP_PROFILE = """
+WITH g AS (SELECT user_id, event_type, count(*)::BIGINT AS copies
+           FROM events GROUP BY 1, 2)
+SELECT copies, count(*)::BIGINT AS n_groups FROM g GROUP BY copies
+"""
+
+
+def q_table_profile(sf_dir: str):
+    """Column completeness/cardinality profiler over documents
+    (the data-quality precheck a 100 TB ingest runs first): per column
+    -> row count, null count, exact distinct count. One Count aggregate
+    per column family; distinct via the keys-only groupby(value) path
+    (bounded here; at unbounded cardinality swap in
+    `sketches.approx_distinct_by`)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = ["lang", "source", "n_chars"]
+    ds = _docs(sf_dir, cols)
+
+    def null_counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], type=pa.int64()),
+            **{f"null_{c}": pa.array([b.column(c).null_count],
+                                     type=pa.int64()) for c in cols},
+        })
+
+    import pandas as pd  # tiny partial fold (one row per block)
+
+    nulls = ds.map_batches(null_counts, batch_format="pyarrow",
+                           batch_size=None).to_pandas().sum()
+    n = int(nulls["n"])
+    rows = []
+    for c in cols:
+        nd = ds.groupby(c).aggregate(Count()).count()
+        rows.append((c, n, int(nulls[f"null_{c}"]), nd))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_null": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+_SQL_TABLE_PROFILE = """
+SELECT 'lang' AS column, count(*)::BIGINT AS n_rows,
+  count(*) FILTER (lang IS NULL)::BIGINT AS n_null,
+  count(DISTINCT lang)::BIGINT AS n_distinct FROM documents
+UNION ALL
+SELECT 'source', count(*)::BIGINT,
+  count(*) FILTER (source IS NULL)::BIGINT,
+  count(DISTINCT source)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT,
+  count(*) FILTER (n_chars IS NULL)::BIGINT,
+  count(DISTINCT n_chars)::BIGINT FROM documents
+"""
+
+
+def _vocab_table(sf_dir: str) -> pa.Table:
+    """Deterministic corpus vocabulary: distinct words, lexicographic,
+    contiguous ids from 0 — the tokenizer-dictionary build
+    (`RecCTCLabelEncode` char-dict analog at word granularity,
+    mindocr/data/transforms/rec_transforms.py:26-60). The distinct set
+    comes from a keys-only groupby; the id assignment is a driver-side
+    sort of the BOUNDED vocabulary (31 words here; a 100 TB corpus'
+    word vocab is ~1e7 — still driver-bounded; beyond that,
+    frequency-cut first)."""
+    from ray.data.aggregate import Count
+
+    def words(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend((t or "").split(" "))
+        return pa.table({"word": pa.array(out, type=pa.string())})
+
+    vocab = sorted(r["word"] for r in (
+        _docs(sf_dir, ["text"])
+        .map_batches(words, batch_format="pyarrow")
+        .groupby("word").aggregate(Count())
+        .take_all()
+    ))
+    return pa.table({
+        "word": pa.array(vocab, type=pa.string()),
+        "token_id": pa.array(range(len(vocab)), type=pa.int64()),
+    })
+
+
+def q_vocab_ids(sf_dir: str):
+    """The vocabulary table itself (word -> contiguous token id)."""
+    return _vocab_table(sf_dir)
+
+
+_SQL_VOCAB_IDS = """
+SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
+FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+      FROM documents)
+"""
+
+
+def q_docs_token_ids(sf_dir: str):
+    """Vocabulary ENCODE: every document as (doc_id, pos, token_id)
+    rows — the id-sequence handoff to a training pipeline
+    (`VQATokenLabelEncode` analog: stateful dict applied per batch).
+    The vocab rides to every task once via ray.put; the encode is a
+    vectorized pc.index_in per batch, exploded in place (the chunking
+    row-explosion discipline)."""
+    import ray
+
+    vocab = _vocab_table(sf_dir)
+    ref = ray.put(vocab)
+
+    class Encoder:
+        def __init__(self, ref):
+            import ray as _ray
+
+            v = _ray.get(ref)
+            self.words = v.column("word").combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            o_id, o_pos, o_w = [], [], []
+            for i, t in zip(ids, texts):
+                ws = (t or "").split(" ")
+                o_id.extend([i] * len(ws))
+                o_pos.extend(range(1, len(ws) + 1))
+                o_w.extend(ws)
+            tid = pc.index_in(pa.array(o_w, type=pa.string()),
+                              value_set=self.words)
+            return pa.table({
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "pos": pa.array(o_pos, type=pa.int64()),
+                "token_id": tid.cast(pa.int64()),
+            })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Encoder, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=_conc())
+
+
+_SQL_DOCS_TOKEN_IDS = """
+WITH v AS (
+  SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents)
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, i AS pos, ws[i] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i))
+SELECT doc_id, pos, token_id FROM tok JOIN v USING (word)
+"""
+
+
+def q_docs_zscore_per_lang(sf_dir: str):
+    """Per-language z-score standardization of doc length — the feature
+    normalization step before quality-model scoring. Group moments from
+    `agg.corr_by`'s exact-integer partials (sample variance), broadcast
+    as (mean-numerator, var) pairs; z = (n*x - sx) / (n*sqrt(var)) —
+    every operand exact int64 until the one division + sqrt, mirrored
+    literally in SQL."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def sq(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").cast(pa.int64())
+        return pa.table({"lang": b.column("lang"), "x": x,
+                         "xx": pc.multiply_checked(x, x)})
+
+    stats = (
+        docs.map_batches(sq, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("x", alias_name="sx"), Sum("xx", alias_name="sxx"),
+                   Count())
+        .take_all()
+    )
+    table = {r["lang"]: (int(r["count()"]), int(r["sx"]), int(r["sxx"]))
+             for r in stats}
+    ref = ray.put(table)
+
+    def z(b: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ns = np.array([st[lg][0] for lg in langs], dtype=np.int64)
+        sxs = np.array([st[lg][1] for lg in langs], dtype=np.int64)
+        sxxs = np.array([st[lg][2] for lg in langs], dtype=np.int64)
+        var = (ns * sxxs - sxs * sxs).astype(np.float64) \
+            / (ns * (ns - 1)).astype(np.float64)
+        out = (ns * x - sxs).astype(np.float64) / (ns * np.sqrt(var))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+            "z": pa.array(out),
+        })
+
+    return docs.map_batches(z, batch_format="pyarrow")
+
+
+_SQL_DOCS_ZSCORE = """
+WITH s AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sxx
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars,
+  (n * n_chars - sx)::DOUBLE
+    / (n * sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE)) AS z
+FROM documents d JOIN s ON d.lang = s.lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -3369,6 +3613,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_lengths": q_winsorized_lengths,
         "ssjoin_pairs": q_ssjoin_pairs,
         "events_rolling": q_events_rolling,
+        "dup_profile": q_dup_profile,
+        "table_profile": q_table_profile,
+        "vocab_ids": q_vocab_ids,
+        "docs_token_ids": q_docs_token_ids,
+        "docs_zscore_per_lang": q_docs_zscore_per_lang,
     }
 
 
@@ -3515,6 +3764,11 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_lengths": _SQL_WINSORIZED,
         "ssjoin_pairs": _SQL_SSJOIN,
         "events_rolling": _SQL_EVENTS_ROLLING,
+        "dup_profile": _SQL_DUP_PROFILE,
+        "table_profile": _SQL_TABLE_PROFILE,
+        "vocab_ids": _SQL_VOCAB_IDS,
+        "docs_token_ids": _SQL_DOCS_TOKEN_IDS,
+        "docs_zscore_per_lang": _SQL_DOCS_ZSCORE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
