@@ -3501,6 +3501,165 @@ FROM documents d JOIN s ON d.lang = s.lang
 
 
 # --------------------------------------------------------------------------
+# Round-3 batch 16: sequence mining + cohort retention
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences: LAG pairs
+    (prev_event_type -> event_type) counted corpus-wide — the
+    sequence-mining artifact behind session models. Composes key_lag's
+    keys-only shuffle with one tiny pair aggregate; event types ride as
+    dictionary ints through the lag, decoded only in the final rows."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from webextract.functions.temporal import key_lag
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    types = sorted(r["event_type"] for r in
+                   ds.groupby("event_type").aggregate(Count()).take_all())
+    if len(types) > 8:
+        raise ValueError("event_transitions: pk packing supports <= 8 "
+                         "event types; widen the packing stride")
+    t2i = {t: i for i, t in enumerate(types)}
+
+    def conv(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tids = np.array([t2i[t] for t in
+                         b.column("event_type").to_pylist()],
+                        dtype=np.int64)
+        eids = b.column("event_id").to_numpy(zero_copy_only=False)
+        # payload carries (event_id, type) packed so the lag order stays
+        # (ts, event_id) — event_id is unique, so packing preserves it
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "pk": pa.array(eids * 8 + tids),
+        })
+
+    lagged = key_lag(ds.map_batches(conv, batch_format="pyarrow"),
+                     by="user_id", ts="ts_us", payload="pk")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cur = b.column("pk").to_numpy(zero_copy_only=False) % 8
+        prev = b.column("prev_pk").to_numpy(zero_copy_only=False) % 8
+        return pa.table({
+            "prev_type": pa.array([types[i] for i in prev],
+                                  type=pa.string()),
+            "event_type": pa.array([types[i] for i in cur],
+                                   type=pa.string()),
+        })
+
+    return (
+        lagged.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "event_type"]).aggregate(Count())
+        .rename_columns({"count()": "n"})
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events
+),
+l AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS prev_type
+  FROM e
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort_day, active_day) — the product-analytics
+    staple. Composes `first_by` (arg-min cohort), a `hash_join` of the
+    cohort back onto the event stream (keys-only), and the exact
+    two-stage distinct count on a packed composite key."""
+    from webextract.functions.agg import count_distinct_by, first_by
+    from webextract.functions.joins import hash_join
+
+    DAY = 86_400_000_000
+    ev = _events_ts(sf_dir)
+
+    cohort = first_by(ev, by="user_id", order=["ts_us", "event_id"])
+
+    def to_day(name):
+        def fn(b: pa.Table) -> pa.Table:
+            d = pc.divide(b.column("ts_us"), DAY).cast(pa.int64())
+            return pa.table({"user_id": b.column("user_id"), name: d})
+        return fn
+
+    cohort_days = cohort.map_batches(to_day("cohort_day"),
+                                     batch_format="pyarrow")
+    active = ev.map_batches(to_day("active_day"), batch_format="pyarrow")
+    joined = hash_join(
+        active, cohort_days, on="user_id",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("active_day", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("cohort_day", pa.int64())]))
+
+    def pack(b: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            pc.cast(b.column("cohort_day"), pa.string()),
+            pc.cast(b.column("active_day"), pa.string()), "#")
+        return pa.table({"ck": ck, "user_id": b.column("user_id")})
+
+    counts = count_distinct_by(
+        joined.map_batches(pack, batch_format="pyarrow"),
+        by="ck", of="user_id", out_name="n_users")
+
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("active_day", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # aggregate subgraphs can emit schema-LESS empties under
+            # Ray 2.x (the round-2 flaky-crash lesson) — re-type them
+            return out_schema.empty_table()
+        parts = [s.split("#") for s in b.column("ck").to_pylist()]
+        return pa.table({
+            "cohort_day": pa.array([int(p[0]) for p in parts],
+                                   type=pa.int64()),
+            "active_day": pa.array([int(p[1]) for p in parts],
+                                   type=pa.int64()),
+            "n_users": b.column("n_users").cast(pa.int64()),
+        }, schema=out_schema)
+
+    return counts.map_batches(unpack, batch_format="pyarrow")
+
+
+_SQL_USER_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+),
+c AS (
+  SELECT user_id, day AS cohort_day FROM e
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) = 1
+)
+SELECT cohort_day, e.day AS active_day,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM e JOIN c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -3618,6 +3777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_ids": q_vocab_ids,
         "docs_token_ids": q_docs_token_ids,
         "docs_zscore_per_lang": q_docs_zscore_per_lang,
+        "event_transitions": q_event_transitions,
+        "user_retention": q_user_retention,
     }
 
 
@@ -3769,6 +3930,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_ids": _SQL_VOCAB_IDS,
         "docs_token_ids": _SQL_DOCS_TOKEN_IDS,
         "docs_zscore_per_lang": _SQL_DOCS_ZSCORE,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "user_retention": _SQL_USER_RETENTION,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
