@@ -3659,6 +3659,86 @@ GROUP BY 1, 2
 """
 
 
+def q_cluster_size_profile(sf_dir: str):
+    """Near-dup cluster-size histogram: how many duplicate clusters have
+    exactly k members — the artifact that tells a dedup run its expected
+    row reduction. Composes the memoized exact-pair + connected-
+    components subgraph with two tiny keys-only aggregates."""
+    from ray.data.aggregate import Count
+
+    return (
+        q_dedup_clusters(sf_dir)
+        .groupby("component").aggregate(Count())
+        .rename_columns({"count()": "size"})
+        .groupby("size").aggregate(Count())
+        .rename_columns({"count()": "n_clusters"})
+    )
+
+
+_SQL_CLUSTER_SIZE_PROFILE = (
+    "WITH comp AS (\n" + _SQL_DEDUP_CLUSTERS + "\n)\n"
+    + """
+SELECT size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component
+) GROUP BY size
+"""
+)
+
+
+def q_host_degree_profile(sf_dir: str):
+    """Degree-distribution histogram of the host link graph (the skew
+    diagnostic that decides whether a join needs salting): total degree
+    -> node count, folded from the exact degree_stats aggregate. Runs on
+    the ring+chord+functional edge family (the `host_triangles` graph —
+    the base functional graph is regular, which would collapse the
+    histogram to one row)."""
+    from ray.data.aggregate import Count
+
+    from webextract.functions.graph import degree_stats
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        a = (ids % 20).astype(np.int64)
+        fams = [((ids * 4 + 1) % 20).astype(np.int64),
+                (a + 1) % 20, (a + 2) % 20]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, a, a])),
+            "dst": pa.array(np.concatenate(fams)),
+        })
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(edges,
+                                               batch_format="pyarrow")
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({"degree": pc.add(
+            b.column("out_deg").cast(pa.int64()),
+            b.column("in_deg").cast(pa.int64()))})
+
+    return (
+        degree_stats(ds)
+        .map_batches(total, batch_format="pyarrow")
+        .groupby("degree").aggregate(Count())
+        .rename_columns({"count()": "n_nodes"})
+    )
+
+
+_SQL_HOST_DEGREE_PROFILE = """
+WITH e AS (
+  SELECT doc_id % 20 AS src, (doc_id * 4 + 1) % 20 AS dst FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 1) % 20 FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 2) % 20 FROM documents
+),
+d AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY node
+)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM d GROUP BY degree
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3779,6 +3859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zscore_per_lang": q_docs_zscore_per_lang,
         "event_transitions": q_event_transitions,
         "user_retention": q_user_retention,
+        "cluster_size_profile": q_cluster_size_profile,
+        "host_degree_profile": q_host_degree_profile,
     }
 
 
@@ -3932,6 +4014,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_zscore_per_lang": _SQL_DOCS_ZSCORE,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "user_retention": _SQL_USER_RETENTION,
+        "cluster_size_profile": _SQL_CLUSTER_SIZE_PROFILE,
+        "host_degree_profile": _SQL_HOST_DEGREE_PROFILE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
