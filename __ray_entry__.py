@@ -3739,6 +3739,74 @@ SELECT degree, count(*)::BIGINT AS n_nodes FROM d GROUP BY degree
 """
 
 
+def q_docs_linreg_per_lang(sf_dir: str):
+    """Per-language ordinary-least-squares fit of n_words ~ n_chars —
+    grouped regression from the SAME five exact int64 partial sums as
+    `corr_by`: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n, each a literal IEEE expression mirrored in SQL
+    (round-only-at-end)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").cast(pa.int64())
+        y = pc.add(pc.count_substring(b.column("text"), " "),
+                   1).cast(pa.int64())
+        return pa.table({"lang": b.column("lang"), "_x": x, "_y": y,
+                         "_xx": pc.multiply_checked(x, x),
+                         "_xy": pc.multiply_checked(x, y)})
+
+    agg = (
+        docs.map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("_x", alias_name="sx"), Sum("_y", alias_name="sy"),
+                   Sum("_xx", alias_name="sxx"),
+                   Sum("_xy", alias_name="sxy"), Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
+        slope = (n * sxy - sx * sy).astype(np.float64) \
+            / (n * sxx - sx * sx).astype(np.float64)
+        intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) \
+            / n.astype(np.float64)
+        return pa.table({"lang": b.column("lang"),
+                         "n": pa.array(n),
+                         "slope": pa.array(slope),
+                         "intercept": pa.array(intercept)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_DOCS_LINREG = """
+WITH m AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(string_split(text, ' '))::BIGINT AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         sum(x*y)::BIGINT AS sxy
+  FROM m GROUP BY lang
+)
+SELECT lang, n,
+  (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,
+  (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+     * sx::DOUBLE) / n::DOUBLE AS intercept
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3861,6 +3929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": q_user_retention,
         "cluster_size_profile": q_cluster_size_profile,
         "host_degree_profile": q_host_degree_profile,
+        "docs_linreg_per_lang": q_docs_linreg_per_lang,
     }
 
 
@@ -4016,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": _SQL_USER_RETENTION,
         "cluster_size_profile": _SQL_CLUSTER_SIZE_PROFILE,
         "host_degree_profile": _SQL_HOST_DEGREE_PROFILE,
+        "docs_linreg_per_lang": _SQL_DOCS_LINREG,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
