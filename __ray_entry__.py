@@ -3807,6 +3807,26 @@ FROM s
 """
 
 
+def q_join_size_est(sf_dir: str):
+    """Pre-join cardinality estimate of |orders ⋈ customer| WITHOUT
+    running the join (functions/sketches.join_size_estimate — CMS
+    dot-product, two streaming passes, no shuffle). Never undercounts;
+    rows-only (approximate by design; the bound is pytest-pinned and the
+    exact answer is the oracle-green `orders_customers_join` row
+    count)."""
+    import ray.data
+
+    from webextract.functions.sketches import join_size_estimate
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    est = join_size_estimate(orders, cust, left_on="o_custkey",
+                             right_on="c_custkey", w=8192)
+    return pa.table({"est_rows": pa.array([est], type=pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3930,6 +3950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_profile": q_cluster_size_profile,
         "host_degree_profile": q_host_degree_profile,
         "docs_linreg_per_lang": q_docs_linreg_per_lang,
+        "join_size_est": q_join_size_est,
     }
 
 

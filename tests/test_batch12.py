@@ -396,3 +396,21 @@ def test_ssjoin_property_random_corpora(ray_session):
             got = ssjoin_pairs(ray.data.from_arrow(t).repartition(3),
                                threshold=num / den).to_pandas()
             assert set(zip(got.id_a, got.id_b)) == expect, (seed, num, den)
+
+
+# ------------------------------------------------------ join-size estimate
+
+
+def test_join_size_estimate_bounds(ray_session):
+    from webextract.functions.sketches import join_size_estimate
+
+    # left: key k appears k+1 times for k in 0..19; right: each key once
+    lk = [k for k in range(20) for _ in range(k + 1)]
+    rk = list(range(20)) + [99, 100]  # extra right keys join nothing
+    true = sum(k + 1 for k in range(20))
+    left = ray.data.from_arrow(_tbl(k=lk)).repartition(3)
+    right = ray.data.from_arrow(_tbl(k=rk)).repartition(2)
+    est = join_size_estimate(left, right, left_on="k", right_on="k",
+                             w=4096)
+    assert est >= true            # CMS dot product never undercounts
+    assert est <= true * 1.5 + 50  # and stays near truth at this load

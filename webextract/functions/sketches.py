@@ -526,3 +526,54 @@ def approx_distinct_by(ds, *, by: str, of: str, p: int = 10):
         .groupby(by)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def cms_from_keys(ds, *, col: str, d: int = 4, w: int = 2048) -> CmsSketch:
+    """Distributed CMS of a key column: per-block partials, element-wise
+    SUM folds (the `cms_word_counts` shape), merged sketch returned.
+    Driver state O(d*w) regardless of corpus size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch.column(col).to_pylist()
+                if v is not None]
+        sk = CmsSketch(d, w).add(keys)
+        return pa.table({"cms": pa.array([sk.table.ravel().tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cms": pa.array([], type=pa.list_(pa.int64()))})
+        flat = np.asarray(
+            batch.column("cms").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(batch.num_rows, -1)
+        return pa.table({"cms": pa.array([flat.sum(axis=0).tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=128)
+    )
+    merged = CmsSketch(d, w)
+    for row in folded.take_all():
+        merged.merge(CmsSketch(d, w, np.asarray(row["cms"],
+                                                dtype=np.int64)))
+    return merged
+
+
+def join_size_estimate(left, right, *, left_on: str, right_on: str,
+                       d: int = 4, w: int = 2048) -> int:
+    """Estimate |left INNER JOIN right| = Σ_k f_L(k)·f_R(k) WITHOUT
+    running the join — the pre-join planning probe that decides between
+    broadcast / hash / salted strategies (and whether `max_group` would
+    trip) before paying for an all-to-all.
+
+    Method: one CMS per side over the join key (AGMS/CM dot-product
+    inner-join size estimation, Cormode & Muthukrishnan 2005 §4.2 —
+    min over the d row-wise dot products). Never undercounts; expected
+    overcount ≤ ||f_L||₁·||f_R||₁ / w per row, tightened by the min.
+    Cost: two streaming passes, O(d·w) driver state, no shuffle at all.
+    """
+    skl = cms_from_keys(left, col=left_on, d=d, w=w)
+    skr = cms_from_keys(right, col=right_on, d=d, w=w)
+    dots = (skl.table.astype(object) * skr.table.astype(object)).sum(axis=1)
+    return int(min(dots))
