@@ -3827,6 +3827,66 @@ def q_join_size_est(sf_dir: str):
     return pa.table({"est_rows": pa.array([est], type=pa.int64())})
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split: multiplicative-hash bucket of
+    doc_id (Knuth 2654435761 mod 2^32, then mod 100) -> 80/10/10 —
+    membership is a pure function of the row key, so reruns, resumed
+    runs, and different cluster layouts assign identically (the lineage
+    discipline applied to dataset splits). All-integer math, mirrored
+    literally in SQL; emits per-split doc counts + char totals."""
+    from ray.data.aggregate import Count, Sum
+
+    def split(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # int64-exact for ids < 2^33 (the SQL mirror's BIGINT bound);
+        # beyond that switch the bucket hash to md5_number_lower % 100
+        bucket = (ids * 2654435761) % (1 << 32) % 100
+        name = np.where(bucket < 80, "train",
+                        np.where(bucket < 90, "val", "test"))
+        return pa.table({"split": pa.array(name.tolist(),
+                                           type=pa.string()),
+                         "n_chars": b.column("n_chars")})
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(split, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_DATASET_SPLIT = """
+WITH s AS (
+  SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+              THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM s GROUP BY split
+"""
+
+
+def q_doc_length_quantiles_by_lang_sketch(sf_dir: str):
+    """Per-language KLL quantile sketch
+    (functions/sketches.approx_quantiles_by) — the unbounded-cardinality
+    scale path beside the exact `doc_length_quantiles_by_lang`: one
+    O(k log n) sketch row per (key, block) through the shuffle instead
+    of one row per distinct value. Approximate -> rows-only; error
+    pinned by pytest against the exact per-group quantiles."""
+    from webextract.functions.sketches import approx_quantiles_by
+
+    return approx_quantiles_by(_docs(sf_dir, ["lang", "n_chars"]),
+                               by="lang", val="n_chars")
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -3951,6 +4011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree_profile": q_host_degree_profile,
         "docs_linreg_per_lang": q_docs_linreg_per_lang,
         "join_size_est": q_join_size_est,
+        "dataset_split": q_dataset_split,
+        "doc_length_quantiles_by_lang_sketch":
+            q_doc_length_quantiles_by_lang_sketch,
     }
 
 
@@ -4107,6 +4170,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_size_profile": _SQL_CLUSTER_SIZE_PROFILE,
         "host_degree_profile": _SQL_HOST_DEGREE_PROFILE,
         "docs_linreg_per_lang": _SQL_DOCS_LINREG,
+        "dataset_split": _SQL_DATASET_SPLIT,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -414,3 +414,32 @@ def test_join_size_estimate_bounds(ray_session):
                              w=4096)
     assert est >= true            # CMS dot product never undercounts
     assert est <= true * 1.5 + 50  # and stays near truth at this load
+
+
+# ----------------------------------------------------- per-group KLL
+
+
+def test_approx_quantiles_by_error_bound(ray_session):
+    import numpy as np
+
+    from webextract.functions.sketches import approx_quantiles_by
+
+    # two groups with different distributions, 4000 values each
+    rows_g, rows_v = [], []
+    for g, gen in (("a", lambda i: (i * 37) % 1000),
+                   ("b", lambda i: ((i * i) % 5000) + 100)):
+        for i in range(4000):
+            rows_g.append(g)
+            rows_v.append(gen(i))
+    t = pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v)})
+    got = approx_quantiles_by(ray.data.from_arrow(t).repartition(8),
+                              by="g", val="v",
+                              qs=(0.5, 0.9, 0.99)).to_pandas()
+    for g in ("a", "b"):
+        vals = np.sort([v for gg, v in zip(rows_g, rows_v) if gg == g])
+        for q in (0.5, 0.9, 0.99):
+            est = got[(got.g == g) & (got.q == q)].value.iloc[0]
+            # rank error <= 2.5% of the group
+            rank = np.searchsorted(vals, est, side="right")
+            assert abs(rank - q * len(vals)) <= 0.025 * len(vals) + 1, \
+                (g, q, est)
