@@ -3887,6 +3887,143 @@ def q_doc_length_quantiles_by_lang_sketch(sf_dir: str):
                                by="lang", val="n_chars")
 
 
+def q_crossdoc_ngrams(sf_dir: str):
+    """Cross-document duplicated 5-grams: the exact-substring-dedup
+    primitive (functions/ngrams.dup_ngram_topk). Distinct n-grams are
+    computed per doc inside map_batches (no shuffle), then ONE
+    keys-only groupby counts document frequency; top-20 by
+    (ndocs DESC, ngram ASC) — a total order, deterministic k-cut."""
+    from webextract.functions.ngrams import dup_ngram_topk
+
+    return dup_ngram_topk(_docs(sf_dir, ["text"]), n=5, k=20, min_docs=2)
+
+
+_SQL_CROSSDOC_NGRAMS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i+1:i+5], ' ') AS ngram
+  FROM w, unnest(range(0, greatest(len(words)-4, 0))) AS t(i)
+)
+SELECT ngram, count(*)::BIGINT AS ndocs
+FROM g GROUP BY ngram HAVING count(*) >= 2
+ORDER BY ndocs DESC, ngram LIMIT 20
+"""
+
+
+def q_c4_line_filter(sf_dir: str):
+    """Extraction composed with C4-style line filtering (Raffel et al.
+    2020 §2.2 analog): run the full detect-then-extract pipeline, then
+    drop lines with < 20 words or without the word 'the'
+    (functions/ngrams.line_filter_batch). Per-row map after the
+    extract — no shuffle anywhere; survivors' text stays byte-exact
+    (the filter re-joins original lines, never rewrites them)."""
+    from webextract.functions.ngrams import line_filter_batch
+
+    ds = _extract_ds(sf_dir).filter(expr="status == 'ok'")
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        line_filter_batch, batch_format="pyarrow"
+    )
+
+
+_SQL_C4_LINE_FILTER = r"""
+WITH k0 AS (
+  SELECT doc_id, text,
+         (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5
+               THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
+  FROM documents WHERE doc_id % 50 <> 7
+),
+g AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(range(0, k), i ->
+        array_to_string(
+          string_split(text, ' ')[(i*len(string_split(text, ' ')))//k + 1
+                                  : ((i+1)*len(string_split(text, ' ')))//k],
+          ' ')
+      ), c -> c <> '') AS lines
+  FROM k0
+),
+f AS (
+  SELECT doc_id, lines,
+    list_filter(lines, ln ->
+      len(string_split(ln, ' ')) >= 20
+      AND list_contains(string_split(ln, ' '), 'the')) AS kept
+  FROM g
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS text
+FROM f
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-lite three-way join: orders -> customer -> nation,
+    revenue per nation. Scale shape: (1) revenue is pre-aggregated per
+    customer INSIDE the orders scan before any join (the shuffle moves
+    (custkey, cents, count) only — never order rows); (2) the
+    orders x customer step is one keys-only hash exchange; (3) the
+    25-row nation side broadcasts via ray.put. Money is summed as
+    integer cents — floor(x*100 + 0.5) on both sides, identical IEEE
+    double ops, so the distributed sum is order-independent and exact."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import broadcast_join, hash_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="cents"), Count())
+        .rename_columns({"count()": "n_ord"})
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    left_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("cents", pa.int64()), ("n_ord", pa.int64())]
+    )
+    right_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
+    )
+    joined = hash_join(
+        per_cust, cust, on="c_custkey",
+        left_schema=left_schema, right_schema=right_schema,
+    ).rename_columns({"c_nationkey": "n_nationkey"})
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    named = broadcast_join(joined, nation, key="n_nationkey",
+                           concurrency=_conc())
+    return (
+        named.groupby("n_name")
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Sum("n_ord", alias_name="n_orders"),
+        )
+    )
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4012,6 +4149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_linreg_per_lang": q_docs_linreg_per_lang,
         "join_size_est": q_join_size_est,
         "dataset_split": q_dataset_split,
+        "crossdoc_ngrams": q_crossdoc_ngrams,
+        "c4_line_filter": q_c4_line_filter,
+        "revenue_by_nation": q_revenue_by_nation,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4171,6 +4311,9 @@ def oracle_sql() -> dict[str, str]:
         "host_degree_profile": _SQL_HOST_DEGREE_PROFILE,
         "docs_linreg_per_lang": _SQL_DOCS_LINREG,
         "dataset_split": _SQL_DATASET_SPLIT,
+        "crossdoc_ngrams": _SQL_CROSSDOC_NGRAMS,
+        "c4_line_filter": _SQL_C4_LINE_FILTER,
+        "revenue_by_nation": _SQL_REVENUE_BY_NATION,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -1,0 +1,119 @@
+"""Cross-document n-gram duplication + line-level quality filtering.
+
+Two LLM-corpus-prep operators the MinHash chain doesn't cover:
+
+* :func:`dup_ngram_topk` — the exact-substring-duplication primitive
+  (the fixed-length word-n-gram restriction of the suffix-array pass in
+  Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better"): which n-grams appear verbatim in >= `min_docs` distinct
+  documents, ranked by document frequency. Shape at scale: one explode
+  (distinct n-grams per doc, computed inside `map_batches` so the
+  per-doc dedup never shuffles) followed by ONE keys-only groupby on
+  the n-gram string — no payload ever crosses the exchange — then a
+  k-row global top-k.
+
+* :func:`line_filter_batch` — C4-style line-level filtering (Raffel et
+  al. 2020 §2.2): drop lines that fail a deterministic keep rule and
+  re-join the survivors. Pure per-row map, no shuffle; the keep rule
+  here (>= `min_words` words and containing `must_contain`) is the
+  word-soup-corpus analog of C4's "ends in terminal punctuation and
+  has >= 5 words" (mirrored literally by the SQL oracle).
+
+Reference parity: mindocr has no corpus-prep stage; these extend the
+dedup/text-prep families beside functions/dedup.py (MinHash/LSH) and
+functions/decontam.py (n-gram contamination probe).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+
+def doc_distinct_ngrams_batch(
+    batch: pa.Table, *, n: int = 5, text_col: str = "text"
+) -> pa.Table:
+    """Explode each document into its DISTINCT word n-grams.
+
+    The distinctness is per document (a phrase repeated inside one doc
+    counts once), so the downstream groupby count is document
+    frequency. Output is a single `ngram` string column — the groupby
+    that follows moves keys only.
+    """
+    out: List[str] = []
+    for t in batch.column(text_col).to_pylist():
+        words = t.split(" ")
+        if len(words) < n:
+            continue
+        seen = set()
+        for i in range(len(words) - n + 1):
+            seen.add(" ".join(words[i : i + n]))
+        out.extend(seen)
+    return pa.table({"ngram": pa.array(out, type=pa.string())})
+
+
+def dup_ngram_topk(ds, *, n: int = 5, k: int = 20, min_docs: int = 2):
+    """Top-k cross-document duplicated word n-grams by doc frequency.
+
+    `ds` must have a `text` column. Returns (ngram, ndocs) sorted by
+    (ndocs DESC, ngram ASC) — a total order, so the k-boundary is
+    deterministic. The only all-to-all is the groupby on the ~n-word
+    n-gram strings; at 10^12 docs you would pre-hash the n-gram to a
+    fixed 8-byte key inside the explode (same shape, smaller exchange).
+    """
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.map_batches(
+            lambda b: doc_distinct_ngrams_batch(b, n=n),
+            batch_format="pyarrow",
+        )
+        .groupby("ngram")
+        .aggregate(Count())
+        .rename_columns({"count()": "ndocs"})
+        .filter(expr=f"ndocs >= {min_docs}")
+    )
+    return counts.sort(["ndocs", "ngram"], descending=[True, False]).limit(k)
+
+
+def line_filter_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    min_words: int = 20,
+    must_contain: str = "the",
+) -> pa.Table:
+    """C4-style line filter: keep lines with >= `min_words` words that
+    contain the word `must_contain`; emit per-doc survivor text plus
+    kept/total line counts.
+
+    Lines are '\\n'-separated (the extractor's block-join contract);
+    word count is the single-space split the whole oracle surface uses.
+    Empty-survivor docs stay in the output with text='' — dropping rows
+    is the *caller's* policy decision, not the filter's.
+    """
+    texts = batch.column(text_col).to_pylist()
+    kept_text: List[str] = []
+    n_lines: List[int] = []
+    n_kept: List[int] = []
+    for t in texts:
+        # the extractor never emits empty lines (nonempty blocks joined
+        # by single '\n'); filtering '' makes text=='' count 0 lines,
+        # matching the oracle's list_filter(c <> '') line set.
+        lines = [ln for ln in t.split("\n") if ln]
+        kept = [
+            ln
+            for ln in lines
+            if len(ln.split(" ")) >= min_words
+            and must_contain in ln.split(" ")
+        ]
+        n_lines.append(len(lines))
+        n_kept.append(len(kept))
+        kept_text.append("\n".join(kept))
+    out = batch.drop_columns([text_col])
+    return (
+        out.append_column("n_lines", pa.array(n_lines, type=pa.int64()))
+        .append_column("n_kept", pa.array(n_kept, type=pa.int64()))
+        .append_column("text", pa.array(kept_text, type=pa.string()))
+    )
