@@ -4024,6 +4024,89 @@ GROUP BY n_name
 """
 
 
+def q_word_postings(sf_dir: str):
+    """Inverted-index construction (functions/ngrams.inverted_index):
+    per-doc word dedup inside map_batches, ONE keys-only groupby
+    gathering each word's ascending posting list (comma-joined, the
+    oracle surface's list encoding) + document frequency. max_group
+    raises on stopword-sized lists — no silent truncation."""
+    from webextract.functions.ngrams import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+_SQL_WORD_POSTINGS = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+p AS (SELECT DISTINCT doc_id, word FROM e)
+SELECT word, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM p GROUP BY word
+"""
+
+
+def q_train_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle
+    (functions/sampling.shuffle_index): position under ORDER BY
+    md5(str(doc_id)) — seedless, resume-safe, layout-invariant. One
+    keys-only groupby on 256 md5-prefix buckets; bucket counts (a
+    bounded 256-row fold) prefix-sum into offsets broadcast via
+    ray.put; no global sort."""
+    from webextract.functions.sampling import shuffle_index
+
+    return shuffle_index(_docs(sf_dir, ["doc_id"]))
+
+
+_SQL_TRAIN_SHUFFLE = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+        - 1)::BIGINT AS pos
+FROM documents
+"""
+
+
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation — the web-index view of the link
+    inventory: for every link target, how each anchor term is used
+    across the crawl (stages/links.extract_links -> one keys-only
+    groupby on (href, anchor); counts pre-combine per block inside the
+    groupby, so hot targets cost one row per (block, term))."""
+    from ray.data.aggregate import Count
+
+    from webextract.sources.pages import pages_from_documents
+    from webextract.stages.links import extract_links
+
+    links = extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+    return (
+        links.groupby(["href", "anchor"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_links"})
+    )
+
+
+_SQL_ANCHOR_TERMS = """
+WITH ok AS (
+  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
+),
+nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
+ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok),
+links AS (
+  SELECT doc_id, '/p' || i AS href,
+    (['Home','About','Products','Blog','Contact','Careers','Support','News'])
+      [((doc_id + i) % 8) + 1] AS anchor
+  FROM nav
+  UNION ALL
+  SELECT doc_id, '/ad' || i AS href,
+    (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
+      [((doc_id * 3 + i) % 8) + 1] AS anchor
+  FROM ads
+)
+SELECT href, anchor, count(*)::BIGINT AS n_links
+FROM links GROUP BY href, anchor
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4152,6 +4235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdoc_ngrams": q_crossdoc_ngrams,
         "c4_line_filter": q_c4_line_filter,
         "revenue_by_nation": q_revenue_by_nation,
+        "word_postings": q_word_postings,
+        "train_shuffle": q_train_shuffle,
+        "anchor_terms": q_anchor_terms,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4314,6 +4400,9 @@ def oracle_sql() -> dict[str, str]:
         "crossdoc_ngrams": _SQL_CROSSDOC_NGRAMS,
         "c4_line_filter": _SQL_C4_LINE_FILTER,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,
+        "word_postings": _SQL_WORD_POSTINGS,
+        "train_shuffle": _SQL_TRAIN_SHUFFLE,
+        "anchor_terms": _SQL_ANCHOR_TERMS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -117,3 +117,61 @@ def line_filter_batch(
         .append_column("n_kept", pa.array(n_kept, type=pa.int64()))
         .append_column("text", pa.array(kept_text, type=pa.string()))
     )
+
+
+def word_doc_pairs_batch(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Explode each document into its DISTINCT (word, doc_id) pairs —
+    the map side of inverted-index construction."""
+    words: List[str] = []
+    ids: List[int] = []
+    for did, t in zip(
+        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        for w in set(t.split(" ")):
+            words.append(w)
+            ids.append(did)
+    return pa.table({
+        "word": pa.array(words, type=pa.string()),
+        "doc_id": pa.array(ids, type=pa.int64()),
+    })
+
+
+def inverted_index(ds, *, max_group: int = 100_000):
+    """Posting lists: for every word, the ascending doc_id list of the
+    documents containing it (comma-joined string — the same
+    string_agg encoding the rest of the oracle surface uses for list
+    outputs) plus its document frequency.
+
+    Scale shape: the per-doc word dedup happens inside map_batches (no
+    shuffle); ONE keys-only groupby gathers each word's postings. A
+    posting list materializes in one task, so `max_group` RAISES on
+    stopword-sized lists rather than truncating silently — at 10^12
+    docs you shard hot words by a (word, doc_id // B) range bucket and
+    concatenate the bucket segments at read time.
+    """
+    pairs = ds.map_batches(word_doc_pairs_batch, batch_format="pyarrow")
+    out_schema = pa.schema([
+        ("word", pa.string()), ("df", pa.int64()), ("postings", pa.string()),
+    ])
+
+    def grp(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        if group.num_rows > max_group:
+            raise ValueError(
+                f"inverted_index: posting list for "
+                f"{group.column('word')[0].as_py()!r} has "
+                f"{group.num_rows} docs > max_group={max_group}")
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "word": group.column("word").slice(0, 1),
+            "df": pa.array([len(ids)], type=pa.int64()),
+            "postings": pa.array(
+                [",".join(str(int(x)) for x in ids)], type=pa.string()),
+        }, schema=out_schema)
+
+    return pairs.groupby("word").map_groups(grp, batch_format="pyarrow")
