@@ -4107,6 +4107,150 @@ FROM links GROUP BY href, anchor
 """
 
 
+def q_word_cooccurrence(sf_dir: str):
+    """Top-20 co-occurring word pairs across documents
+    (functions/cooc.text_pair_counts): map-side pair explode (deduped
+    within each doc, w1 < w2), ONE keys-only groupby, total-order k-cut
+    (n DESC, w1, w2)."""
+    from webextract.functions.cooc import text_pair_counts
+
+    return text_pair_counts(_docs(sf_dir, ["text"]), k=20)
+
+
+_SQL_WORD_COOCCURRENCE = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+p AS (SELECT DISTINCT doc_id, word FROM e)
+SELECT a.word AS w1, b.word AS w2, count(*)::BIGINT AS n
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.word < b.word
+GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Market-basket pairs: event types co-occurring under the same
+    user (functions/cooc.group_item_pairs — per-user distinct-item
+    gather, pair explode in map_groups, keys-only pair count; group
+    size is the DISTINCT type count, never the user's event count)."""
+    import ray.data
+
+    from webextract.functions.cooc import group_item_pairs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return group_item_pairs(ev, by="user_id", item="event_type")
+
+
+_SQL_EVENT_TYPE_PAIRS = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2, count(*)::BIGINT AS n_keys
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY t1, t2
+"""
+
+
+def q_length_band_filter(sf_dir: str):
+    """Adaptive (data-dependent) filtering: keep documents whose length
+    falls in the corpus's own [p10, p90] band, then aggregate per
+    language — the two-pass quality-filter shape (RefinedWeb-style
+    percentile cuts). Pass 1 folds the DISTINCT-length histogram on the
+    driver (bounded by value cardinality, quantile_disc rank
+    ceil(q*n)-1 — the same convention as functions/window
+    .group_quantiles); pass 2 is a map-side filter with the two literal
+    thresholds + one keys-only groupby."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count())
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    total = sum(r["count()"] for r in hist)
+
+    def q_at(q: float) -> int:
+        target = max(0, math.ceil(q * total) - 1)
+        cum = 0
+        for r in hist:
+            if cum + r["count()"] > target:
+                return int(r["n_chars"])
+            cum += r["count()"]
+        return int(hist[-1]["n_chars"])
+
+    lo, hi = q_at(0.1), q_at(0.9)
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .filter(expr=f"n_chars >= {lo}")
+        .filter(expr=f"n_chars <= {hi}")
+        .groupby("lang")
+        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_LENGTH_BAND_FILTER = """
+WITH t AS (
+  SELECT quantile_disc(n_chars, 0.1) AS lo,
+         quantile_disc(n_chars, 0.9) AS hi
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents, t
+WHERE n_chars BETWEEN lo AND hi
+GROUP BY lang
+"""
+
+
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON `props` payload per
+    event (real json.loads in the batch UDF — the WARC-metadata /
+    JSON-LD analog), pull the numeric field, aggregate per event type.
+    Map-side parse, one keys-only groupby; malformed JSON would raise
+    (quarantining is the segmenter's job, metadata is contract-clean).
+    The oracle mirrors the extraction with a regex so it needs no
+    DuckDB JSON extension."""
+    import json
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def parse(b: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p)["k"]) for p in b.column("props").to_pylist()]
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "k": pa.array(ks, type=pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return (
+        ev.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(),
+            Sum("k", alias_name="k_sum"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+        )
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+_SQL_JSON_PROPS_STATS = r"""
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_sum,
+       min(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_min,
+       max(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4238,6 +4382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_postings": q_word_postings,
         "train_shuffle": q_train_shuffle,
         "anchor_terms": q_anchor_terms,
+        "word_cooccurrence": q_word_cooccurrence,
+        "event_type_pairs": q_event_type_pairs,
+        "length_band_filter": q_length_band_filter,
+        "json_props_stats": q_json_props_stats,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4403,6 +4551,10 @@ def oracle_sql() -> dict[str, str]:
         "word_postings": _SQL_WORD_POSTINGS,
         "train_shuffle": _SQL_TRAIN_SHUFFLE,
         "anchor_terms": _SQL_ANCHOR_TERMS,
+        "word_cooccurrence": _SQL_WORD_COOCCURRENCE,
+        "event_type_pairs": _SQL_EVENT_TYPE_PAIRS,
+        "length_band_filter": _SQL_LENGTH_BAND_FILTER,
+        "json_props_stats": _SQL_JSON_PROPS_STATS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
