@@ -4251,6 +4251,165 @@ FROM events GROUP BY event_type
 """
 
 
+def q_top_orders_by_revenue(sf_dir: str):
+    """TPC-H Q3-lite: per-order lineitem revenue (pre-aggregated INSIDE
+    the lineitem scan — the shuffle moves (orderkey, cents), never line
+    rows), hash-joined to orders for the priority column, global top-10
+    by (revenue DESC, orderkey ASC). Revenue is exact integer cents:
+    floor(ext * (1 - disc) * 100 + 0.5), identical IEEE ops on both
+    sides, so the distributed sum is order-independent."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from webextract.functions.joins import hash_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(1.0, b.column("l_discount")),
+        )
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"o_orderkey": b.column("l_orderkey"), "cents": c})
+
+    per_order = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        per_order, orders, on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+    return joined.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+_SQL_TOP_ORDERS_BY_REVENUE = """
+WITH r AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                   + 0.5)::BIGINT)::BIGINT AS revenue_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT r.o_orderkey, revenue_cents, o_orderpriority
+FROM r JOIN orders USING (o_orderkey)
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_monthly_revenue(sf_dir: str):
+    """Calendar rollup: integer-cents order revenue per YYYY-MM month
+    (vectorized pc.strftime truncation map-side; one keys-only groupby
+    over ~120 month keys — the time-bucketed aggregate every crawl
+    freshness dashboard runs)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
+        c = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table({"month": m, "cents": c})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(), Sum("cents", alias_name="revenue_cents")
+        )
+        .rename_columns({"count()": "n_orders"})
+    )
+
+
+_SQL_MONTHLY_REVENUE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+FROM orders GROUP BY month
+"""
+
+
+def q_supplier_balance_by_region(sf_dir: str):
+    """Dimension-chain broadcast: nation x region pre-joined driver-side
+    (25 x 5 rows), shipped once via ray.put, probed vectorized inside
+    the supplier scan — zero shuffles end-to-end except the final
+    5-key groupby. Account balances summed as exact integer cents
+    (floor(x*100+0.5) handles negatives identically on both sides)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import broadcast_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rn = region.column("r_name").to_pylist()
+    rk = region.column("r_regionkey").to_pylist()
+    by_rk = dict(zip(rk, rn))
+    dim = pa.table({
+        "s_nationkey": nation.column("n_nationkey"),
+        "r_name": pa.array(
+            [by_rk[k] for k in nation.column("n_regionkey").to_pylist()],
+            type=pa.string(),
+        ),
+    })
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"s_nationkey": b.column("s_nationkey"), "cents": c})
+
+    sup = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        )
+        .map_batches(cents, batch_format="pyarrow")
+    )
+    named = broadcast_join(sup, dim, key="s_nationkey", concurrency=_conc())
+    return (
+        named.groupby("r_name")
+        .aggregate(Count(), Sum("cents", alias_name="balance_cents"))
+        .rename_columns({"count()": "n_suppliers"})
+    )
+
+
+_SQL_SUPPLIER_BALANCE_BY_REGION = """
+SELECT r_name, count(*)::BIGINT AS n_suppliers,
+       sum(floor(s_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS balance_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4386,6 +4545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pairs": q_event_type_pairs,
         "length_band_filter": q_length_band_filter,
         "json_props_stats": q_json_props_stats,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "monthly_revenue": q_monthly_revenue,
+        "supplier_balance_by_region": q_supplier_balance_by_region,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4555,6 +4717,9 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pairs": _SQL_EVENT_TYPE_PAIRS,
         "length_band_filter": _SQL_LENGTH_BAND_FILTER,
         "json_props_stats": _SQL_JSON_PROPS_STATS,
+        "top_orders_by_revenue": _SQL_TOP_ORDERS_BY_REVENUE,
+        "monthly_revenue": _SQL_MONTHLY_REVENUE,
+        "supplier_balance_by_region": _SQL_SUPPLIER_BALANCE_BY_REGION,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
