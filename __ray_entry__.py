@@ -4410,6 +4410,161 @@ GROUP BY r_name
 """
 
 
+def q_brand_revenue(sf_dir: str):
+    """Q14-flavored big-big join on the part key: lineitem revenue
+    pre-aggregated per partkey inside the scan (keys+cents through the
+    shuffle), one hash exchange against part, then a keys-only brand
+    rollup. Covers the one base table (part) no other query touches."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import hash_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(1.0, b.column("l_discount")),
+        )
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"p_partkey": b.column("l_partkey"), "cents": c})
+
+    per_part = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("cents", alias_name="cents"), Count())
+        .rename_columns({"count()": "n_lines"})
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    joined = hash_join(
+        per_part, part, on="p_partkey",
+        left_schema=pa.schema([
+            ("p_partkey", pa.int64()), ("cents", pa.int64()),
+            ("n_lines", pa.int64()),
+        ]),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string())]
+        ),
+    )
+    return (
+        joined.groupby("p_brand")
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+
+_SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_vocab_by_lang(sf_dir: str):
+    """COUNT(DISTINCT word) per language — vocabulary size, the Heaps'-
+    law corpus profile. Per-doc word dedup map-side, then TWO keys-only
+    shuffles: distinct on (lang, word), count per lang. No payload ever
+    moves."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        langs: list = []
+        words: list = []
+        for lg, t in zip(
+            b.column("lang").to_pylist(), b.column("text").to_pylist()
+        ):
+            for w in set(t.split(" ")):
+                langs.append(lg)
+                words.append(w)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "word": pa.array(words, type=pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Count())
+        .groupby("lang")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_words"})
+    )
+
+
+_SQL_VOCAB_BY_LANG = """
+WITH e AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT lang, count(DISTINCT word)::BIGINT AS n_words
+FROM e GROUP BY lang
+"""
+
+
+def q_lang_metrics_unpivot(sf_dir: str):
+    """UNPIVOT/melt: the per-language wide aggregate row folded into
+    (lang, metric, value) long form — the inverse of
+    `lang_source_pivot`. The melt is a map-side row explode AFTER the
+    keys-only aggregate, so it costs nothing extra at scale."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    wide = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(),
+            Sum("n_chars", alias_name="total_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .rename_columns({"count()": "n_docs"})
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        langs: list = []
+        metrics: list = []
+        values: list = []
+        for i in range(b.num_rows):
+            lg = b.column("lang")[i].as_py()
+            for m in ("n_docs", "total_chars", "max_chars"):
+                langs.append(lg)
+                metrics.append(m)
+                values.append(int(b.column(m)[i].as_py()))
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "metric": pa.array(metrics, type=pa.string()),
+            "value": pa.array(values, type=pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+_SQL_LANG_METRICS_UNPIVOT = """
+WITH w AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         max(n_chars)::BIGINT AS max_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+UNION ALL
+SELECT lang, 'total_chars' AS metric, total_chars AS value FROM w
+UNION ALL
+SELECT lang, 'max_chars' AS metric, max_chars AS value FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4548,6 +4703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "monthly_revenue": q_monthly_revenue,
         "supplier_balance_by_region": q_supplier_balance_by_region,
+        "brand_revenue": q_brand_revenue,
+        "vocab_by_lang": q_vocab_by_lang,
+        "lang_metrics_unpivot": q_lang_metrics_unpivot,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4720,6 +4878,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_by_revenue": _SQL_TOP_ORDERS_BY_REVENUE,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "supplier_balance_by_region": _SQL_SUPPLIER_BALANCE_BY_REGION,
+        "brand_revenue": _SQL_BRAND_REVENUE,
+        "vocab_by_lang": _SQL_VOCAB_BY_LANG,
+        "lang_metrics_unpivot": _SQL_LANG_METRICS_UNPIVOT,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
