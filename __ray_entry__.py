@@ -4565,6 +4565,332 @@ SELECT lang, 'max_chars' AS metric, max_chars AS value FROM w
 """
 
 
+def q_events_conditional_agg(sf_dir: str):
+    """SQL FILTER-clause aggregates: per user, counts of two event
+    types plus purchase value summed as exact integer cents — the
+    conditional columns become 0/1 (or cents/0) map-side, so ONE
+    keys-only groupby carries all three aggregates (no per-condition
+    scans)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def flags(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        is_click = pc.cast(pc.equal(et, "click"), pa.int64())
+        is_view = pc.cast(pc.equal(et, "view"), pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        pur = pc.if_else(pc.equal(et, "purchase"), cents,
+                         pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "is_click": is_click,
+            "is_view": is_view,
+            "purchase_cents": pur,
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    return (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(),
+            Sum("is_click", alias_name="n_clicks"),
+            Sum("is_view", alias_name="n_views"),
+            Sum("purchase_cents", alias_name="purchase_cents"),
+        )
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+_SQL_EVENTS_CONDITIONAL_AGG = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_clicks,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_views,
+       coalesce(sum(floor(value * 100.0 + 0.5)::BIGINT)
+                FILTER (event_type = 'purchase'), 0)::BIGINT
+         AS purchase_cents
+FROM events GROUP BY user_id
+"""
+
+
+def q_docs_mad_per_lang(sf_dir: str):
+    """Robust spread: per-language median + median-absolute-deviation
+    of doc length. ONE distinct-value histogram crosses the shuffle
+    (the group_quantiles contract); the driver derives BOTH medians
+    from that histogram with exact integer math — the |x - med|
+    histogram is a fold of the original, never a second scan.
+    quantile_disc convention: rank ceil(q*n)-1."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count())
+        .take_all()
+    )
+    groups: dict = {}
+    for r in hist:
+        groups.setdefault(r["lang"], []).append(
+            (int(r["n_chars"]), int(r["count()"]))
+        )
+
+    def disc_median(pairs):
+        total = sum(n for _, n in pairs)
+        target = max(0, math.ceil(0.5 * total) - 1)
+        cum = 0
+        for v, n in sorted(pairs):
+            if cum + n > target:
+                return v
+            cum += n
+        return sorted(pairs)[-1][0]
+
+    langs, meds, mads = [], [], []
+    for lg in sorted(groups):
+        pairs = groups[lg]
+        med = disc_median(pairs)
+        folded: dict = {}
+        for v, n in pairs:
+            d = abs(v - med)
+            folded[d] = folded.get(d, 0) + n
+        langs.append(lg)
+        meds.append(med)
+        mads.append(disc_median(list(folded.items())))
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "median_chars": pa.array(meds, type=pa.int64()),
+        "mad_chars": pa.array(mads, type=pa.int64()),
+    })
+
+
+_SQL_DOCS_MAD_PER_LANG = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, any_value(m.med)::BIGINT AS median_chars,
+       quantile_disc(abs(d.n_chars - m.med), 0.5)::BIGINT AS mad_chars
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY d.lang
+"""
+
+
+def q_user_span(sf_dir: str):
+    """Per-user activity span in whole seconds: timestamps cast to
+    int64 microseconds MAP-SIDE (sidestepping Ray's groupby
+    timestamp-unit downcast), Min/Max in one keys-only groupby, exact
+    integer subtraction after."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    agg = (
+        ev.map_batches(us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(),
+            Min("ts_us", alias_name="t0"),
+            Max("ts_us", alias_name="t1"),
+        )
+        .rename_columns({"count()": "n_events"})
+    )
+
+    def span(b: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.subtract(b.column("t1"), b.column("t0")),
+            pa.scalar(1_000_000, type=pa.int64()),
+        )
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": b.column("n_events"),
+            "span_s": pc.cast(s, pa.int64()),
+        })
+
+    return agg.map_batches(span, batch_format="pyarrow")
+
+
+_SQL_USER_SPAN = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       (date_diff('microsecond', min(ts), max(ts)) // 1000000)::BIGINT
+         AS span_s
+FROM events GROUP BY user_id
+"""
+
+
+def q_promo_share_monthly(sf_dir: str):
+    """TPC-H Q14 analog: monthly promo revenue share. Lineitem cents are
+    pre-aggregated per (partkey, month) in-scan, ONE hash exchange joins
+    the part type, the month rollup is keys-only, and the share is a
+    single IEEE division of two exact int64 sums (cast to double, both
+    exactly representable) — bit-identical to the SQL mirror."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from webextract.functions.joins import hash_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(1.0, b.column("l_discount")),
+        )
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({
+            "p_partkey": b.column("l_partkey"),
+            "month": pc.strftime(b.column("l_shipdate"), format="%Y-%m"),
+            "cents": c,
+        })
+
+    per_pm = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby(["p_partkey", "month"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    joined = hash_join(
+        per_pm, part, on="p_partkey",
+        left_schema=pa.schema([
+            ("p_partkey", pa.int64()), ("month", pa.string()),
+            ("cents", pa.int64()),
+        ]),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_type", pa.string())]
+        ),
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(b.column("p_type"), "PROMO"),
+            b.column("cents"), pa.scalar(0, type=pa.int64()),
+        )
+        return pa.table({
+            "month": b.column("month"),
+            "promo_cents": promo,
+            "cents": b.column("cents"),
+        })
+
+    monthly = (
+        joined.map_batches(split, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("cents", alias_name="total_cents"),
+        )
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(b.column("promo_cents"), pa.float64()),
+            pc.cast(b.column("total_cents"), pa.float64()),
+        )
+        return b.append_column("promo_share", s)
+
+    return monthly.map_batches(share, batch_format="pyarrow")
+
+
+_SQL_PROMO_SHARE_MONTHLY = """
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN floor(l_extendedprice * (1 - l_discount) * 100.0
+                             + 0.5)::BIGINT ELSE 0 END)::BIGINT
+           AS promo_cents,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                   + 0.5)::BIGINT)::BIGINT AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY month
+)
+SELECT month, promo_cents, total_cents,
+       promo_cents::DOUBLE / total_cents::DOUBLE AS promo_share
+FROM m
+"""
+
+
+def q_new_users_cohort(sf_dir: str):
+    """Cohort arrival curve: users by FIRST-SEEN hour plus the
+    cumulative user count. First-seen is a keys-only Min groupby; the
+    hourly counts fold on the driver (bounded by the calendar) into
+    the running total — the accumulating-snapshot shape."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    first = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="t0"))
+    )
+
+    def hour(b: pa.Table) -> pa.Table:
+        h = pc.strftime(
+            pc.cast(b.column("t0"), pa.timestamp("us")), format="%Y-%m-%d %H"
+        )
+        return pa.table({"hour": h})
+
+    counts = (
+        first.map_batches(hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count())
+        .take_all()
+    )
+    counts.sort(key=lambda r: r["hour"])
+    hours, news, cums = [], [], []
+    cum = 0
+    for r in counts:
+        cum += int(r["count()"])
+        hours.append(r["hour"])
+        news.append(int(r["count()"]))
+        cums.append(cum)
+    return pa.table({
+        "hour": pa.array(hours, type=pa.string()),
+        "n_new": pa.array(news, type=pa.int64()),
+        "cum_users": pa.array(cums, type=pa.int64()),
+    })
+
+
+_SQL_NEW_USERS_COHORT = """
+WITH f AS (
+  SELECT user_id, strftime(min(ts), '%Y-%m-%d %H') AS hour
+  FROM events GROUP BY user_id
+),
+c AS (SELECT hour, count(*)::BIGINT AS n_new FROM f GROUP BY hour)
+SELECT hour, n_new,
+       (sum(n_new) OVER (ORDER BY hour))::BIGINT AS cum_users
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -4706,6 +5032,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "vocab_by_lang": q_vocab_by_lang,
         "lang_metrics_unpivot": q_lang_metrics_unpivot,
+        "events_conditional_agg": q_events_conditional_agg,
+        "docs_mad_per_lang": q_docs_mad_per_lang,
+        "user_span": q_user_span,
+        "promo_share_monthly": q_promo_share_monthly,
+        "new_users_cohort": q_new_users_cohort,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -4881,6 +5212,11 @@ def oracle_sql() -> dict[str, str]:
         "brand_revenue": _SQL_BRAND_REVENUE,
         "vocab_by_lang": _SQL_VOCAB_BY_LANG,
         "lang_metrics_unpivot": _SQL_LANG_METRICS_UNPIVOT,
+        "events_conditional_agg": _SQL_EVENTS_CONDITIONAL_AGG,
+        "docs_mad_per_lang": _SQL_DOCS_MAD_PER_LANG,
+        "user_span": _SQL_USER_SPAN,
+        "promo_share_monthly": _SQL_PROMO_SHARE_MONTHLY,
+        "new_users_cohort": _SQL_NEW_USERS_COHORT,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -1,0 +1,60 @@
+"""Meta-pins on the driver contract surface (__ray_entry__.py):
+every oracle belongs to a query; every oracle-less query is on the
+PINNED rows-only allowlist (hash-internal / approximate / iterative by
+design) — adding a query without an oracle must be a conscious edit
+here, not an accident."""
+
+import importlib.util
+import pathlib
+
+ROWS_ONLY = {
+    # hash-internal signatures / approximate ops — rows-only by design
+    "minhash_signatures",
+    "neardup_pairs",
+    "rolling_fingerprint",
+    "simhash",
+    "approx_distinct_users",
+    "approx_users_per_type",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "embedding_neardup",
+    "cms_word_counts",
+    "join_size_est",
+    "doc_length_quantiles_sketch",
+    "doc_length_quantiles_by_lang_sketch",
+    "kmeans_clusters",
+    "semdedup_pairs",
+    # iterative float fixpoint — order-dependent sums
+    "pagerank_hosts",
+}
+
+
+def _entry():
+    path = pathlib.Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+    spec = importlib.util.spec_from_file_location("_entry_contract", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_oracle_has_a_query():
+    m = _entry()
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+
+
+def test_rows_only_set_is_pinned():
+    m = _entry()
+    rows_only = set(m.queries()) - set(m.oracle_sql())
+    assert rows_only == ROWS_ONLY, (
+        f"unexpected rows-only: {rows_only - ROWS_ONLY}; "
+        f"missing: {ROWS_ONLY - rows_only}"
+    )
+
+
+def test_surfaces_are_well_formed():
+    m = _entry()
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+    assert len(qs) >= 130
