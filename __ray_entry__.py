@@ -4891,6 +4891,121 @@ FROM c
 """
 
 
+def q_vocab_fuzzy_pairs(sf_dir: str):
+    """Fuzzy string join over the corpus vocabulary: all word pairs
+    within 2 edits (functions/fuzzy.fuzzy_vocab_pairs — FastSS deletion
+    neighborhoods, keys-only candidate buckets, DP verify only on
+    candidates; never an O(|V|^2) cross product)."""
+    from webextract.functions.fuzzy import fuzzy_vocab_pairs
+
+    return fuzzy_vocab_pairs(_docs(sf_dir, ["text"]), max_dist=2)
+
+
+_SQL_VOCAB_FUZZY_PAIRS = """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS d
+FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+"""
+
+
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption prep: deterministically mask every
+    token at position (i + doc_id) % 7 == 0 with the sentinel '<X>',
+    emitting the corrupted text and the comma-joined mask targets in
+    order. Pure map-side row rewrite (the denoising-objective analog
+    of chunk_documents); the mask rule is key-derived, so re-runs and
+    the SQL mirror agree token-for-token."""
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        corrupted: list = []
+        targets: list = []
+        for did, t in zip(ids, texts):
+            words = t.split(" ")
+            out: list = []
+            tgt: list = []
+            for i, w in enumerate(words):
+                if (i + did) % 7 == 0:
+                    out.append("<X>")
+                    tgt.append(w)
+                else:
+                    out.append(w)
+            corrupted.append(" ".join(out))
+            targets.append(",".join(tgt))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "corrupted": pa.array(corrupted, type=pa.string()),
+            "targets": pa.array(targets, type=pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        corrupt, batch_format="pyarrow"
+    )
+
+
+_SQL_SPAN_CORRUPTION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+  array_to_string(
+    list_transform(range(1, len(words) + 1), i ->
+      CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN '<X>' ELSE words[i] END),
+    ' ') AS corrupted,
+  coalesce(array_to_string(
+    list_filter(
+      list_transform(range(1, len(words) + 1), i ->
+        CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN words[i] END),
+      x -> x IS NOT NULL),
+    ','), '') AS targets
+FROM w
+"""
+
+
+def q_length_histogram(sf_dir: str):
+    """Equi-width histogram of document lengths (bin 100 chars) with
+    per-bin exact mean: bin assignment map-side, ONE keys-only groupby,
+    mean = single IEEE division of exact int sums."""
+    from ray.data.aggregate import Count, Sum
+
+    def bins(b: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.divide(b.column("n_chars"), pa.scalar(100, type=pa.int64())),
+            pa.scalar(100, type=pa.int64()),
+        )
+        return pa.table({
+            "bin_lo": pc.cast(lo, pa.int64()),
+            "n_chars": b.column("n_chars"),
+        })
+
+    agg = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(bins, batch_format="pyarrow")
+        .groupby("bin_lo")
+        .aggregate(Count(), Sum("n_chars", alias_name="sum_chars"))
+        .rename_columns({"count()": "n_docs"})
+    )
+
+    def mean(b: pa.Table) -> pa.Table:
+        m = pc.divide(
+            pc.cast(b.column("sum_chars"), pa.float64()),
+            pc.cast(b.column("n_docs"), pa.float64()),
+        )
+        return b.append_column("mean_chars", m)
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+_SQL_LENGTH_HISTOGRAM = """
+SELECT (n_chars // 100 * 100)::BIGINT AS bin_lo,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars
+FROM documents GROUP BY bin_lo
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5037,6 +5152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_span": q_user_span,
         "promo_share_monthly": q_promo_share_monthly,
         "new_users_cohort": q_new_users_cohort,
+        "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
+        "span_corruption": q_span_corruption,
+        "length_histogram": q_length_histogram,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5217,6 +5335,9 @@ def oracle_sql() -> dict[str, str]:
         "user_span": _SQL_USER_SPAN,
         "promo_share_monthly": _SQL_PROMO_SHARE_MONTHLY,
         "new_users_cohort": _SQL_NEW_USERS_COHORT,
+        "vocab_fuzzy_pairs": _SQL_VOCAB_FUZZY_PAIRS,
+        "span_corruption": _SQL_SPAN_CORRUPTION,
+        "length_histogram": _SQL_LENGTH_HISTOGRAM,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
