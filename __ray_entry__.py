@@ -5006,6 +5006,134 @@ FROM documents GROUP BY bin_lo
 """
 
 
+def q_knn_label_accuracy(sf_dir: str):
+    """1-NN classifier evaluation over the labeled embeddings
+    (functions/similarity.knn_label_stats): reference matrix broadcast
+    once, one float64 matmul per batch, integer-count output only —
+    rank gaps (>=5e-6 at this sf) dwarf cross-engine float noise, ties
+    break on the smaller neighbor id on both sides."""
+    import ray.data
+
+    from webextract.functions.similarity import knn_label_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return knn_label_stats(ds)
+
+
+_SQL_KNN_LABEL_ACCURACY = """
+WITH nn AS (
+  SELECT a.vec_id, a.label AS lab,
+         (SELECT b.label FROM embeddings b WHERE b.vec_id <> a.vec_id
+          ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[]) DESC,
+                   b.vec_id
+          LIMIT 1) AS nn_label
+  FROM embeddings a
+)
+SELECT lab AS label, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN nn_label = lab THEN 1 ELSE 0 END)::BIGINT AS n_correct
+FROM nn GROUP BY lab
+"""
+
+
+def q_event_gap_histogram(sf_dir: str):
+    """Inter-event-gap distribution: per-user LAG gaps
+    (functions/temporal.key_lag — one keys-only shuffle, vectorized
+    lexsort+diff per group), bucketed to whole minutes map-side, one
+    tiny keys-only histogram groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from webextract.functions.temporal import key_lag
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "eid": b.column("event_id"),
+        })
+
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .map_batches(us, batch_format="pyarrow")
+    )
+    lagged = key_lag(ev, by="user_id", ts="ts_us", payload="eid")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        mins = pc.divide(b.column("gap"), pa.scalar(60_000_000,
+                                                    type=pa.int64()))
+        return pa.table({"gap_min": pc.cast(mins, pa.int64())})
+
+    return (
+        lagged.map_batches(bucket, batch_format="pyarrow")
+        .groupby("gap_min")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_gaps"})
+    )
+
+
+_SQL_EVENT_GAP_HISTOGRAM = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT (date_diff('microsecond', prev_ts, ts) // 60000000)::BIGINT
+         AS gap_min,
+       count(*)::BIGINT AS n_gaps
+FROM l WHERE prev_ts IS NOT NULL
+GROUP BY gap_min
+"""
+
+
+def q_order_status_monthly(sf_dir: str):
+    """Month x status snapshot: conditional status flags map-side, one
+    keys-only month groupby — the wide (pivoted) form of a two-key
+    rollup."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def flags(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        return pa.table({
+            "month": pc.strftime(b.column("o_orderdate"), format="%Y-%m"),
+            "n_open": pc.cast(pc.equal(st, "O"), pa.int64()),
+            "n_filled": pc.cast(pc.equal(st, "F"), pa.int64()),
+            "n_pending": pc.cast(pc.equal(st, "P"), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(),
+            Sum("n_open", alias_name="n_open"),
+            Sum("n_filled", alias_name="n_filled"),
+            Sum("n_pending", alias_name="n_pending"),
+        )
+        .rename_columns({"count()": "n_orders"})
+    )
+
+
+_SQL_ORDER_STATUS_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*)::BIGINT AS n_orders,
+       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_open,
+       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_filled,
+       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_pending
+FROM orders GROUP BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5155,6 +5283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
         "span_corruption": q_span_corruption,
         "length_histogram": q_length_histogram,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "event_gap_histogram": q_event_gap_histogram,
+        "order_status_monthly": q_order_status_monthly,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5338,6 +5469,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_fuzzy_pairs": _SQL_VOCAB_FUZZY_PAIRS,
         "span_corruption": _SQL_SPAN_CORRUPTION,
         "length_histogram": _SQL_LENGTH_HISTOGRAM,
+        "knn_label_accuracy": _SQL_KNN_LABEL_ACCURACY,
+        "event_gap_histogram": _SQL_EVENT_GAP_HISTOGRAM,
+        "order_status_monthly": _SQL_ORDER_STATUS_MONTHLY,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -138,3 +138,43 @@ def test_lsh_multiprobe_improves_recall(ray_session):
                                       nprobe=4).take_all()}
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+# ------------------------------------------------------- knn_label_stats
+
+
+def test_knn_label_stats_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.functions.similarity import knn_label_stats
+
+    # two tight clusters + one off-axis point (no symmetric ties)
+    vecs = [
+        [1.0, 0.0], [0.99, 0.01],          # label 0 cluster (mutual NNs)
+        [0.0, 1.0], [0.01, 0.99],          # label 1 cluster (mutual NNs)
+        [0.8, 0.6],                        # label 0, nearest in cluster 0
+    ]
+    labels = [0, 0, 1, 1, 0]
+    t = pa.table({
+        "vec_id": pa.array(range(5), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    got = (
+        knn_label_stats(ray.data.from_arrow(t).repartition(2))
+        .to_pandas().set_index("label").sort_index()
+    )
+    # brute-force expectation FROM THE float32-ROUNDED values the engine
+    # actually reads (the storage type is list<float>)
+    m = np.array(vecs, dtype=np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    np.fill_diagonal(s, -2)
+    nn = np.argmax(s, axis=1)
+    lab = np.array(labels)
+    for l in (0, 1):
+        mask = lab == l
+        assert got.loc[l, "n_vecs"] == mask.sum()
+        assert got.loc[l, "n_correct"] == (lab[nn[mask]] == l).sum()

@@ -310,3 +310,71 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
     return pairs.groupby(["id_a", "id_b"]).max("cosine").rename_columns(
         {"max(cosine)": "cosine"}
     )
+
+
+def knn_label_stats(ds, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", label_col: str = "label"):
+    """1-NN classifier evaluation over a labeled embedding table: for
+    every vector, its nearest other vector by cosine; per label, how
+    often the neighbor's label agrees.
+
+    Scale shape: the REFERENCE side (normalized matrix + ids + labels,
+    sorted by id) is broadcast once via ray.put and probed with one
+    float64 matmul per batch — the brute-force ANN baseline; at corpus
+    scale the reference side is IVF/LSH-bucketed first (see LshAnn) and
+    the probe matmul runs per bucket. The output is integer counts
+    only — ranking is decided by similarity GAPS (>=1e-6 here), far
+    above cross-engine float noise, and ties break on the smaller
+    neighbor id (argmax-first over the id-sorted reference), mirroring
+    the oracle's ORDER BY sim DESC, vec_id.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ref_tbl = ds.select_columns([id_col, vec_col, label_col])
+    # the reference side must be materialized once to broadcast; it is
+    # the *small* side by contract (same role as topk_cosine's query).
+    # Local sort_by(id) pins argmax-first == smallest-id tie-break
+    # regardless of block arrival order.
+    ref = ref_tbl.to_arrow_refs()
+    parts = [pa.Table.from_batches(t.to_batches())
+             for t in ray.get(ref)]
+    full = pa.concat_tables(
+        [p for p in parts if p.num_rows]).sort_by(id_col)
+    ids = np.asarray(full.column(id_col).to_pylist(), dtype=np.int64)
+    labels = np.asarray(full.column(label_col).to_pylist(), dtype=np.int64)
+    mat = _normalize(_batch_matrix(full, vec_col))
+    bref = ray.put((ids, labels, mat))
+
+    class Probe:
+        def __init__(self, bref):
+            self.ids, self.labels, self.mat = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            bids = np.asarray(batch.column(id_col).to_pylist(),
+                              dtype=np.int64)
+            blab = np.asarray(batch.column(label_col).to_pylist(),
+                              dtype=np.int64)
+            if not len(bids):
+                return pa.table({"label": pa.array([], type=pa.int64()),
+                                 "is_match": pa.array([], type=pa.int64())})
+            s = m @ self.mat.T
+            # mask self-matches by id (reference is the full table)
+            s[bids[:, None] == self.ids[None, :]] = -2.0
+            nn = np.argmax(s, axis=1)  # first max = smallest ref id
+            match = (self.labels[nn] == blab).astype(np.int64)
+            return pa.table({
+                "label": pa.array(blab, type=pa.int64()),
+                "is_match": pa.array(match, type=pa.int64()),
+            })
+
+    probed = ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        Probe, fn_constructor_kwargs={"bref": bref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return (
+        probed.groupby("label")
+        .aggregate(Count(), Sum("is_match", alias_name="n_correct"))
+        .rename_columns({"count()": "n_vecs"})
+    )
