@@ -5134,6 +5134,178 @@ FROM orders GROUP BY month
 """
 
 
+def q_top_event_per_user_day(sf_dir: str):
+    """Per-(user, day) ARGMAX: the highest-value event in each user-day,
+    tie-broken by event_id — the composite-key window-rank shape
+    (QUALIFY row_number() = 1). One keys-only groupby on the packed
+    (user, day) key; ordering uses the RAW stored doubles (identical
+    bits on both engines), the emitted value is exact integer cents."""
+    import ray.data
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.divide(ts_us, pa.scalar(86_400_000_000, type=pa.int64()))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "day": pc.cast(day, pa.int64()),
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+        })
+
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("day", pa.int64()),
+        ("event_id", pa.int64()), ("value_cents", pa.int64()),
+    ])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eids, -vals))
+        i = int(order[0])
+        cents = int(np.floor(vals[i] * 100.0 + 0.5))
+        return pa.table({
+            "user_id": group.column("user_id").slice(i, 1),
+            "day": group.column("day").slice(i, 1),
+            "event_id": pa.array([int(eids[i])], type=pa.int64()),
+            "value_cents": pa.array([cents], type=pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby(["user_id", "day"]).map_groups(
+        argmax, batch_format="pyarrow"
+    )
+
+
+_SQL_TOP_EVENT_PER_USER_DAY = """
+SELECT user_id,
+       (epoch_us(ts) // 86400000000)::BIGINT AS day,
+       event_id,
+       floor(value * 100.0 + 0.5)::BIGINT AS value_cents
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, (epoch_us(ts) // 86400000000)
+  ORDER BY value DESC, event_id) = 1
+"""
+
+
+def q_dq_audit(sf_dir: str):
+    """Data-quality audit: per-constraint violation counts across two
+    base tables — the contract-check stage a production pipeline runs
+    before training prep. Flags are vectorized map-side; each table
+    contributes ONE global sum fold (no shuffle); results union to a
+    fixed (check, n_violations, n_rows) report."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def order_flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nonpos_price": pc.cast(
+                pc.less_equal(b.column("o_totalprice"), 0.0), pa.int64()),
+            "null_status": pc.cast(
+                pc.is_null(b.column("o_orderstatus")), pa.int64()),
+        })
+
+    def line_flags(b: pa.Table) -> pa.Table:
+        d = b.column("l_discount")
+        return pa.table({
+            "bad_discount": pc.cast(
+                pc.or_(pc.less(d, 0.0), pc.greater(d, 1.0)), pa.int64()),
+            "qty_nonpos": pc.cast(
+                pc.less_equal(b.column("l_quantity"), 0.0), pa.int64()),
+        })
+
+    o = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_totalprice", "o_orderstatus"],
+        )
+        .map_batches(order_flags, batch_format="pyarrow")
+        .aggregate(Count(), Sum("nonpos_price"), Sum("null_status"))
+    )
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_discount", "l_quantity"],
+        )
+        .map_batches(line_flags, batch_format="pyarrow")
+        .aggregate(Count(), Sum("bad_discount"), Sum("qty_nonpos"))
+    )
+    rows = [
+        ("orders.nonpos_price", int(o["sum(nonpos_price)"] or 0),
+         int(o["count()"])),
+        ("orders.null_status", int(o["sum(null_status)"] or 0),
+         int(o["count()"])),
+        ("lineitem.bad_discount", int(li["sum(bad_discount)"] or 0),
+         int(li["count()"])),
+        ("lineitem.qty_nonpos", int(li["sum(qty_nonpos)"] or 0),
+         int(li["count()"])),
+    ]
+    return pa.table({
+        "check_name": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_violations": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+_SQL_DQ_AUDIT = """
+SELECT 'orders.nonpos_price' AS check_name,
+       count(*) FILTER (o_totalprice <= 0)::BIGINT AS n_violations,
+       count(*)::BIGINT AS n_rows FROM orders
+UNION ALL
+SELECT 'orders.null_status',
+       count(*) FILTER (o_orderstatus IS NULL)::BIGINT,
+       count(*)::BIGINT FROM orders
+UNION ALL
+SELECT 'lineitem.bad_discount',
+       count(*) FILTER (l_discount < 0 OR l_discount > 1)::BIGINT,
+       count(*)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem.qty_nonpos',
+       count(*) FILTER (l_quantity <= 0)::BIGINT,
+       count(*)::BIGINT FROM lineitem
+"""
+
+
+def q_source_share(sf_dir: str):
+    """Per-source document share: keys-only count groupby, tiny driver
+    fold for the global total, share = one IEEE division of exact
+    int64s (bit-identical both sides)."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .aggregate(Count())
+        .take_all()
+    )
+    total = sum(int(r["count()"]) for r in counts)
+    counts.sort(key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in counts], type=pa.string()),
+        "n_docs": pa.array([int(r["count()"]) for r in counts],
+                           type=pa.int64()),
+        "share": pa.array(
+            [float(int(r["count()"]) ) / float(total) for r in counts],
+            type=pa.float64()),
+    })
+
+
+_SQL_SOURCE_SHARE = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(*)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS share
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5286,6 +5458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_accuracy": q_knn_label_accuracy,
         "event_gap_histogram": q_event_gap_histogram,
         "order_status_monthly": q_order_status_monthly,
+        "top_event_per_user_day": q_top_event_per_user_day,
+        "dq_audit": q_dq_audit,
+        "source_share": q_source_share,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5472,6 +5647,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_accuracy": _SQL_KNN_LABEL_ACCURACY,
         "event_gap_histogram": _SQL_EVENT_GAP_HISTOGRAM,
         "order_status_monthly": _SQL_ORDER_STATUS_MONTHLY,
+        "top_event_per_user_day": _SQL_TOP_EVENT_PER_USER_DAY,
+        "dq_audit": _SQL_DQ_AUDIT,
+        "source_share": _SQL_SOURCE_SHARE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
