@@ -5306,6 +5306,110 @@ FROM documents GROUP BY source
 """
 
 
+def q_events_dau(sf_dir: str):
+    """Daily active users: COUNT(DISTINCT user) per day — the two-stage
+    distinct (groupby (day, user) then count per day), both stages
+    keys-only."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        return pa.table({"day": d, "user_id": b.column("user_id")})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count())
+        .groupby("day")
+        .aggregate(Count())
+        .rename_columns({"count()": "dau"})
+    )
+
+
+_SQL_EVENTS_DAU = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS dau
+FROM events GROUP BY day
+"""
+
+
+def q_events_hour_profile(sf_dir: str):
+    """Hour-of-day x event-type activity profile (the 24-bucket
+    seasonality histogram): hour extraction map-side, one keys-only
+    groupby over <=24x|types| keys."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(b.column("ts")), pa.int64())
+        return pa.table({"hour": h, "event_type": b.column("event_type")})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+_SQL_EVENTS_HOUR_PROFILE = """
+SELECT hour(ts)::BIGINT AS hour, event_type,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY hour, event_type
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension value range over the embedding column: each block
+    emits one (dim, min, max) row set (vectorized numpy fold), the
+    groupby reduces 64 keys — feature-scaling statistics without any
+    order-dependent float arithmetic (min/max only, exact)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from webextract.functions.similarity import _batch_matrix
+
+    def fold(b: pa.Table) -> pa.Table:
+        m = _batch_matrix(b, "embedding")
+        if not m.size:
+            return pa.table({
+                "dim": pa.array([], type=pa.int64()),
+                "lo": pa.array([], type=pa.float64()),
+                "hi": pa.array([], type=pa.float64()),
+            })
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "lo": pa.array(m.min(axis=0), type=pa.float64()),
+            "hi": pa.array(m.max(axis=0), type=pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("lo", alias_name="min_v"),
+                   Max("hi", alias_name="max_v"))
+    )
+
+
+_SQL_EMBEDDING_DIM_STATS = """
+SELECT i::BIGINT AS dim,
+       min(embedding[i]::DOUBLE) AS min_v,
+       max(embedding[i]::DOUBLE) AS max_v
+FROM embeddings, unnest(range(1, 65)) AS t(i)
+GROUP BY i
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5461,6 +5565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user_day": q_top_event_per_user_day,
         "dq_audit": q_dq_audit,
         "source_share": q_source_share,
+        "events_dau": q_events_dau,
+        "events_hour_profile": q_events_hour_profile,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5650,6 +5757,9 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_user_day": _SQL_TOP_EVENT_PER_USER_DAY,
         "dq_audit": _SQL_DQ_AUDIT,
         "source_share": _SQL_SOURCE_SHARE,
+        "events_dau": _SQL_EVENTS_DAU,
+        "events_hour_profile": _SQL_EVENTS_HOUR_PROFILE,
+        "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
