@@ -5410,6 +5410,168 @@ GROUP BY i
 """
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO / upsert (the CDC-apply step): a deterministic change
+    set — updates for doc_id%11==0 (n_chars+1000), inserts keyed
+    doc_id+10^7 for doc_id%13==0 — applied to the base table via ONE
+    full-outer hash join on the key; the action column falls out of
+    the null pattern (both→updated, right-only→inserted,
+    left-only→unchanged). Output is the per-action row count + final
+    char total, so the whole merged table is verified without shipping
+    it."""
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import hash_join
+
+    base = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def changes(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        upd = ids % 11 == 0
+        ins = ids % 13 == 0
+        out_ids = np.concatenate([ids[upd], ids[ins] + 10_000_000])
+        out_ch = np.concatenate([ch[upd] + 1000, ids[ins] % 500])
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "new_chars": pa.array(out_ch, type=pa.int64()),
+        })
+
+    upd = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        changes, batch_format="pyarrow"
+    )
+    merged = hash_join(
+        base, upd, on="doc_id", how="full",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_chars", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("new_chars", pa.int64())]
+        ),
+    )
+
+    def act(b: pa.Table) -> pa.Table:
+        has_old = pc.is_valid(b.column("n_chars"))
+        has_new = pc.is_valid(b.column("new_chars"))
+        action = pc.if_else(
+            pc.and_(has_old, has_new), "updated",
+            pc.if_else(has_new, "inserted", "unchanged"),
+        )
+        final = pc.coalesce(b.column("new_chars"), b.column("n_chars"))
+        return pa.table({
+            "action": action,
+            "final_chars": pc.cast(final, pa.int64()),
+        })
+
+    return (
+        merged.map_batches(act, batch_format="pyarrow")
+        .groupby("action")
+        .aggregate(Count(), Sum("final_chars", alias_name="total_chars"))
+        .rename_columns({"count()": "n_rows"})
+    )
+
+
+_SQL_MERGE_UPSERT = """
+WITH chg AS (
+  SELECT doc_id, n_chars + 1000 AS new_chars
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, doc_id % 500
+  FROM documents WHERE doc_id % 13 = 0
+),
+m AS (
+  SELECT CASE WHEN d.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+              THEN 'updated'
+              WHEN c.doc_id IS NOT NULL THEN 'inserted'
+              ELSE 'unchanged' END AS action,
+         coalesce(c.new_chars, d.n_chars)::BIGINT AS final_chars
+  FROM documents d FULL OUTER JOIN chg c USING (doc_id)
+)
+SELECT action, count(*)::BIGINT AS n_rows,
+       sum(final_chars)::BIGINT AS total_chars
+FROM m GROUP BY action
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """CDC keep-latest: each user's most recent event (ARGMAX by ts,
+    event_id tie-break) — one keys-only groupby, the compaction step of
+    every log-structured ingest."""
+    import ray.data
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+        })
+
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(us, batch_format="pyarrow")
+    )
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("ts_us", pa.int64()),
+        ("event_id", pa.int64()), ("event_type", pa.string()),
+    ])
+
+    def latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((-eid, -ts))[0])
+        return group.slice(i, 1).select(
+            ["user_id", "ts_us", "event_id", "event_type"]
+        ).cast(out_schema)
+
+    return ev.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+_SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_orders_per_customer_hist(sf_dir: str):
+    """Degree-distribution shape: histogram of orders-per-customer —
+    two keys-only groupbys (count per customer, then count per
+    count)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .groupby("o_custkey")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_orders"})
+    )
+    return (
+        per_cust.groupby("n_orders")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_customers"})
+    )
+
+
+_SQL_ORDERS_PER_CUSTOMER_HIST = """
+WITH c AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_orders, count(*)::BIGINT AS n_customers
+FROM c GROUP BY n_orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5568,6 +5730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau": q_events_dau,
         "events_hour_profile": q_events_hour_profile,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "merge_upsert": q_merge_upsert,
+        "latest_event_per_user": q_latest_event_per_user,
+        "orders_per_customer_hist": q_orders_per_customer_hist,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5760,6 +5925,9 @@ def oracle_sql() -> dict[str, str]:
         "events_dau": _SQL_EVENTS_DAU,
         "events_hour_profile": _SQL_EVENTS_HOUR_PROFILE,
         "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
+        "merge_upsert": _SQL_MERGE_UPSERT,
+        "latest_event_per_user": _SQL_LATEST_EVENT_PER_USER,
+        "orders_per_customer_hist": _SQL_ORDERS_PER_CUSTOMER_HIST,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
