@@ -5572,6 +5572,156 @@ FROM c GROUP BY n_orders
 """
 
 
+def q_top_anchor_per_target(sf_dir: str):
+    """Grouped MODE: the most common anchor term per link target
+    (count DESC, anchor ASC tie-break). Stage 1 counts (href, anchor)
+    keys-only; stage 2 is a per-href ARGMAX over its tiny term
+    histogram — the web-index "canonical anchor" aggregation."""
+    from ray.data.aggregate import Count
+
+    from webextract.sources.pages import pages_from_documents
+    from webextract.stages.links import extract_links
+
+    links = extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+    counts = (
+        links.groupby(["href", "anchor"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n"})
+    )
+    out_schema = pa.schema([
+        ("href", pa.string()), ("anchor", pa.string()), ("n", pa.int64()),
+    ])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ns = group.column("n").to_numpy(zero_copy_only=False)
+        anchors = np.asarray(group.column("anchor").to_pylist(),
+                             dtype=object)
+        order = np.lexsort((anchors, -ns))
+        return group.slice(int(order[0]), 1).select(
+            ["href", "anchor", "n"]).cast(out_schema)
+
+    return counts.groupby("href").map_groups(argmax, batch_format="pyarrow")
+
+
+_SQL_TOP_ANCHOR_PER_TARGET = """
+WITH ok AS (
+  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
+),
+nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
+ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok),
+links AS (
+  SELECT doc_id, '/p' || i AS href,
+    (['Home','About','Products','Blog','Contact','Careers','Support','News'])
+      [((doc_id + i) % 8) + 1] AS anchor
+  FROM nav
+  UNION ALL
+  SELECT doc_id, '/ad' || i AS href,
+    (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
+      [((doc_id * 3 + i) % 8) + 1] AS anchor
+  FROM ads
+),
+c AS (
+  SELECT href, anchor, count(*)::BIGINT AS n
+  FROM links GROUP BY href, anchor
+)
+SELECT href, anchor, n FROM c
+QUALIFY row_number() OVER (PARTITION BY href ORDER BY n DESC, anchor) = 1
+"""
+
+
+def q_docs_above_lang_mean(sf_dir: str):
+    """Above-average filter with EXACT integer math: docs longer than
+    their language's mean length, compared as n_chars * lang_count >
+    lang_sum (cross-multiplication — no float mean, no rounding
+    ambiguity). Per-lang sums fold once (5 keys, broadcast literal),
+    the filter is map-side."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    stats = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(), Sum("n_chars", alias_name="s"))
+        .take_all()
+    )
+    table = {r["lang"]: (int(r["count()"]), int(r["s"])) for r in stats}
+    ref = ray.put(table)
+
+    from ray.data.aggregate import Count as Count2
+
+    def flag(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        ch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = np.array(
+            [c * t[lg][0] > t[lg][1] for lg, c in zip(langs, ch)],
+            dtype=bool,
+        )
+        return b.filter(pa.array(keep))
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count2())
+        .rename_columns({"count()": "n_above"})
+    )
+
+
+_SQL_DOCS_ABOVE_LANG_MEAN = """
+WITH m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, count(*)::BIGINT AS n_above
+FROM documents d JOIN m ON d.lang = m.lang
+WHERE d.n_chars * m.n > m.s
+GROUP BY d.lang
+"""
+
+
+def q_doc_top_word(sf_dir: str):
+    """Per-document MODE: each doc's most frequent word (count DESC,
+    word ASC) — a pure map-side row analytic, no shuffle at all."""
+
+    def top(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = b.column("doc_id").to_pylist()
+        words: list = []
+        ns: list = []
+        for t in b.column("text").to_pylist():
+            c = Counter(t.split(" "))
+            w = min(c, key=lambda k: (-c[k], k))
+            words.append(w)
+            ns.append(c[w])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "word": pa.array(words, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        top, batch_format="pyarrow"
+    )
+
+
+_SQL_DOC_TOP_WORD = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT doc_id, word, count(*)::BIGINT AS n
+  FROM e GROUP BY doc_id, word
+)
+SELECT doc_id, word, n FROM c
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5733,6 +5883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q_merge_upsert,
         "latest_event_per_user": q_latest_event_per_user,
         "orders_per_customer_hist": q_orders_per_customer_hist,
+        "top_anchor_per_target": q_top_anchor_per_target,
+        "docs_above_lang_mean": q_docs_above_lang_mean,
+        "doc_top_word": q_doc_top_word,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -5928,6 +6081,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": _SQL_MERGE_UPSERT,
         "latest_event_per_user": _SQL_LATEST_EVENT_PER_USER,
         "orders_per_customer_hist": _SQL_ORDERS_PER_CUSTOMER_HIST,
+        "top_anchor_per_target": _SQL_TOP_ANCHOR_PER_TARGET,
+        "docs_above_lang_mean": _SQL_DOCS_ABOVE_LANG_MEAN,
+        "doc_top_word": _SQL_DOC_TOP_WORD,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
