@@ -5722,6 +5722,236 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) = 1
 """
 
 
+def q_lineitem_quantity_mode(sf_dir: str):
+    """Global MODE of a high-volume column: keys-only value histogram
+    (one row per distinct quantity crosses the shuffle), tiny driver
+    argmax (count DESC, value ASC)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    hist = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+        )
+        .groupby("l_quantity")
+        .aggregate(Count())
+        .take_all()
+    )
+    best = min(hist, key=lambda r: (-int(r["count()"]), float(r["l_quantity"])))
+    return pa.table({
+        "quantity": pa.array([int(best["l_quantity"])], type=pa.int64()),
+        "n": pa.array([int(best["count()"])], type=pa.int64()),
+    })
+
+
+_SQL_LINEITEM_QUANTITY_MODE = """
+SELECT l_quantity::BIGINT AS quantity, count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_quantity
+ORDER BY n DESC, quantity LIMIT 1
+"""
+
+
+def q_orders_above_cust_mean(sf_dir: str):
+    """Per-customer above-average join filter with EXACT integer math:
+    orders pricier than their own customer's mean order value
+    (cents * n_orders > sum_cents cross-multiplication), rolled up per
+    market segment. The per-customer (n, sum) side folds keys-only and
+    broadcasts WITH the segment via one vectorized probe — the
+    decorate-then-filter enrichment shape."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
+                            0.5)),
+            pa.int64(),
+        )
+        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    stats = (
+        orders.groupby("c_custkey")
+        .aggregate(Count(), Sum("cents", alias_name="s"))
+        .take_all()
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_mktsegment").to_pylist()))
+    side = {int(r["c_custkey"]): (int(r["count()"]), int(r["s"]))
+            for r in stats}
+    ref = ray.put((side, seg))
+
+    def flag(b: pa.Table) -> pa.Table:
+        sd, sg = ray.get(ref)
+        ks = b.column("c_custkey").to_pylist()
+        cs = b.column("cents").to_numpy(zero_copy_only=False)
+        keep = [c * sd[k][0] > sd[k][1] for k, c in zip(ks, cs)]
+        segs = [sg[k] for k in ks]
+        t = pa.table({
+            "c_mktsegment": pa.array(segs, type=pa.string()),
+        }).filter(pa.array(keep))
+        return t
+
+    from ray.data.aggregate import Count as C2
+
+    return (
+        orders.map_batches(flag, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(C2())
+        .rename_columns({"count()": "n_above"})
+    )
+
+
+_SQL_ORDERS_ABOVE_CUST_MEAN = """
+WITH o AS (
+  SELECT o_custkey, floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+  FROM o GROUP BY o_custkey
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_above
+FROM o JOIN m USING (o_custkey)
+JOIN customer ON o.o_custkey = c_custkey
+WHERE o.cents * m.n > m.s
+GROUP BY c_mktsegment
+"""
+
+
+def q_rare_words_by_lang(sf_dir: str):
+    """Low-frequency vocabulary per language (the min-count-cutoff
+    statistic tokenizer builds use): words with corpus frequency <= 10
+    within their language — (lang, word) keys-only count, HAVING
+    filter, per-lang count."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        langs: list = []
+        words: list = []
+        for lg, t in zip(
+            b.column("lang").to_pylist(), b.column("text").to_pylist()
+        ):
+            ws = t.split(" ")
+            langs.extend([lg] * len(ws))
+            words.extend(ws)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "word": pa.array(words, type=pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n"})
+        .filter(expr="n <= 10")
+        .groupby("lang")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_rare"})
+    )
+
+
+_SQL_RARE_WORDS_BY_LANG = """
+WITH e AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT lang, word, count(*)::BIGINT AS n
+  FROM e GROUP BY lang, word HAVING count(*) <= 10
+)
+SELECT lang, count(*)::BIGINT AS n_rare FROM c GROUP BY lang
+"""
+
+
+def q_priority_share_by_status(sf_dir: str):
+    """Within-group shares: order-priority mix inside each order
+    status. One keys-only (status, priority) count; the status totals
+    fold driver-side (<=3 keys) and each share is a single IEEE
+    division of exact int64s."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority"],
+        )
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count())
+        .take_all()
+    )
+    totals: dict = {}
+    for r in counts:
+        totals[r["o_orderstatus"]] = totals.get(r["o_orderstatus"], 0) + int(
+            r["count()"]
+        )
+    counts.sort(key=lambda r: (r["o_orderstatus"], r["o_orderpriority"]))
+    return pa.table({
+        "o_orderstatus": pa.array(
+            [r["o_orderstatus"] for r in counts], type=pa.string()),
+        "o_orderpriority": pa.array(
+            [r["o_orderpriority"] for r in counts], type=pa.string()),
+        "n": pa.array([int(r["count()"]) for r in counts], type=pa.int64()),
+        "share": pa.array(
+            [float(int(r["count()"])) / float(totals[r["o_orderstatus"]])
+             for r in counts], type=pa.float64()),
+    })
+
+
+_SQL_PRIORITY_SHARE_BY_STATUS = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority, n,
+       n::DOUBLE / (sum(n) OVER (PARTITION BY o_orderstatus))::DOUBLE
+         AS share
+FROM c
+"""
+
+
+def q_chars_per_token_hist(sf_dir: str):
+    """Characters-per-token ratio histogram in EXACT integer math:
+    bucket = (10 * n_chars) // n_tokens (no float division anywhere) —
+    the tokenizer-fertility profile used to sanity-check a tokenizer
+    against a corpus. Map-side bucket, one keys-only groupby."""
+    from ray.data.aggregate import Count
+
+    def bucket(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        )
+        ratio10 = pc.divide(
+            pc.multiply(b.column("n_chars"), pa.scalar(10, type=pa.int64())),
+            n_tok,
+        )
+        return pa.table({"ratio10": pc.cast(ratio10, pa.int64())})
+
+    return (
+        _docs(sf_dir, ["n_chars", "text"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("ratio10")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_CHARS_PER_TOKEN_HIST = """
+SELECT (10 * n_chars) // len(string_split(text, ' ')) AS ratio10,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY ratio10
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -5886,6 +6116,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_anchor_per_target": q_top_anchor_per_target,
         "docs_above_lang_mean": q_docs_above_lang_mean,
         "doc_top_word": q_doc_top_word,
+        "lineitem_quantity_mode": q_lineitem_quantity_mode,
+        "orders_above_cust_mean": q_orders_above_cust_mean,
+        "rare_words_by_lang": q_rare_words_by_lang,
+        "priority_share_by_status": q_priority_share_by_status,
+        "chars_per_token_hist": q_chars_per_token_hist,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6084,6 +6319,11 @@ def oracle_sql() -> dict[str, str]:
         "top_anchor_per_target": _SQL_TOP_ANCHOR_PER_TARGET,
         "docs_above_lang_mean": _SQL_DOCS_ABOVE_LANG_MEAN,
         "doc_top_word": _SQL_DOC_TOP_WORD,
+        "lineitem_quantity_mode": _SQL_LINEITEM_QUANTITY_MODE,
+        "orders_above_cust_mean": _SQL_ORDERS_ABOVE_CUST_MEAN,
+        "rare_words_by_lang": _SQL_RARE_WORDS_BY_LANG,
+        "priority_share_by_status": _SQL_PRIORITY_SHARE_BY_STATUS,
+        "chars_per_token_hist": _SQL_CHARS_PER_TOKEN_HIST,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
