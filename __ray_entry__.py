@@ -51,11 +51,42 @@ def _docs(sf_dir: str, columns=None):
 # --------------------------------------------------------------------------
 
 
-def _extract_ds(sf_dir: str):
-    from webextract.pipelines.extract_pipeline import extract_pages
-    from webextract.sources.pages import pages_from_documents
+_EXTRACT_CACHE: dict = {}
+_LINKS_CACHE: dict = {}
 
-    return extract_pages(pages_from_documents(sf_dir), concurrency=_conc())
+
+def _extract_ds(sf_dir: str):
+    """Extracted-pages dataset, materialized and memoized per sf_dir:
+    six driver queries (extract_text, block_counts, verify_pass,
+    training_prep, c4_line_filter, ...) consume the same
+    render->segment->extract subgraph; the result is one row per doc
+    (html payload already dropped), so pinning it once per session is
+    strictly cheaper than re-running the pipeline per query."""
+    ds = _EXTRACT_CACHE.get(sf_dir)
+    if ds is None:
+        from webextract.pipelines.extract_pipeline import extract_pages
+        from webextract.sources.pages import pages_from_documents
+
+        ds = extract_pages(
+            pages_from_documents(sf_dir), concurrency=_conc()
+        ).materialize()
+        _EXTRACT_CACHE[sf_dir] = ds
+    return ds
+
+
+def _links_ds(sf_dir: str):
+    """(doc_id, href, anchor) rows, materialized + memoized per sf_dir
+    (shared by extract_links / anchor_terms / top_anchor_per_target)."""
+    ds = _LINKS_CACHE.get(sf_dir)
+    if ds is None:
+        from webextract.sources.pages import pages_from_documents
+        from webextract.stages.links import extract_links
+
+        ds = extract_links(
+            pages_from_documents(sf_dir), concurrency=_conc()
+        ).materialize()
+        _LINKS_CACHE[sf_dir] = ds
+    return ds
 
 
 def q_extract_text(sf_dir: str):
@@ -1931,10 +1962,7 @@ def q_extract_links(sf_dir: str):
     oracle reconstructs the corpus's deterministic nav + sidebar link
     inventory per doc; corrupt (%50==7) and pdf (%25==3) rows emit no
     links, mirroring the segmenter's quarantine/doctype gating."""
-    from webextract.sources.pages import pages_from_documents
-    from webextract.stages.links import extract_links
-
-    return extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+    return _links_ds(sf_dir)
 
 
 _SQL_EXTRACT_LINKS = """
@@ -4074,10 +4102,7 @@ def q_anchor_terms(sf_dir: str):
     groupby, so hot targets cost one row per (block, term))."""
     from ray.data.aggregate import Count
 
-    from webextract.sources.pages import pages_from_documents
-    from webextract.stages.links import extract_links
-
-    links = extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+    links = _links_ds(sf_dir)
     return (
         links.groupby(["href", "anchor"])
         .aggregate(Count())
@@ -5579,10 +5604,7 @@ def q_top_anchor_per_target(sf_dir: str):
     histogram — the web-index "canonical anchor" aggregation."""
     from ray.data.aggregate import Count
 
-    from webextract.sources.pages import pages_from_documents
-    from webextract.stages.links import extract_links
-
-    links = extract_links(pages_from_documents(sf_dir), concurrency=_conc())
+    links = _links_ds(sf_dir)
     counts = (
         links.groupby(["href", "anchor"])
         .aggregate(Count())
