@@ -5974,6 +5974,140 @@ FROM documents GROUP BY ratio10
 """
 
 
+def q_near_event_pairs(sf_dir: str):
+    """Banded temporal SELF-join: per user, how many ordered event
+    pairs land within 60 s of each other (0 < t2-t1 <= 60s) — the
+    burst-detection primitive. One keys-only groupby; each group is
+    sorted once and counted with a vectorized two-pointer
+    (searchsorted), so the group cost is O(n log n), never the O(n^2)
+    pair materialization the SQL mirror spells."""
+    import ray.data
+    from ray.data.aggregate import Count  # noqa: F401  (schema parity)
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(us, batch_format="pyarrow")
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_pairs", pa.int64())])
+    BAND = 60_000_000
+
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
+        hi = np.searchsorted(ts, ts + BAND, side="right")
+        lo = np.searchsorted(ts, ts, side="right")
+        n = int((hi - lo).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_pairs": pa.array([n], type=pa.int64()),
+        }, schema=out_schema)
+
+    # the SQL mirror's INNER self-join drops pair-less users; match it
+    return ev.groupby("user_id").map_groups(
+        pairs, batch_format="pyarrow"
+    ).filter(expr="n_pairs > 0")
+
+
+_SQL_NEAR_EVENT_PAIRS = """
+SELECT a.user_id, count(*)::BIGINT AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+"""
+
+
+def q_sources_in_all_langs(sf_dir: str):
+    """Relational DIVISION: sources with documents in EVERY language.
+    Distinct (source, lang) is keys-only; the divisor (total language
+    count) folds to one driver literal; the HAVING filter is a tiny
+    second groupby."""
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _docs(sf_dir, ["source", "lang"])
+        .groupby(["source", "lang"])
+        .aggregate(Count())
+        .select_columns(["source", "lang"])
+    )
+    n_langs = (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count()).count()
+    )
+    return (
+        pairs.groupby("source")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_langs"})
+        .filter(expr=f"n_langs == {int(n_langs)}")
+    )
+
+
+_SQL_SOURCES_IN_ALL_LANGS = """
+SELECT source, count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
+HAVING count(DISTINCT lang) = (SELECT count(DISTINCT lang) FROM documents)
+"""
+
+
+def q_top_supplier_per_nation(sf_dir: str):
+    """Per-nation ARGMAX over suppliers (highest account balance, tie
+    on s_suppkey): integer-cents conversion map-side, keys-only
+    (nationkey) groupby, one-row-per-group argmax."""
+    import ray.data
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({
+            "s_nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+            "s_suppkey": b.column("s_suppkey"),
+            "balance_cents": c,
+        })
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_nationkey", "s_suppkey", "s_acctbal"],
+    ).map_batches(cents, batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        ("s_nationkey", pa.int64()), ("s_suppkey", pa.int64()),
+        ("balance_cents", pa.int64()),
+    ])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        bal = group.column("balance_cents").to_numpy(zero_copy_only=False)
+        keys = group.column("s_suppkey").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((keys, -bal))[0])
+        return group.slice(i, 1).select(
+            ["s_nationkey", "s_suppkey", "balance_cents"]).cast(out_schema)
+
+    return sup.groupby("s_nationkey").map_groups(
+        argmax, batch_format="pyarrow"
+    )
+
+
+_SQL_TOP_SUPPLIER_PER_NATION = """
+SELECT s_nationkey::BIGINT AS s_nationkey, s_suppkey,
+       floor(s_acctbal * 100.0 + 0.5)::BIGINT AS balance_cents
+FROM supplier
+QUALIFY row_number() OVER (
+  PARTITION BY s_nationkey
+  ORDER BY floor(s_acctbal * 100.0 + 0.5) DESC, s_suppkey) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6143,6 +6277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_words_by_lang": q_rare_words_by_lang,
         "priority_share_by_status": q_priority_share_by_status,
         "chars_per_token_hist": q_chars_per_token_hist,
+        "near_event_pairs": q_near_event_pairs,
+        "sources_in_all_langs": q_sources_in_all_langs,
+        "top_supplier_per_nation": q_top_supplier_per_nation,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6346,6 +6483,9 @@ def oracle_sql() -> dict[str, str]:
         "rare_words_by_lang": _SQL_RARE_WORDS_BY_LANG,
         "priority_share_by_status": _SQL_PRIORITY_SHARE_BY_STATUS,
         "chars_per_token_hist": _SQL_CHARS_PER_TOKEN_HIST,
+        "near_event_pairs": _SQL_NEAR_EVENT_PAIRS,
+        "sources_in_all_langs": _SQL_SOURCES_IN_ALL_LANGS,
+        "top_supplier_per_nation": _SQL_TOP_SUPPLIER_PER_NATION,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
