@@ -6108,6 +6108,88 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_host_khop(sf_dir: str):
+    """BFS shortest-path distances within 3 hops of host 0 over the
+    DISTINCT host graph (functions/graph.khop_distances — per-round
+    semi/anti keys-only joins, frontier materialized per round). The
+    oracle is a bounded recursive CTE with min(dist)."""
+    from ray.data.aggregate import Count
+
+    from webextract.functions.graph import khop_distances
+
+    edges = (
+        _host_edges_ds(sf_dir)
+        .groupby(["src", "dst"])
+        .aggregate(Count())
+        .select_columns(["src", "dst"])
+    )
+    return khop_distances(edges, source=0, k=3)
+
+
+_SQL_HOST_KHOP = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+  FROM documents
+),
+r AS (
+  SELECT 0::BIGINT AS node, 0::BIGINT AS dist
+  UNION ALL
+  SELECT e.dst::BIGINT, r.dist + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, min(dist)::BIGINT AS dist FROM r GROUP BY node
+"""
+
+
+def q_docs_longest_run(sf_dir: str):
+    """Gaps-and-islands: each document's longest run of identical
+    consecutive words — pure map-side numpy run-length (diff on
+    equality), while the SQL mirror spells the classic
+    lag->break->running-sum->count island construction."""
+
+    def runs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        out: list = []
+        for t in b.column("text").to_pylist():
+            words = np.asarray(t.split(" "), dtype=object)
+            if len(words) <= 1:
+                out.append(len(words))
+                continue
+            brk = np.nonzero(words[1:] != words[:-1])[0]
+            edges = np.concatenate(([-1], brk, [len(words) - 1]))
+            out.append(int(np.diff(edges).max()))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "longest_run": pa.array(out, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        runs, batch_format="pyarrow"
+    )
+
+
+_SQL_DOCS_LONGEST_RUN = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+e AS (
+  SELECT doc_id, i, words[i] AS wd
+  FROM w, unnest(range(1, len(words) + 1)) AS t(i)
+),
+f AS (
+  SELECT doc_id, i, wd,
+    CASE WHEN lag(wd) OVER (PARTITION BY doc_id ORDER BY i) = wd
+         THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+g AS (
+  SELECT doc_id, i,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM f
+),
+r AS (SELECT doc_id, grp, count(*)::BIGINT AS run FROM g GROUP BY doc_id, grp)
+SELECT doc_id, max(run)::BIGINT AS longest_run FROM r GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6280,6 +6362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_event_pairs": q_near_event_pairs,
         "sources_in_all_langs": q_sources_in_all_langs,
         "top_supplier_per_nation": q_top_supplier_per_nation,
+        "host_khop": q_host_khop,
+        "docs_longest_run": q_docs_longest_run,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6486,6 +6570,8 @@ def oracle_sql() -> dict[str, str]:
         "near_event_pairs": _SQL_NEAR_EVENT_PAIRS,
         "sources_in_all_langs": _SQL_SOURCES_IN_ALL_LANGS,
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER_PER_NATION,
+        "host_khop": _SQL_HOST_KHOP,
+        "docs_longest_run": _SQL_DOCS_LONGEST_RUN,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

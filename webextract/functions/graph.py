@@ -390,3 +390,57 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
                 type=pa.int64())}),
             batch_format="pyarrow", batch_size=None)
     )
+
+
+def khop_distances(edges, *, source: int, k: int = 3,
+                   src_col: str = "src", dst_col: str = "dst"):
+    """BFS shortest-path distances from `source` within `k` hops over a
+    directed edge list — the bounded-depth reachability probe (link
+    spam-neighborhood checks, crawl frontier scoping).
+
+    Scale shape per round: ONE semi hash join keeps only edges whose
+    src is in the frontier (keys + dst through the shuffle), a
+    keys-only distinct on the new nodes, and an anti join against the
+    visited set — all keys-only exchanges; the frontier materializes
+    each round (tiny relative to the graph) so the lazy graph doesn't
+    multiply blocks across iterations (the dedup_clusters lesson).
+    """
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    node_schema = pa.schema([("node", pa.int64())])
+    e = edges.rename_columns({src_col: "node", dst_col: "_dst"})
+    e_schema = pa.schema([("node", pa.int64()), ("_dst", pa.int64())])
+
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], type=pa.int64()),
+        "dist": pa.array([0], type=pa.int64()),
+    })).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    for r in range(1, k + 1):
+        hit = hash_join(e, frontier, on="node", how="semi",
+                        left_schema=e_schema, right_schema=node_schema)
+        cand = (
+            hit.select_columns(["_dst"])
+            .rename_columns({"_dst": "node"})
+            .groupby("node").count().select_columns(["node"])
+        )
+        new = hash_join(
+            cand, visited.select_columns(["node"]), on="node", how="anti",
+            left_schema=node_schema, right_schema=node_schema,
+        )
+
+        def stamp(b: pa.Table, dist=r) -> pa.Table:
+            return pa.table({
+                "node": b.column("node"),
+                "dist": pa.array([dist] * b.num_rows, type=pa.int64()),
+            })
+
+        new = new.map_batches(stamp, batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).repartition(4).materialize()
+        frontier = new.select_columns(["node"]).materialize()
+    return visited
