@@ -6190,6 +6190,101 @@ SELECT doc_id, max(run)::BIGINT AS longest_run FROM r GROUP BY doc_id
 """
 
 
+def q_revenue_mom(sf_dir: str):
+    """Month-over-month revenue deltas: the monthly keys-only rollup
+    (exact integer cents) followed by a driver-side LAG fold over the
+    bounded calendar — time-series deltas with pure integer
+    subtraction. First month is dropped (no predecessor), matching the
+    SQL mirror's QUALIFY."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
+        c = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table({"month": m, "cents": c})
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["month"])
+    months, revs, prevs, deltas = [], [], [], []
+    for prev, cur in zip(rows, rows[1:]):
+        months.append(cur["month"])
+        revs.append(int(cur["revenue_cents"]))
+        prevs.append(int(prev["revenue_cents"]))
+        deltas.append(int(cur["revenue_cents"]) - int(prev["revenue_cents"]))
+    return pa.table({
+        "month": pa.array(months, type=pa.string()),
+        "revenue_cents": pa.array(revs, type=pa.int64()),
+        "prev_cents": pa.array(prevs, type=pa.int64()),
+        "delta_cents": pa.array(deltas, type=pa.int64()),
+    })
+
+
+_SQL_REVENUE_MOM = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+           AS revenue_cents
+  FROM orders GROUP BY month
+)
+SELECT month, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+       (revenue_cents - lag(revenue_cents) OVER (ORDER BY month))::BIGINT
+         AS delta_cents
+FROM m
+QUALIFY prev_cents IS NOT NULL
+"""
+
+
+def q_lang_flags(sf_dir: str):
+    """Boolean aggregates (bool_and / bool_or) per language as Min/Max
+    over 0/1 flags — every doc >=100 chars? any doc >=5000 chars? —
+    one keys-only groupby."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def flags(b: pa.Table) -> pa.Table:
+        ch = b.column("n_chars")
+        return pa.table({
+            "lang": b.column("lang"),
+            "ge100": pc.cast(pc.greater_equal(ch, 100), pa.int64()),
+            "ge5000": pc.cast(pc.greater_equal(ch, 5000), pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(),
+            Min("ge100", alias_name="all_ge100"),
+            Max("ge5000", alias_name="any_ge5000"),
+        )
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_LANG_FLAGS = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       bool_and(n_chars >= 100)::BIGINT AS all_ge100,
+       bool_or(n_chars >= 5000)::BIGINT AS any_ge5000
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6364,6 +6459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_per_nation": q_top_supplier_per_nation,
         "host_khop": q_host_khop,
         "docs_longest_run": q_docs_longest_run,
+        "revenue_mom": q_revenue_mom,
+        "lang_flags": q_lang_flags,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6572,6 +6669,8 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER_PER_NATION,
         "host_khop": _SQL_HOST_KHOP,
         "docs_longest_run": _SQL_DOCS_LONGEST_RUN,
+        "revenue_mom": _SQL_REVENUE_MOM,
+        "lang_flags": _SQL_LANG_FLAGS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
