@@ -6285,6 +6285,66 @@ FROM documents GROUP BY lang
 """
 
 
+def _extract_text_strategy(sf_dir: str, strategy: str):
+    """Byte-identity extraction through an ALTERNATIVE segmentation
+    strategy (stages/segment_pse.py kernel-growing or
+    stages/segment_east.py dense-proposal + lanms), run as the STAGED
+    registry pipeline (segment -> extract -> assemble actor pools — the
+    reference's deploy-pipeline topology). Restricted to linear
+    (single-column) docs, where all three strategies are pinned
+    byte-identical; the multi-column reading-order rules are the DB
+    strategy's contract only."""
+    from webextract.pipelines.registry import build_pipeline
+    from webextract.sources.pages import pages_from_documents
+
+    out = build_pipeline(pages_from_documents(sf_dir), [
+        {"op": "segment", "strategy": strategy,
+         "concurrency": _conc()},
+        {"op": "extract", "concurrency": _conc()},
+        {"op": "assemble"},
+        {"op": "filter", "expr": "status == 'ok'"},
+    ])
+
+    def linear(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % 17 != 5) & (ids % 19 != 11)
+        return b.filter(pa.array(keep))
+
+    return out.map_batches(linear, batch_format="pyarrow").select_columns(
+        ["doc_id", "text"]
+    )
+
+
+def q_extract_text_pse(sf_dir: str):
+    """PSE-strategy extraction, byte-identical on linear docs."""
+    return _extract_text_strategy(sf_dir, "pse")
+
+
+def q_extract_text_east(sf_dir: str):
+    """EAST-strategy extraction (dense proposals + locality-aware NMS
+    weighted merge), byte-identical on linear docs."""
+    return _extract_text_strategy(sf_dir, "east")
+
+
+_SQL_GOLD_TEXT_LINEAR = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         (doc_id % 3 + 1)::INT AS k
+  FROM documents
+  WHERE doc_id % 17 <> 5 AND doc_id % 19 <> 11
+)
+SELECT doc_id,
+  array_to_string(
+    list_filter(
+      list_transform(range(0, k), i ->
+        array_to_string(words[(i*len(words))//k + 1
+                              : ((i+1)*len(words))//k], ' ')
+      ), c -> c <> ''), chr(10)) AS text
+FROM w
+WHERE doc_id % 50 <> 7
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6461,6 +6521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_longest_run": q_docs_longest_run,
         "revenue_mom": q_revenue_mom,
         "lang_flags": q_lang_flags,
+        "extract_text_pse": q_extract_text_pse,
+        "extract_text_east": q_extract_text_east,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6671,6 +6733,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_longest_run": _SQL_DOCS_LONGEST_RUN,
         "revenue_mom": _SQL_REVENUE_MOM,
         "lang_flags": _SQL_LANG_FLAGS,
+        "extract_text_pse": _SQL_GOLD_TEXT_LINEAR,
+        "extract_text_east": _SQL_GOLD_TEXT_LINEAR,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
