@@ -6345,6 +6345,38 @@ WHERE doc_id % 50 <> 7
 """
 
 
+def q_extract_text_staged(sf_dir: str):
+    """The STAGED (fused=False) extraction topology — separate
+    segment / extract / assemble actor pools with object-store hops
+    between them (the reference's deploy pipeline_manager shape) —
+    against the same full byte-identity oracle as the fused default.
+    Proves the two topologies are row-identical at the driver gate,
+    not just in pytest."""
+    from webextract.pipelines.extract_pipeline import extract_pages
+    from webextract.sources.pages import pages_from_documents
+
+    ds = extract_pages(
+        pages_from_documents(sf_dir), fused=False, concurrency=_conc()
+    ).filter(expr="status == 'ok'")
+    return ds.select_columns(["doc_id", "text"])
+
+
+def q_extract_text_tiered(sf_dir: str):
+    """The skew-hardened TIERED topology (extract_pages_tiered):
+    payload-size routing splits giant pages into a tiny-batch pool and
+    unions the sub-pipelines. giant_bytes is set low enough here that
+    BOTH branches execute on real rows; the full gold oracle verifies
+    the union is byte-identical to the untiered run."""
+    from webextract.pipelines.extract_pipeline import extract_pages_tiered
+    from webextract.sources.pages import pages_from_documents
+
+    ds = extract_pages_tiered(
+        pages_from_documents(sf_dir), giant_bytes=4000,
+        concurrency=_conc(),
+    ).filter(expr="status == 'ok'")
+    return ds.select_columns(["doc_id", "text"])
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6523,6 +6555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_flags": q_lang_flags,
         "extract_text_pse": q_extract_text_pse,
         "extract_text_east": q_extract_text_east,
+        "extract_text_staged": q_extract_text_staged,
+        "extract_text_tiered": q_extract_text_tiered,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6735,6 +6769,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_flags": _SQL_LANG_FLAGS,
         "extract_text_pse": _SQL_GOLD_TEXT_LINEAR,
         "extract_text_east": _SQL_GOLD_TEXT_LINEAR,
+        "extract_text_staged": _SQL_GOLD_TEXT,
+        "extract_text_tiered": _SQL_GOLD_TEXT,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
