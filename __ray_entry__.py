@@ -6377,6 +6377,102 @@ def q_extract_text_tiered(sf_dir: str):
     return ds.select_columns(["doc_id", "text"])
 
 
+def q_image_decode_stats(sf_dir: str):
+    """Multimodal image path under the oracle gate: a deterministic PPM
+    payload per doc (w = 4+id%5, h = 3+id%4, pixel i = (id*7+i)%256)
+    round-trips through the REAL codec (stages/imagecodec.encode_ppm ->
+    decode_image) inside map_batches; the query emits integer
+    dimensions + pixel sums and the oracle recomputes them from the
+    synthesis rule in pure SQL. Binary payloads never leave the task —
+    the decode-stage shape for a 100 TB media column."""
+    from webextract.stages.imagecodec import decode_image, encode_ppm
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ws, hs, sums = [], [], []
+        for did in ids:
+            w = 4 + did % 5
+            h = 3 + did % 4
+            px = ((did * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                  ).astype(np.uint8).reshape(h, w, 3)
+            img = decode_image(encode_ppm(px))
+            assert img.shape == (h, w, 3)
+            ws.append(img.shape[1])
+            hs.append(img.shape[0])
+            sums.append(int(img.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+_SQL_IMAGE_DECODE_STATS = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       (SELECT sum((doc_id * 7 + i) % 256)
+        FROM unnest(range(0, w * h * 3)) AS t(i))::BIGINT AS pixel_sum
+FROM p
+"""
+
+
+def q_audio_decode_stats(sf_dir: str):
+    """Multimodal audio path under the oracle gate: a deterministic
+    16-bit PCM RIFF payload per doc (n = 100+id%50 samples, sample i =
+    (id*13 + i*77) % 2001 - 1000) decoded by the REAL parser
+    (stages/imagecodec.decode_wav); k/2^15 samples are exact dyadic
+    floats, so the recovered integer sum is bit-exact against the SQL
+    recomputation."""
+    import struct
+
+    from webextract.stages.imagecodec import decode_wav
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ns, sums, rates = [], [], []
+        for did in ids:
+            n = 100 + did % 50
+            k = ((did * 13 + 77 * np.arange(n, dtype=np.int64)) % 2001
+                 ) - 1000
+            pcm = k.astype("<i2").tobytes()
+            hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            hdr += b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            hdr += b"data" + struct.pack("<I", len(pcm))
+            samples, rate = decode_wav(hdr + pcm)
+            rec = np.round(samples * 32768.0).astype(np.int64)
+            ns.append(len(samples))
+            sums.append(int(rec.sum()))
+            rates.append(rate)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "sample_sum": pa.array(sums, type=pa.int64()),
+            "rate": pa.array(rates, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+_SQL_AUDIO_DECODE_STATS = """
+WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents)
+SELECT doc_id, n::BIGINT AS n_samples,
+       (SELECT sum((doc_id * 13 + i * 77) % 2001 - 1000)
+        FROM unnest(range(0, n)) AS t(i))::BIGINT AS sample_sum,
+       16000::BIGINT AS rate
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6557,6 +6653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_east": q_extract_text_east,
         "extract_text_staged": q_extract_text_staged,
         "extract_text_tiered": q_extract_text_tiered,
+        "image_decode_stats": q_image_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6771,6 +6869,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_east": _SQL_GOLD_TEXT_LINEAR,
         "extract_text_staged": _SQL_GOLD_TEXT,
         "extract_text_tiered": _SQL_GOLD_TEXT,
+        "image_decode_stats": _SQL_IMAGE_DECODE_STATS,
+        "audio_decode_stats": _SQL_AUDIO_DECODE_STATS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
