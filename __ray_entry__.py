@@ -6473,6 +6473,135 @@ FROM p
 """
 
 
+def q_events_range_frame(sf_dir: str):
+    """RANGE-frame window (value-range, not row-count): for every
+    event, the count and exact-cents sum of the same user's events in
+    the trailing 5-minute window (inclusive of self). One keys-only
+    groupby; each group sorts once and answers every frame with two
+    searchsorted cuts over int64 prefix sums — O(n log n) per group vs
+    the SQL mirror's per-row RANGE scan."""
+    import ray.data
+
+    def us(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "cents": c,
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(us, batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("n_5min", pa.int64()), ("cents_5min", pa.int64()),
+    ])
+    BAND = 5 * 60 * 1_000_000
+
+    def frames(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid, cents = ts[order], eid[order], cents[order]
+        pref = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - BAND, side="left")
+        uid = group.column("user_id")[0].as_py()
+        return pa.table({
+            "user_id": pa.array([uid] * len(ts), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "n_5min": pa.array((hi - lo).astype(np.int64)),
+            "cents_5min": pa.array(pref[hi] - pref[lo], type=pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(frames, batch_format="pyarrow")
+
+
+_SQL_EVENTS_RANGE_FRAME = """
+SELECT user_id, event_id,
+       (count(*) OVER w)::BIGINT AS n_5min,
+       (sum(floor(value * 100.0 + 0.5)::BIGINT) OVER w)::BIGINT
+         AS cents_5min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation table: Recency (whole days between each
+    customer's last order and the corpus max date — two keys-only Max
+    folds + exact integer date math), Frequency (order count), Monetary
+    (exact integer cents)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
+                            0.5)),
+            pa.int64(),
+        )
+        return pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "ts_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "cents": c,
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    global_max = int(ds.max("ts_us"))
+    agg = (
+        ds.groupby("c_custkey")
+        .aggregate(
+            Count(),
+            Max("ts_us", alias_name="last_us"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+        .rename_columns({"count()": "frequency"})
+    )
+
+    def rec(b: pa.Table) -> pa.Table:
+        days = pc.divide(
+            pc.subtract(pa.scalar(global_max, type=pa.int64()),
+                        b.column("last_us")),
+            pa.scalar(86_400_000_000, type=pa.int64()),
+        )
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "recency_days": pc.cast(days, pa.int64()),
+            "frequency": b.column("frequency"),
+            "monetary_cents": b.column("monetary_cents"),
+        })
+
+    return agg.map_batches(rec, batch_format="pyarrow")
+
+
+_SQL_CUSTOMER_RFM = """
+WITH g AS (SELECT max(o_orderdate) AS mx FROM orders)
+SELECT o_custkey AS c_custkey,
+       (date_diff('microsecond', max(o_orderdate), any_value(g.mx))
+        // 86400000000)::BIGINT AS recency_days,
+       count(*)::BIGINT AS frequency,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+         AS monetary_cents
+FROM orders, g
+GROUP BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6655,6 +6784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_tiered": q_extract_text_tiered,
         "image_decode_stats": q_image_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
+        "events_range_frame": q_events_range_frame,
+        "customer_rfm": q_customer_rfm,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -6871,6 +7002,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_tiered": _SQL_GOLD_TEXT,
         "image_decode_stats": _SQL_IMAGE_DECODE_STATS,
         "audio_decode_stats": _SQL_AUDIO_DECODE_STATS,
+        "events_range_frame": _SQL_EVENTS_RANGE_FRAME,
+        "customer_rfm": _SQL_CUSTOMER_RFM,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
