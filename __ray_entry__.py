@@ -6602,6 +6602,78 @@ GROUP BY o_custkey
 """
 
 
+def q_docs_pushdown_stats(sf_dir: str):
+    """Predicate pushdown AT THE READ: the row filter (lang = 'en')
+    ships into the parquet scan via `read_parquet(filter=...)`, so
+    non-matching row groups never leave storage — paired with the
+    column prune, this is the 'prune at the read' discipline the 100 TB
+    tier depends on. One keys-only source rollup after."""
+    import pyarrow.dataset as pds
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"],
+        filter=(pds.field("lang") == "en"),
+    )
+    return (
+        ds.groupby("source")
+        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_DOCS_PUSHDOWN_STATS = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def q_session_length_hist(sf_dir: str):
+    """Composition: gap-sessionization -> session-length distribution
+    (how many sessions have k events) — the engagement histogram,
+    one extra keys-only groupby over the session summaries."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from webextract.functions.sessions import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return (
+        sessionize(ds, gap_minutes=30)
+        .groupby("n_events")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_sessions"})
+    )
+
+
+_SQL_SESSION_LENGTH_HIST = r"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+),
+g AS (
+  SELECT user_id, session_idx, count(*)::BIGINT AS n_events
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT n_events, count(*)::BIGINT AS n_sessions FROM g GROUP BY n_events
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6786,6 +6858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": q_audio_decode_stats,
         "events_range_frame": q_events_range_frame,
         "customer_rfm": q_customer_rfm,
+        "docs_pushdown_stats": q_docs_pushdown_stats,
+        "session_length_hist": q_session_length_hist,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7004,6 +7078,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode_stats": _SQL_AUDIO_DECODE_STATS,
         "events_range_frame": _SQL_EVENTS_RANGE_FRAME,
         "customer_rfm": _SQL_CUSTOMER_RFM,
+        "docs_pushdown_stats": _SQL_DOCS_PUSHDOWN_STATS,
+        "session_length_hist": _SQL_SESSION_LENGTH_HIST,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
