@@ -6674,6 +6674,101 @@ SELECT n_events, count(*)::BIGINT AS n_sessions FROM g GROUP BY n_events
 """
 
 
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit across the schema: orphan counts for
+    two foreign keys (orders.o_custkey -> customer, lineitem.l_orderkey
+    -> orders) via ANTI hash joins — keys-only distinct on the child
+    side first, so the exchange carries one row per distinct key, and
+    the orphan count weights back by child multiplicity (here: distinct
+    orphan keys + orphan child rows)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import hash_join
+
+    def orphan_counts(child_path, child_key, parent_path, parent_key,
+                      out_key):
+        child = (
+            ray.data.read_parquet(child_path, columns=[child_key])
+            .rename_columns({child_key: out_key})
+            .groupby(out_key)
+            .aggregate(Count())
+            .rename_columns({"count()": "n_child"})
+        )
+        parent = ray.data.read_parquet(
+            parent_path, columns=[parent_key]
+        ).rename_columns({parent_key: out_key})
+        ks = pa.schema([(out_key, pa.int64()), ("n_child", pa.int64())])
+        ps = pa.schema([(out_key, pa.int64())])
+        orphans = hash_join(child, parent, on=out_key, how="anti",
+                            left_schema=ks, right_schema=ps)
+        agg = orphans.aggregate(Count(), Sum("n_child"))
+        if not agg:  # Ray returns None/{} when the input is empty
+            return (0, 0)
+        return (int(agg["count()"] or 0), int(agg["sum(n_child)"] or 0))
+
+    o_keys, o_rows = orphan_counts(
+        f"{sf_dir}/orders.parquet", "o_custkey",
+        f"{sf_dir}/customer.parquet", "c_custkey", "k")
+    l_keys, l_rows = orphan_counts(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey",
+        f"{sf_dir}/orders.parquet", "o_orderkey", "k")
+    return pa.table({
+        "fk": pa.array(["orders.o_custkey", "lineitem.l_orderkey"],
+                       type=pa.string()),
+        "orphan_keys": pa.array([o_keys, l_keys], type=pa.int64()),
+        "orphan_rows": pa.array([o_rows, l_rows], type=pa.int64()),
+    })
+
+
+_SQL_FK_ORPHANS = """
+SELECT 'orders.o_custkey' AS fk,
+       count(DISTINCT o_custkey)::BIGINT AS orphan_keys,
+       count(*)::BIGINT AS orphan_rows
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem.l_orderkey',
+       count(DISTINCT l_orderkey)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_consistent_sample(sf_dir: str):
+    """Consistent (hash-ordered) fixed-k sample: the 50 docs with the
+    smallest md5(doc_id) — stable under appends except at the boundary,
+    the dataset-fingerprint sampling trick (MinHash over the id set).
+    Per-block partial bottom-k on the hash, then a 50-row global
+    finish — k rows per block through the exchange, never the table."""
+    import hashlib
+
+    K = 50
+
+    def hashed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        t = pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "h": pa.array(hs, type=pa.string()),
+        })
+        order = pc.sort_indices(t, sort_keys=[("h", "ascending"),
+                                              ("doc_id", "ascending")])
+        return t.take(order[:K])
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(hashed, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .limit(K)
+    )
+
+
+_SQL_CONSISTENT_SAMPLE = """
+SELECT doc_id, md5(doc_id::VARCHAR) AS h
+FROM documents ORDER BY h, doc_id LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6860,6 +6955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": q_customer_rfm,
         "docs_pushdown_stats": q_docs_pushdown_stats,
         "session_length_hist": q_session_length_hist,
+        "fk_orphans": q_fk_orphans,
+        "consistent_sample": q_consistent_sample,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7080,6 +7177,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": _SQL_CUSTOMER_RFM,
         "docs_pushdown_stats": _SQL_DOCS_PUSHDOWN_STATS,
         "session_length_hist": _SQL_SESSION_LENGTH_HIST,
+        "fk_orphans": _SQL_FK_ORPHANS,
+        "consistent_sample": _SQL_CONSISTENT_SAMPLE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
