@@ -6769,6 +6769,112 @@ FROM documents ORDER BY h, doc_id LIMIT 50
 """
 
 
+def q_segment_avg_order(sf_dir: str):
+    """Grouped weighted average KPI: mean order value per market
+    segment — broadcast customer->segment probe inside the orders
+    scan, one keys-only groupby, the mean a single IEEE division of
+    exact int64 sums."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import broadcast_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
+                            0.5)),
+            pa.int64(),
+        )
+        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = broadcast_join(orders, cust, key="c_custkey",
+                         concurrency=_conc())
+    agg = (
+        seg.groupby("c_mktsegment")
+        .aggregate(Count(), Sum("cents", alias_name="total_cents"))
+        .rename_columns({"count()": "n_orders"})
+    )
+
+    def mean(b: pa.Table) -> pa.Table:
+        m = pc.divide(
+            pc.cast(b.column("total_cents"), pa.float64()),
+            pc.cast(b.column("n_orders"), pa.float64()),
+        )
+        return b.append_column("avg_cents", m)
+
+    return agg.map_batches(mean, batch_format="pyarrow")
+
+
+_SQL_SEGMENT_AVG_ORDER = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+         AS total_cents,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+         / count(*)::DOUBLE AS avg_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_embedding_quantize_checksum(sf_dir: str):
+    """Int8 symmetric quantization of the embedding column, verified by
+    checksum: q_i = floor(x_i / scale * 127 + 0.5) with scale =
+    max|x| per vector — the identical left-to-right IEEE expression on
+    both engines, so the per-vector quantized sums are exact. The
+    vector-compression prep step (e.g. for an int8 ANN index), pure
+    map-side."""
+    import ray.data
+
+    from webextract.functions.similarity import _batch_matrix
+
+    def quant(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id")
+        m = _batch_matrix(b, "embedding")
+        if not m.size:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "q_sum": pa.array([], type=pa.int64()),
+                "n_dims": pa.array([], type=pa.int64()),
+            })
+        scale = np.abs(m).max(axis=1, keepdims=True)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(m / safe * 127.0 + 0.5)
+        q = np.where(scale == 0.0, 0.0, q).astype(np.int64)
+        return pa.table({
+            "vec_id": ids,
+            "q_sum": pa.array(q.sum(axis=1), type=pa.int64()),
+            "n_dims": pa.array(
+                np.full(m.shape[0], m.shape[1], dtype=np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+_SQL_EMBEDDING_QUANTIZE_CHECKSUM = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN sc = 0 THEN 0
+            ELSE list_sum(list_transform(e,
+                   x -> floor(x / sc * 127.0 + 0.5)))::BIGINT
+       END::BIGINT AS q_sum,
+       len(e)::BIGINT AS n_dims
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -6957,6 +7063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_hist": q_session_length_hist,
         "fk_orphans": q_fk_orphans,
         "consistent_sample": q_consistent_sample,
+        "segment_avg_order": q_segment_avg_order,
+        "embedding_quantize_checksum": q_embedding_quantize_checksum,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7179,6 +7287,8 @@ def oracle_sql() -> dict[str, str]:
         "session_length_hist": _SQL_SESSION_LENGTH_HIST,
         "fk_orphans": _SQL_FK_ORPHANS,
         "consistent_sample": _SQL_CONSISTENT_SAMPLE,
+        "segment_avg_order": _SQL_SEGMENT_AVG_ORDER,
+        "embedding_quantize_checksum": _SQL_EMBEDDING_QUANTIZE_CHECKSUM,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
