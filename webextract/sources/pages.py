@@ -126,3 +126,59 @@ def read_pages_glob(path: str, *, file_extensions=("html", "htm")) -> "ray.data.
         )
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _coerce_pages_batch(batch: pa.Table) -> pa.Table:
+    """Normalize a loosely-typed pages batch (JSONL/CSV sources) to the
+    canonical schema: url string, warc_ts timestamp[us] (int = epoch
+    seconds accepted), html binary (utf-8 encodes a string payload),
+    text/lang strings with '' / 'und' defaults."""
+    import datetime
+
+    n = batch.num_rows
+    cols = set(batch.column_names)
+
+    url = batch.column("url").cast(pa.string())
+    if "warc_ts" in cols:
+        ts = batch.column("warc_ts")
+        if pa.types.is_integer(ts.type):
+            import pyarrow.compute as _pc
+
+            ts = _pc.multiply(ts.cast(pa.int64()), 1_000_000).cast(
+                pa.timestamp("us"))
+        else:
+            ts = ts.cast(pa.timestamp("us"))
+    else:
+        ts = pa.array([datetime.datetime(1970, 1, 1)] * n,
+                      type=pa.timestamp("us"))
+    html = batch.column("html")
+    if pa.types.is_string(html.type) or pa.types.is_large_string(html.type):
+        html = html.cast(pa.string()).cast(pa.binary())
+    else:
+        html = html.cast(pa.binary())
+    text = (batch.column("text").cast(pa.string()) if "text" in cols
+            else pa.array([""] * n, type=pa.string()))
+    lang = (batch.column("lang").cast(pa.string()) if "lang" in cols
+            else pa.array(["und"] * n, type=pa.string()))
+    return pa.table({"url": url, "warc_ts": ts, "html": html,
+                     "text": text, "lang": lang})
+
+
+def read_pages_jsonl(path: str) -> "ray.data.Dataset":
+    """JSONL pages source (one JSON object per line with at least
+    url + html; warc_ts may be epoch seconds): the crawl-sidecar format
+    WARC post-processors commonly emit. Ray's native JSON reader splits
+    files into blocks; the coercion map normalizes to the canonical
+    pages schema so every downstream pipeline runs unchanged."""
+    ds = ray.data.read_json(path)
+    return ds.map_batches(_coerce_pages_batch, batch_format="pyarrow")
+
+
+def read_pages_csv(path: str) -> "ray.data.Dataset":
+    """CSV pages source (header row with url,html[,warc_ts,text,lang]).
+    html arrives as a string column and is utf-8 encoded to binary by
+    the coercion map — binary payloads with embedded delimiters belong
+    in parquet/JSONL, which is why this source is for text-only
+    exports."""
+    ds = ray.data.read_csv(path)
+    return ds.map_batches(_coerce_pages_batch, batch_format="pyarrow")
