@@ -6875,6 +6875,78 @@ FROM s
 """
 
 
+def q_docs_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source), (lang, source)) with
+    the GROUPING() bit pattern — one shuffle to the finest grain, the
+    single-column grains folded from the bounded finest aggregate
+    (functions/window.grouping_sets_counts)."""
+    from webextract.functions.window import grouping_sets_counts
+
+    return grouping_sets_counts(
+        _docs(sf_dir, ["lang", "source", "n_chars"]),
+        a="lang", b="source", val="n_chars",
+    )
+
+
+_SQL_DOCS_GROUPING_SETS = """
+SELECT lang, source, GROUPING(lang, source)::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+"""
+
+
+def q_orders_priority_except_all(sf_dir: str):
+    """Bag-semantics EXCEPT ALL: the multiset of priorities among
+    open ('O') orders minus the multiset among filled ('F') orders —
+    surviving multiplicity = greatest(n_open - n_filled, 0), computed
+    from ONE conditional-count groupby (never materializing either
+    multiset)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def flags(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_o": pc.cast(pc.equal(st, "O"), pa.int64()),
+            "n_f": pc.cast(pc.equal(st, "F"), pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority"],
+        )
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_o", alias_name="n_o"),
+                   Sum("n_f", alias_name="n_f"))
+    )
+
+    def excess(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b.column("n_o"), b.column("n_f"))
+        e = pc.max_element_wise(d, pa.scalar(0, type=pa.int64()))
+        t = pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_excess": pc.cast(e, pa.int64()),
+        })
+        return t.filter(pc.greater(t.column("n_excess"), 0))
+
+    return agg.map_batches(excess, batch_format="pyarrow")
+
+
+_SQL_ORDERS_PRIORITY_EXCEPT_ALL = """
+WITH d AS (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_excess
+FROM d GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7065,6 +7137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_sample": q_consistent_sample,
         "segment_avg_order": q_segment_avg_order,
         "embedding_quantize_checksum": q_embedding_quantize_checksum,
+        "docs_grouping_sets": q_docs_grouping_sets,
+        "orders_priority_except_all": q_orders_priority_except_all,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7289,6 +7363,8 @@ def oracle_sql() -> dict[str, str]:
         "consistent_sample": _SQL_CONSISTENT_SAMPLE,
         "segment_avg_order": _SQL_SEGMENT_AVG_ORDER,
         "embedding_quantize_checksum": _SQL_EMBEDDING_QUANTIZE_CHECKSUM,
+        "docs_grouping_sets": _SQL_DOCS_GROUPING_SETS,
+        "orders_priority_except_all": _SQL_ORDERS_PRIORITY_EXCEPT_ALL,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -468,3 +468,30 @@ def key_rolling(ds, *, by: str, ts: str, order2: str, val: str,
         }, schema=out_schema)
 
     return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+
+
+def grouping_sets_counts(ds, *, a: str, b: str, val: str) -> pa.Table:
+    """GROUP BY GROUPING SETS ((a), (b), (a, b)): the three grains in
+    one output with the SQL GROUPING() bit pattern (0 = (a,b), 1 = (a),
+    2 = (b)). Like rollup_counts, the data shuffles ONCE to the finest
+    grain; the two single-column grains fold the bounded finest
+    aggregate driver-side."""
+    finest = _finest_counts(ds, a, b, val)
+    finest.sort(key=lambda t: (str(t[0]), str(t[1])))
+    rows: List[Tuple] = [(av, bv, 0, n, s) for av, bv, n, s in finest]
+    by_a: Dict = {}
+    by_b: Dict = {}
+    for av, bv, n, s in finest:
+        cn, cs = by_a.get(av, (0, 0))
+        by_a[av] = (cn + n, cs + s)
+        cn, cs = by_b.get(bv, (0, 0))
+        by_b[bv] = (cn + n, cs + s)
+    rows += [(av, None, 1, n, s) for av, (n, s) in sorted(by_a.items())]
+    rows += [(None, bv, 2, n, s) for bv, (n, s) in sorted(by_b.items())]
+    return pa.table({
+        a: pa.array([r[0] for r in rows], type=pa.string()),
+        b: pa.array([r[1] for r in rows], type=pa.string()),
+        "gid": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_docs": pa.array([r[3] for r in rows], type=pa.int64()),
+        "chars": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
