@@ -6947,6 +6947,127 @@ FROM d GROUP BY o_orderpriority
 """
 
 
+def q_region_segment_matrix(sf_dir: str):
+    """Wide pivot over JOINED dimensions: customers per market segment
+    (rows) x region (columns). The nation->region dim chain broadcasts
+    into the customer scan; the pivot itself is conditional 0/1
+    columns + one keys-only groupby — no per-category scans."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    by_rk = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    r_of_nation = {
+        int(nk): by_rk[rk]
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())
+    }
+    cats = sorted(by_rk.values())
+    import ray
+    ref = ray.put(r_of_nation)
+
+    def flags(b: pa.Table) -> pa.Table:
+        rn = ray.get(ref)
+        regions = [rn[int(k)] for k in
+                   b.column("c_nationkey").to_pylist()]
+        cols = {"c_mktsegment": b.column("c_mktsegment")}
+        for c in cats:
+            cols["n_" + c.lower()] = pa.array(
+                [1 if r == c else 0 for r in regions], type=pa.int64())
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_mktsegment", "c_nationkey"],
+    )
+    aggs = [Sum("n_" + c.lower(), alias_name="n_" + c.lower())
+            for c in cats]
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(), *aggs)
+        .rename_columns({"count()": "n_total"})
+    )
+
+
+_SQL_REGION_SEGMENT_MATRIX = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_total,
+       count(*) FILTER (r_name = 'AFRICA')::BIGINT AS n_africa,
+       count(*) FILTER (r_name = 'AMERICA')::BIGINT AS n_america,
+       count(*) FILTER (r_name = 'ASIA')::BIGINT AS n_asia,
+       count(*) FILTER (r_name = 'EUROPE')::BIGINT AS n_europe,
+       count(*) FILTER (r_name = 'MIDDLE EAST')::BIGINT AS "n_middle east"
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_event_value_share(sf_dir: str):
+    """Per-row share of a window total: each event's exact-cents value
+    divided by its user's total — the user totals fold keys-only and
+    broadcast once (bounded by |users| per the windowed-share
+    contract); the share is one IEEE division of exact int64s per
+    row."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": c,
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    ).map_batches(cents, batch_format="pyarrow")
+    totals = {
+        int(r["user_id"]): int(r["sum(cents)"])
+        for r in ev.groupby("user_id").aggregate(Sum("cents")).take_all()
+    }
+    ref = ray.put(totals)
+
+    def share(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        us = b.column("user_id").to_pylist()
+        cs = b.column("cents").to_numpy(zero_copy_only=False)
+        tot = np.array([t[int(u)] for u in us], dtype=np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "cents": b.column("cents"),
+            "share": pa.array(cs.astype(np.float64)
+                              / tot.astype(np.float64),
+                              type=pa.float64()),
+        })
+
+    return ev.map_batches(share, batch_format="pyarrow")
+
+
+_SQL_EVENT_VALUE_SHARE = """
+SELECT user_id, event_id,
+       floor(value * 100.0 + 0.5)::BIGINT AS cents,
+       floor(value * 100.0 + 0.5)::BIGINT::DOUBLE
+         / (sum(floor(value * 100.0 + 0.5)::BIGINT)
+            OVER (PARTITION BY user_id))::DOUBLE AS share
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7139,6 +7260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_checksum": q_embedding_quantize_checksum,
         "docs_grouping_sets": q_docs_grouping_sets,
         "orders_priority_except_all": q_orders_priority_except_all,
+        "region_segment_matrix": q_region_segment_matrix,
+        "event_value_share": q_event_value_share,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7365,6 +7488,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_checksum": _SQL_EMBEDDING_QUANTIZE_CHECKSUM,
         "docs_grouping_sets": _SQL_DOCS_GROUPING_SETS,
         "orders_priority_except_all": _SQL_ORDERS_PRIORITY_EXCEPT_ALL,
+        "region_segment_matrix": _SQL_REGION_SEGMENT_MATRIX,
+        "event_value_share": _SQL_EVENT_VALUE_SHARE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
