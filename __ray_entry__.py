@@ -7068,6 +7068,260 @@ FROM events
 """
 
 
+def q_customers_all_filled(sf_dir: str):
+    """Universal quantification (FOR ALL): customers whose EVERY order
+    has status 'F' — one conditional-count groupby, the HAVING
+    count(*) = count(*) FILTER (...) equality; no per-row existence
+    probes."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "n_f": pc.cast(pc.equal(b.column("o_orderstatus"), "F"),
+                           pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus"],
+        )
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Count(), Sum("n_f", alias_name="n_f"))
+        .rename_columns({"count()": "n_orders"})
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("n_orders"), b.column("n_f")))
+        return t.select(["c_custkey", "n_orders"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_CUSTOMERS_ALL_FILLED = """
+SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING count(*) = count(*) FILTER (o_orderstatus = 'F')
+"""
+
+
+def q_revenue_ma3(sf_dir: str):
+    """Trailing 3-month moving window over an aggregate series: monthly
+    integer-cents revenue plus the 3-month trailing sum (pure integer
+    arithmetic, no division) — the keys-only monthly rollup folds to
+    the bounded calendar on the driver, where the ROWS-frame window is
+    a three-term sum."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
+        c = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table({"month": m, "cents": c})
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["month"])
+    months, revs, ma = [], [], []
+    for i, r in enumerate(rows):
+        months.append(r["month"])
+        revs.append(int(r["revenue_cents"]))
+        lo = max(0, i - 2)
+        ma.append(sum(int(x["revenue_cents"]) for x in rows[lo:i + 1]))
+    return pa.table({
+        "month": pa.array(months, type=pa.string()),
+        "revenue_cents": pa.array(revs, type=pa.int64()),
+        "ma3_cents": pa.array(ma, type=pa.int64()),
+    })
+
+
+_SQL_REVENUE_MA3 = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
+           AS revenue_cents
+  FROM orders GROUP BY month
+)
+SELECT month, revenue_cents,
+       (sum(revenue_cents) OVER (ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS ma3_cents
+FROM m
+"""
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Five-table join span (lineitem -> orders -> customer -> nation
+    -> region): per-order revenue pre-aggregated in the lineitem scan,
+    ONE hash exchange to orders for the custkey, ONE to customer for
+    the nationkey, then the 25-row nation x region chain broadcasts —
+    revenue per region in exact integer cents."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from webextract.functions.joins import broadcast_join, hash_join
+
+    def cents(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(1.0, b.column("l_discount")),
+        )
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"o_orderkey": b.column("l_orderkey"), "cents": c})
+
+    per_order = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = hash_join(
+        per_order, orders, on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    ).rename_columns({"o_custkey": "c_custkey"})
+    # pre-fold per customer before the second exchange: keys+cents only
+    per_cust = j1.groupby("c_custkey").aggregate(
+        Sum("cents", alias_name="cents"))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = hash_join(
+        per_cust, cust, on="c_custkey",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
+    ).rename_columns({"c_nationkey": "n_nationkey"})
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    by_rk = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    dim = pa.table({
+        "n_nationkey": nation.column("n_nationkey"),
+        "r_name": pa.array(
+            [by_rk[k] for k in nation.column("n_regionkey").to_pylist()],
+            type=pa.string()),
+    })
+    named = broadcast_join(j2, dim, key="n_nationkey", concurrency=_conc())
+    return (
+        named.groupby("r_name")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+_SQL_REVENUE_BY_REGION = """
+SELECT r_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_suppliers_above_nation_mean(sf_dir: str):
+    """Cross-ENTITY above-average comparison: suppliers whose balance
+    beats the MEAN customer balance of their own nation — the
+    per-nation (count, sum) folds keys-only (25 rows, broadcast
+    literal), the supplier filter is map-side integer
+    cross-multiplication (cents * n > sum; no float mean anywhere)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def ccents(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("c_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({
+            "nk": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "cents": c,
+        })
+
+    stats = {
+        int(r["nk"]): (int(r["count()"]), int(r["s"]))
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_acctbal"],
+        )
+        .map_batches(ccents, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Count(), Sum("cents", alias_name="s"))
+        .take_all()
+    }
+    ref = ray.put(stats)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nk = b.column("s_nationkey").to_pylist()
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        keep_mask = []
+        for k, ci in zip(nk, c):
+            n, s = m.get(int(k), (0, 0))
+            keep_mask.append(n > 0 and int(ci) * n > s)
+        t = pa.table({
+            "s_suppkey": b.column("s_suppkey"),
+            "s_nationkey": pa.array([int(k) for k in nk], type=pa.int64()),
+            "balance_cents": pa.array(c, type=pa.int64()),
+        }).filter(pa.array(keep_mask))
+        return t
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_SUPPLIERS_ABOVE_NATION_MEAN = """
+WITH m AS (
+  SELECT c_nationkey AS nk, count(*)::BIGINT AS n,
+         sum(floor(c_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS s
+  FROM customer GROUP BY c_nationkey
+)
+SELECT s_suppkey, s_nationkey::BIGINT AS s_nationkey,
+       floor(s_acctbal * 100.0 + 0.5)::BIGINT AS balance_cents
+FROM supplier JOIN m ON s_nationkey = m.nk
+WHERE floor(s_acctbal * 100.0 + 0.5)::BIGINT * m.n > m.s
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7262,6 +7516,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_except_all": q_orders_priority_except_all,
         "region_segment_matrix": q_region_segment_matrix,
         "event_value_share": q_event_value_share,
+        "customers_all_filled": q_customers_all_filled,
+        "revenue_ma3": q_revenue_ma3,
+        "revenue_by_region": q_revenue_by_region,
+        "suppliers_above_nation_mean": q_suppliers_above_nation_mean,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7490,6 +7748,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_except_all": _SQL_ORDERS_PRIORITY_EXCEPT_ALL,
         "region_segment_matrix": _SQL_REGION_SEGMENT_MATRIX,
         "event_value_share": _SQL_EVENT_VALUE_SHARE,
+        "customers_all_filled": _SQL_CUSTOMERS_ALL_FILLED,
+        "revenue_ma3": _SQL_REVENUE_MA3,
+        "revenue_by_region": _SQL_REVENUE_BY_REGION,
+        "suppliers_above_nation_mean": _SQL_SUPPLIERS_ABOVE_NATION_MEAN,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
