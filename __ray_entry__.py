@@ -7322,6 +7322,55 @@ WHERE floor(s_acctbal * 100.0 + 0.5)::BIGINT * m.n > m.s
 """
 
 
+def q_events_asof_fwd(sf_dir: str):
+    """FORWARD as-of join: each click matched to the earliest view at or
+    after it by the same user (functions/temporal.asof_join
+    direction="forward" — same one-shuffle searchsorted merge, the
+    other boundary)."""
+    import ray.data
+
+    from webextract.functions.temporal import asof_join
+
+    def load(event_type: str, id_name: str, ts_name: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ).filter(expr=f"event_type == '{event_type}'")
+
+        def conv(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": b.column("user_id"),
+                ts_name: b.column("ts").cast(pa.int64()),
+                id_name: b.column("event_id"),
+            })
+
+        schema = pa.schema([("user_id", pa.int64()), (ts_name, pa.int64()),
+                            (id_name, pa.int64())])
+        return ds.map_batches(conv, batch_format="pyarrow"), schema
+
+    clicks, lschema = load("click", "event_id", "ts_us")
+    views, rschema = load("view", "view_event_id", "view_ts_us")
+    return asof_join(
+        clicks, views, by="user_id", left_ts="ts_us",
+        right_ts="view_ts_us", left_schema=lschema, right_schema=rschema,
+        how="inner", direction="forward",
+    )
+
+
+_SQL_EVENTS_ASOF_FWD = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS view_ts_us, min(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts_us, c.event_id, v.view_ts_us, v.view_event_id
+FROM c ASOF JOIN v
+  ON c.user_id = v.user_id AND c.ts_us <= v.view_ts_us
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7520,6 +7569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_ma3": q_revenue_ma3,
         "revenue_by_region": q_revenue_by_region,
         "suppliers_above_nation_mean": q_suppliers_above_nation_mean,
+        "events_asof_fwd": q_events_asof_fwd,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7752,6 +7802,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_ma3": _SQL_REVENUE_MA3,
         "revenue_by_region": _SQL_REVENUE_BY_REGION,
         "suppliers_above_nation_mean": _SQL_SUPPLIERS_ABOVE_NATION_MEAN,
+        "events_asof_fwd": _SQL_EVENTS_ASOF_FWD,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -129,3 +129,37 @@ def test_asof_matches_numpy_reference():
     got = {int(r.lid): (None if np.isnan(r.rid) else int(r.rid))
            for r in out.itertuples()}
     assert got == expect
+
+
+def test_asof_join_forward_picks_earliest_at_or_after(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.functions.temporal import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1], type=pa.int64()),
+        "lt": pa.array([10, 25, 90], type=pa.int64()),
+        "lid": pa.array([100, 101, 102], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "rt": pa.array([5, 25, 25, 40], type=pa.int64()),
+        "rid": pa.array([7, 9, 8, 6], type=pa.int64()),
+    })
+    ls = pa.schema([("k", pa.int64()), ("lt", pa.int64()),
+                    ("lid", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("rt", pa.int64()),
+                    ("rid", pa.int64())])
+    got = asof_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        by="k", left_ts="lt", right_ts="rt",
+        left_schema=ls, right_schema=rs, how="inner",
+        direction="forward",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # lt=10 -> earliest rt>=10 is 25; tie at 25 resolves to MIN rid=8
+    # lt=25 -> rt=25, rid=8; lt=90 -> no right row at/after -> dropped
+    assert got.lid.tolist() == [100, 101]
+    assert got.rt.tolist() == [25, 25]
+    assert got.rid.tolist() == [8, 8]

@@ -60,9 +60,15 @@ def _pad_to(schema: pa.Schema, side: int):
 
 def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
-              how: str = "inner"):
-    """Backward as-of join: each left row picks the latest right row with
-    ``right[right_ts] <= left[left_ts]`` within the same ``by`` key.
+              how: str = "inner", direction: str = "backward"):
+    """As-of join: each left row picks the nearest right row within the
+    same ``by`` key — the LATEST with ``right_ts <= left_ts``
+    (direction="backward", the default) or the EARLIEST with
+    ``right_ts >= left_ts`` (direction="forward"). Backward ties on
+    right_ts resolve to the MAX right payload tuple, forward ties to
+    the MIN (both are "the row adjacent to the boundary" under the
+    ascending sort) — the SQL mirror pre-aggregates the right side per
+    (key, ts) with max()/min() accordingly.
 
     `left_schema` / `right_schema` describe the (already projected) inputs;
     they are passed explicitly because calling ``.schema()`` on a lazy
@@ -73,6 +79,8 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: unknown how={how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction={direction!r}")
     left_names = list(left_schema.names)
     right_payload = [n for n in right_schema.names if n != by]
     clash = set(left_names) & set(right_payload)
@@ -110,7 +118,12 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
                 + [(c, "ascending") for c in tie_cols])
             rtab = rtab.take(order)
             rvals = rtab.column(right_ts).to_numpy(zero_copy_only=False)
-            ridx = np.searchsorted(rvals, lvals, side="right") - 1
+            if direction == "backward":
+                ridx = np.searchsorted(rvals, lvals, side="right") - 1
+            else:
+                ridx = np.searchsorted(rvals, lvals, side="left")
+                # out-of-range (no right row at/after t) -> unmatched
+                ridx = np.where(ridx >= len(rvals), -1, ridx)
         matched = ridx >= 0
         if how == "inner":
             ltab = ltab.filter(pa.array(matched))
