@@ -58,3 +58,27 @@ def test_surfaces_are_well_formed():
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
     assert len(qs) >= 130
+
+
+def test_every_oracle_executes_in_duckdb():
+    """Every oracle SQL runs clean against the sf0.001 views — a
+    seconds-fast guard against SQL regressions without the full
+    Ray-vs-DuckDB sweep. (No Ray involved.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    m = _entry()
+    failures = []
+    for name, sql in m.oracle_sql().items():
+        try:
+            con.sql(sql).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
