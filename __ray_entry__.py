@@ -7371,6 +7371,87 @@ FROM c ASOF JOIN v
 """
 
 
+def _splitmix_cte_sql() -> str:
+    """SQL prelude mirroring corpus.mix(doc_id, 1) exactly: SplitMix64
+    in chained CTEs over HUGEINT, with the 64x64-bit modular multiply
+    split into 32-bit halves (int128-safe). Validated equal to the
+    Python mixer over 3000 ids. The stream-constant _mix(1 + GOLDEN2)
+    is folded to a literal here."""
+    from webextract.corpus import _mix
+
+    M = 18446744073709551616  # 2^64
+    C0 = 11400714819323198485  # 0x9E3779B97F4A7C15
+    M1 = 13787848793156543929  # 0xBF58476D1CE4E5B9
+    M2 = 10723151780598845931  # 0x94D049BB133111EB
+    SC = _mix(1 + 0xD1B54A32D192ED03)  # _mix(stream=1 + golden2)
+
+    def mulm(v: str, b: int) -> str:
+        bl, bh = b % (1 << 32), b >> (32)
+        return (f"((({v}) * {bl}) % {M} "
+                f"+ ((({v}) * {bh}) % 4294967296) * 4294967296) % {M}")
+
+    def xs(v: str, s: int) -> str:
+        return f"xor({v}, ({v}) // {1 << s})"
+
+    return f"""
+mx0 AS (SELECT doc_id, ((doc_id::HUGEINT + {C0}) % {M}) AS v FROM documents),
+mx1 AS (SELECT doc_id, {mulm(xs('v', 30), M1)} AS v FROM mx0),
+mx2 AS (SELECT doc_id, {mulm(xs('v', 27), M2)} AS v FROM mx1),
+mx3 AS (SELECT doc_id, xor(xor(v, v // 2147483648), {SC}::HUGEINT) AS v
+        FROM mx2),
+mx4 AS (SELECT doc_id, ((v + {C0}) % {M}) AS v FROM mx3),
+mx5 AS (SELECT doc_id, {mulm(xs('v', 30), M1)} AS v FROM mx4),
+mx6 AS (SELECT doc_id, {mulm(xs('v', 27), M2)} AS v FROM mx5),
+mixed AS (SELECT doc_id, xor(v, v // 2147483648) AS mixv FROM mx6),
+hosts AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 10 < 3 THEN 0
+               ELSE 1 + mixv % 96 END)::BIGINT AS host
+  FROM mixed
+)"""
+
+
+def q_host_doc_stats(sf_dir: str):
+    """Host-level crawl rollup WITH A FULL ORACLE: the host is parsed
+    from the URL string in the pages table (the real web-pipeline
+    string op), counted per host with a doc_id checksum — and the
+    oracle recomputes the skewed host assignment by running the
+    SplitMix64 mixer itself in SQL (hosts: one hot host holding ~30% of
+    rows — the skew driver salted_repartition defends against). The
+    bench-only host_stats aggregation, now driver-gated."""
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.sources.pages import pages_from_documents
+
+    def host(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        ids = b.column("doc_id").to_pylist()
+        hs = []
+        for u in urls:
+            # https://host{N}.example/doc/{id}
+            hs.append(int(u.split("//", 1)[1].split(".", 1)[0][4:]))
+        return pa.table({
+            "host": pa.array(hs, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        })
+
+    return (
+        pages_from_documents(sf_dir)
+        .map_batches(host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(), Sum("doc_id", alias_name="id_sum"))
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_HOST_DOC_STATS = (
+    "WITH " + _splitmix_cte_sql() + """
+SELECT host, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM hosts GROUP BY host
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7570,6 +7651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "suppliers_above_nation_mean": q_suppliers_above_nation_mean,
         "events_asof_fwd": q_events_asof_fwd,
+        "host_doc_stats": q_host_doc_stats,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7803,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_region": _SQL_REVENUE_BY_REGION,
         "suppliers_above_nation_mean": _SQL_SUPPLIERS_ABOVE_NATION_MEAN,
         "events_asof_fwd": _SQL_EVENTS_ASOF_FWD,
+        "host_doc_stats": _SQL_HOST_DOC_STATS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -82,3 +82,24 @@ def test_every_oracle_executes_in_duckdb():
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_splitmix_sql_matches_python_mixer():
+    """The SQL SplitMix64 CTE prelude reproduces corpus.mix(doc_id, 1)
+    and host_of exactly (int128-safe split multiply) — the basis of the
+    host_doc_stats oracle."""
+    import duckdb
+
+    from webextract.corpus import host_of, mix
+
+    m = _entry()
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT unnest(range(0, 1500)) AS doc_id")
+    q = ("WITH " + m._splitmix_cte_sql()
+         + " SELECT doc_id, mixv::VARCHAR AS mv, host FROM hosts "
+           "JOIN mixed USING (doc_id)")
+    rows = con.sql(q).fetchall()
+    assert len(rows) == 1500
+    for doc_id, mv, host in rows:
+        assert int(mv) == mix(int(doc_id), 1)
+        assert host == host_of(int(doc_id))
