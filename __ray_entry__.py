@@ -7452,6 +7452,48 @@ FROM hosts GROUP BY host
 )
 
 
+def q_host_freshness(sf_dir: str):
+    """Crawl freshness per host: newest and oldest snapshot timestamps
+    + doc count, from the pages table's real (url, warc_ts) columns —
+    the recrawl-scheduling statistic. Host parsed from the URL string
+    engine-side; the oracle recomputes both the host assignment (the
+    SQL SplitMix64 mixer) and the timestamp rule (warc_ts = 2024-01-01
+    + doc_id seconds) from first principles."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from webextract.sources.pages import pages_from_documents
+
+    def host(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        hs = [int(u.split("//", 1)[1].split(".", 1)[0][4:]) for u in urls]
+        return pa.table({
+            "host": pa.array(hs, type=pa.int64()),
+            "ts_us": pc.cast(b.column("warc_ts"), pa.int64()),
+        })
+
+    return (
+        pages_from_documents(sf_dir)
+        .map_batches(host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(),
+            Min("ts_us", alias_name="oldest_us"),
+            Max("ts_us", alias_name="newest_us"),
+        )
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+_SQL_HOST_FRESHNESS = (
+    "WITH " + _splitmix_cte_sql() + """
+SELECT host, count(*)::BIGINT AS n_docs,
+       min(1704067200000000 + doc_id * 1000000)::BIGINT AS oldest_us,
+       max(1704067200000000 + doc_id * 1000000)::BIGINT AS newest_us
+FROM hosts GROUP BY host
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7652,6 +7694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_above_nation_mean": q_suppliers_above_nation_mean,
         "events_asof_fwd": q_events_asof_fwd,
         "host_doc_stats": q_host_doc_stats,
+        "host_freshness": q_host_freshness,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7886,6 +7929,7 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_above_nation_mean": _SQL_SUPPLIERS_ABOVE_NATION_MEAN,
         "events_asof_fwd": _SQL_EVENTS_ASOF_FWD,
         "host_doc_stats": _SQL_HOST_DOC_STATS,
+        "host_freshness": _SQL_HOST_FRESHNESS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
