@@ -7494,6 +7494,64 @@ FROM hosts GROUP BY host
 )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (functions/bpe.bpe_train): 5
+    merge steps learned over the corpus vocabulary. The corpus-wide
+    word-frequency fold is one keys-only groupby; every iteration then
+    runs on the Zipf-bounded VOCAB table (pair explode map-side,
+    keys-only pair-count groupby, 1-row global argmax, broadcast-merge
+    map). The merge applies the identical left-to-right textual
+    replace on the space-joined symbol representation in both engines,
+    so the oracle (5 unrolled CTE steps) is exact; the canonical
+    pair-merge equivalence on this corpus is pinned by pytest."""
+    from webextract.functions.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["text"]), n_merges=5)
+
+
+def _bpe_sql(n_merges: int = 5) -> str:
+    """Unrolled SQL mirror of bpe_train: per step, bigram pair counts
+    over the current symbol representation, argmax (n DESC, pair ASC),
+    textual replace merge."""
+    parts = ["""
+w AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY word
+),
+r0 AS (
+  SELECT array_to_string(
+           list_transform(range(1, len(word) + 1), i ->
+             word[i:i]), ' ') AS rep, freq
+  FROM w
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT s.pair, sum(s.freq)::BIGINT AS n FROM (
+    SELECT q.syms[i] || ' ' || q.syms[i+1] AS pair, q.freq
+    FROM (SELECT string_split(rep, ' ') AS syms, freq FROM r{k-1}) q,
+         unnest(range(1, len(q.syms))) AS t(i)
+  ) s GROUP BY s.pair
+),
+b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+r{k} AS (
+  SELECT replace(rep, (SELECT pair FROM b{k}),
+                 replace((SELECT pair FROM b{k}), ' ', '')) AS rep, freq
+  FROM r{k-1}
+)""")
+    finals = [
+        f"SELECT {k}::BIGINT AS step, "
+        f"string_split(pair, ' ')[1] AS l_sym, "
+        f"string_split(pair, ' ')[2] AS r_sym, n FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+_SQL_BPE_MERGES = _bpe_sql(5)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7695,6 +7753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_fwd": q_events_asof_fwd,
         "host_doc_stats": q_host_doc_stats,
         "host_freshness": q_host_freshness,
+        "bpe_merges": q_bpe_merges,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7930,6 +7989,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_fwd": _SQL_EVENTS_ASOF_FWD,
         "host_doc_stats": _SQL_HOST_DOC_STATS,
         "host_freshness": _SQL_HOST_FRESHNESS,
+        "bpe_merges": _SQL_BPE_MERGES,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint

@@ -1,0 +1,112 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+top-k byte-pair merges over the corpus vocabulary.
+
+Spec (shared verbatim with the SQL oracle):
+* seed symbols are single characters; a word's state is its symbols
+  joined by ' ' (space never occurs inside corpus words);
+* each step counts ADJACENT symbol pairs weighted by corpus word
+  frequency (all occurrences, not per-doc distinct), picks the max
+  (count DESC, pair ASC — a total order), and merges every
+  non-overlapping occurrence LEFT-TO-RIGHT — exactly Python
+  ``str.replace(left + ' ' + right, left + right)``, which both engines
+  implement identically.
+
+Scale shape: the corpus-wide word-frequency fold is ONE keys-only
+groupby over the documents; afterwards every iteration runs on the
+VOCABULARY table (Zipf-bounded, orders of magnitude smaller than the
+corpus): a map-side pair explode, a keys-only pair-count groupby, a
+1-row global argmax, and a broadcast-merge map. The vocab dataset is
+materialized per iteration so the lazy graph never multiplies blocks
+(the dedup_clusters lesson).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+
+def word_freqs(ds, *, text_col: str = "text"):
+    """(word, freq) over the corpus — one keys-only groupby."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        words: List[str] = []
+        for t in b.column(text_col).to_pylist():
+            words.extend(t.split(" "))
+        return pa.table({"word": pa.array(words, type=pa.string())})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Count())
+        .rename_columns({"count()": "freq"})
+    )
+
+
+def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
+    """Learn `n_merges` BPE merges; returns (step, left, right, n)."""
+    from ray.data.aggregate import Sum
+
+    def seed(b: pa.Table) -> pa.Table:
+        reps = [" ".join(w) for w in b.column("word").to_pylist()]
+        return pa.table({
+            "rep": pa.array(reps, type=pa.string()),
+            "freq": b.column("freq"),
+        })
+
+    vocab = (
+        word_freqs(ds, text_col=text_col)
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    steps: List[tuple] = []
+    for step in range(1, n_merges + 1):
+
+        def pairs(b: pa.Table) -> pa.Table:
+            ps: List[str] = []
+            fs: List[int] = []
+            for rep, f in zip(b.column("rep").to_pylist(),
+                              b.column("freq").to_pylist()):
+                syms = rep.split(" ")
+                for a, c in zip(syms, syms[1:]):
+                    ps.append(a + " " + c)
+                    fs.append(int(f))
+            return pa.table({
+                "pair": pa.array(ps, type=pa.string()),
+                "n": pa.array(fs, type=pa.int64()),
+            })
+
+        top = (
+            vocab.map_batches(pairs, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        left, right = pair.split(" ")
+        steps.append((step, left, right, n))
+        merged = left + right
+
+        def merge(b: pa.Table, pair=pair, merged=merged) -> pa.Table:
+            reps = [r.replace(pair, merged)
+                    for r in b.column("rep").to_pylist()]
+            return pa.table({
+                "rep": pa.array(reps, type=pa.string()),
+                "freq": b.column("freq"),
+            })
+
+        vocab = vocab.map_batches(merge, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "step": pa.array([s[0] for s in steps], type=pa.int64()),
+        "l_sym": pa.array([s[1] for s in steps], type=pa.string()),
+        "r_sym": pa.array([s[2] for s in steps], type=pa.string()),
+        "n": pa.array([s[3] for s in steps], type=pa.int64()),
+    })
