@@ -7552,6 +7552,114 @@ r{k} AS (
 _SQL_BPE_MERGES = _bpe_sql(5)
 
 
+def q_lang_word_simpson(sf_dir: str):
+    """Simpson concentration index per language in EXACT integer
+    arithmetic: numerator sum_w n_w*(n_w-1), denominator N*(N-1) — the
+    repeated-draw collision probability, the corpus-diversity
+    profile. (lang, word) counts keys-only, the quadratic terms fold
+    per lang; no division emitted, so no float anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        langs: list = []
+        words: list = []
+        for lg, t in zip(
+            b.column("lang").to_pylist(), b.column("text").to_pylist()
+        ):
+            ws = t.split(" ")
+            langs.extend([lg] * len(ws))
+            words.extend(ws)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "word": pa.array(words, type=pa.string()),
+        })
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n"})
+    )
+
+    def quad(b: pa.Table) -> pa.Table:
+        n = b.column("n")
+        return pa.table({
+            "lang": b.column("lang"),
+            "q": pc.multiply(n, pc.subtract(n, 1)),
+            "n": n,
+        })
+
+    return (
+        counts.map_batches(quad, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("q", alias_name="simpson_num"),
+            Sum("n", alias_name="n_tokens"),
+        )
+    )
+
+
+_SQL_LANG_WORD_SIMPSON = """
+WITH c AS (
+  SELECT lang, word, count(*)::BIGINT AS n FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY lang, word
+)
+SELECT lang, sum(n * (n - 1))::BIGINT AS simpson_num,
+       sum(n)::BIGINT AS n_tokens
+FROM c GROUP BY lang
+"""
+
+
+def q_host_doc_gini(sf_dir: str):
+    """Gini concentration of documents across hosts — THE skew metric
+    the salted repartition defends against — in exact integer
+    arithmetic: with per-host counts x_1<=...<=x_n (ties broken by
+    host), G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)); numerator
+    and denominator are emitted as BIGINTs. Host counts fold keys-only
+    (bounded by |hosts|); the rank formula runs on that 95-row table."""
+    from ray.data.aggregate import Count
+
+    from webextract.sources.pages import pages_from_documents
+
+    def host(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        hs = [int(u.split("//", 1)[1].split(".", 1)[0][4:]) for u in urls]
+        return pa.table({"host": pa.array(hs, type=pa.int64())})
+
+    counts = (
+        pages_from_documents(sf_dir)
+        .map_batches(host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count())
+        .take_all()
+    )
+    xs = sorted((int(r["count()"]), int(r["host"])) for r in counts)
+    n = len(xs)
+    total = sum(x for x, _ in xs)
+    num = 2 * sum(i * x for i, (x, _) in enumerate(xs, 1)) \
+        - (n + 1) * total
+    return pa.table({
+        "n_hosts": pa.array([n], type=pa.int64()),
+        "gini_num": pa.array([num], type=pa.int64()),
+        "gini_den": pa.array([n * total], type=pa.int64()),
+    })
+
+
+_SQL_HOST_DOC_GINI = (
+    "WITH " + _splitmix_cte_sql() + """,
+c AS (SELECT host, count(*)::BIGINT AS x FROM hosts GROUP BY host),
+r AS (SELECT x, row_number() OVER (ORDER BY x, host) AS i FROM c),
+t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+             sum(i * x)::BIGINT AS ix FROM r)
+SELECT n AS n_hosts, (2 * ix - (n + 1) * s)::BIGINT AS gini_num,
+       (n * s)::BIGINT AS gini_den
+FROM t
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7754,6 +7862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_stats": q_host_doc_stats,
         "host_freshness": q_host_freshness,
         "bpe_merges": q_bpe_merges,
+        "lang_word_simpson": q_lang_word_simpson,
+        "host_doc_gini": q_host_doc_gini,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -7990,6 +8100,8 @@ def oracle_sql() -> dict[str, str]:
         "host_doc_stats": _SQL_HOST_DOC_STATS,
         "host_freshness": _SQL_HOST_FRESHNESS,
         "bpe_merges": _SQL_BPE_MERGES,
+        "lang_word_simpson": _SQL_LANG_WORD_SIMPSON,
+        "host_doc_gini": _SQL_HOST_DOC_GINI,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
