@@ -7509,10 +7509,9 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["text"]), n_merges=5)
 
 
-def _bpe_sql(n_merges: int = 5) -> str:
-    """Unrolled SQL mirror of bpe_train: per step, bigram pair counts
-    over the current symbol representation, argmax (n DESC, pair ASC),
-    textual replace merge."""
+def _bpe_ctes(n_merges: int = 5) -> str:
+    """The shared CTE chain (w, r0..rN, p/b per step) both BPE oracles
+    build on."""
     parts = ["""
 w AS (
   SELECT word, count(*)::BIGINT AS freq FROM (
@@ -7540,16 +7539,65 @@ r{k} AS (
                  replace((SELECT pair FROM b{k}), ' ', '')) AS rep, freq
   FROM r{k-1}
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = 5) -> str:
+    """Unrolled SQL mirror of bpe_train: per step, bigram pair counts
+    over the current symbol representation, argmax (n DESC, pair ASC),
+    textual replace merge."""
     finals = [
         f"SELECT {k}::BIGINT AS step, "
         f"string_split(pair, ' ')[1] AS l_sym, "
         f"string_split(pair, ' ')[2] AS r_sym, n FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
-    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    return ("WITH " + _bpe_ctes(n_merges) + "\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+def _bpe_apply_sql(n_merges: int = 5) -> str:
+    """Oracle for bpe_apply_counts: re-derive the merges (shared CTEs),
+    then chain the same textual replaces over every word of every doc
+    and count subword symbols."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        steps.append(f""",
+a{k} AS (
+  SELECT doc_id, replace(rep, (SELECT pair FROM b{k}),
+                 replace((SELECT pair FROM b{k}), ' ', '')) AS rep
+  FROM a{k-1}
+)""")
+    return ("WITH " + _bpe_ctes(n_merges) + """,
+d0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+a0 AS (
+  SELECT doc_id, array_to_string(
+    list_transform(range(1, len(word) + 1), i -> word[i:i]), ' ') AS rep
+  FROM d0
+)""" + "".join(steps) + f"""
+SELECT doc_id, sum(len(string_split(rep, ' ')))::BIGINT AS n_subwords
+FROM a{n_merges} GROUP BY doc_id
+""")
 
 
 _SQL_BPE_MERGES = _bpe_sql(5)
+_SQL_BPE_APPLY = _bpe_apply_sql(5)
+
+
+def q_bpe_apply_counts(sf_dir: str):
+    """Tokenizer train -> apply loop closure: learn 5 merges
+    (functions/bpe.bpe_train), broadcast them into a pure map-side
+    apply, count subword tokens per document
+    (functions/bpe.bpe_apply_counts). The oracle re-derives the merges
+    and chains the identical replaces in SQL."""
+    from webextract.functions.bpe import bpe_apply_counts, bpe_train
+
+    merges_tbl = bpe_train(_docs(sf_dir, ["text"]), n_merges=5)
+    merges = list(zip(merges_tbl.column("l_sym").to_pylist(),
+                      merges_tbl.column("r_sym").to_pylist()))
+    return bpe_apply_counts(_docs(sf_dir, ["doc_id", "text"]), merges)
 
 
 def q_lang_word_simpson(sf_dir: str):
@@ -7862,6 +7910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_stats": q_host_doc_stats,
         "host_freshness": q_host_freshness,
         "bpe_merges": q_bpe_merges,
+        "bpe_apply_counts": q_bpe_apply_counts,
         "lang_word_simpson": q_lang_word_simpson,
         "host_doc_gini": q_host_doc_gini,
         "doc_length_quantiles_by_lang_sketch":
@@ -8100,6 +8149,7 @@ def oracle_sql() -> dict[str, str]:
         "host_doc_stats": _SQL_HOST_DOC_STATS,
         "host_freshness": _SQL_HOST_FRESHNESS,
         "bpe_merges": _SQL_BPE_MERGES,
+        "bpe_apply_counts": _SQL_BPE_APPLY,
         "lang_word_simpson": _SQL_LANG_WORD_SIMPSON,
         "host_doc_gini": _SQL_HOST_DOC_GINI,
         # approx_users_per_type: HLL estimate — approximate by design,

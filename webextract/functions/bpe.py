@@ -110,3 +110,32 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
         "r_sym": pa.array([s[2] for s in steps], type=pa.string()),
         "n": pa.array([s[3] for s in steps], type=pa.int64()),
     })
+
+
+def bpe_apply_counts(ds, merges: List[tuple], *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Apply learned merges to every document and count the resulting
+    subword tokens — the tokenizer-application half of the train/apply
+    loop. `merges` is the ordered [(left, right), ...] list from
+    :func:`bpe_train` (broadcast by value into the batch closure —
+    bytes-small). Pure map-side; the per-word replace chain is the
+    identical textual rule the trainer used."""
+    pairs = [(left + " " + right, left + right) for left, right in merges]
+
+    def apply(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        counts: List[int] = []
+        for t in b.column(text_col).to_pylist():
+            n = 0
+            for w in t.split(" "):
+                rep = " ".join(w)
+                for pat, rep2 in pairs:
+                    rep = rep.replace(pat, rep2)
+                n += rep.count(" ") + 1
+            counts.append(n)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_subwords": pa.array(counts, type=pa.int64()),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow")
