@@ -7708,6 +7708,83 @@ FROM t
 )
 
 
+def q_doc_dup_ngram_share(sf_dir: str):
+    """Per-document duplication exposure: how many of a doc's distinct
+    5-grams also appear in at least one OTHER document — the
+    exact-substring contamination score dedup pipelines threshold on.
+    Shape: distinct (ngram, doc) explode map-side; ngram doc-frequency
+    keys-only; dup flag joins back by ngram (keys + doc_id only); per-
+    doc counts. Integer outputs only."""
+    from ray.data.aggregate import Count, Sum
+
+    from webextract.functions.joins import hash_join
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids: list = []
+        grams: list = []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            words = t.split(" ")
+            seen = set()
+            for i in range(max(0, len(words) - 4)):
+                seen.add(" ".join(words[i:i + 5]))
+            ids.extend([did] * len(seen))
+            grams.extend(seen)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "ngram": pa.array(grams, type=pa.string()),
+        })
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    df = (
+        pairs.groupby("ngram")
+        .aggregate(Count())
+        .rename_columns({"count()": "df"})
+        .filter(expr="df >= 2")
+        .select_columns(["ngram"])
+    )
+    ps = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
+    ns = pa.schema([("ngram", pa.string())])
+    dup = hash_join(pairs, df, on="ngram", how="semi",
+                    left_schema=ps, right_schema=ns)
+    dup_counts = (
+        dup.groupby("doc_id")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_dup"})
+    )
+    totals = (
+        pairs.groupby("doc_id")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_ngrams"})
+    )
+    return hash_join(
+        totals, dup_counts, on="doc_id", how="left",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_ngrams", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_dup", pa.int64())]),
+    ).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_dup"), "n_dup",
+            pc.coalesce(b.column("n_dup"), pa.scalar(0, type=pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_DOC_DUP_NGRAM_SHARE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i+1:i+5], ' ') AS ngram
+  FROM w, unnest(range(0, greatest(len(words)-4, 0))) AS t(i)
+),
+d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) >= 2)
+SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+       count(*) FILTER (g.ngram IN (SELECT ngram FROM d))::BIGINT AS n_dup
+FROM g GROUP BY g.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7913,6 +7990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_apply_counts": q_bpe_apply_counts,
         "lang_word_simpson": q_lang_word_simpson,
         "host_doc_gini": q_host_doc_gini,
+        "doc_dup_ngram_share": q_doc_dup_ngram_share,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8152,6 +8230,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply_counts": _SQL_BPE_APPLY,
         "lang_word_simpson": _SQL_LANG_WORD_SIMPSON,
         "host_doc_gini": _SQL_HOST_DOC_GINI,
+        "doc_dup_ngram_share": _SQL_DOC_DUP_NGRAM_SHARE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
