@@ -7785,6 +7785,103 @@ FROM g GROUP BY g.doc_id
 """
 
 
+def q_nation_region_cross(sf_dir: str):
+    """CROSS join (bounded small side): every nation x region pair with
+    an is_home flag — the enumeration shape for calendar/category
+    scaffolds. The 5-row region side is broadcast by value into the
+    nation scan; each input row fans out |regions| output rows
+    map-side, no shuffle."""
+    import ray.data
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rks = region.column("r_regionkey").to_pylist()
+    rns = region.column("r_name").to_pylist()
+
+    def cross(b: pa.Table) -> pa.Table:
+        nk = b.column("n_nationkey").to_pylist()
+        nrk = b.column("n_regionkey").to_pylist()
+        out_nk: list = []
+        out_rn: list = []
+        flags: list = []
+        for k, hr in zip(nk, nrk):
+            for rk, rn in zip(rks, rns):
+                out_nk.append(int(k))
+                out_rn.append(rn)
+                flags.append(1 if rk == hr else 0)
+        return pa.table({
+            "n_nationkey": pa.array(out_nk, type=pa.int64()),
+            "r_name": pa.array(out_rn, type=pa.string()),
+            "is_home": pa.array(flags, type=pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(cross, batch_format="pyarrow")
+
+
+_SQL_NATION_REGION_CROSS = """
+SELECT n_nationkey::BIGINT AS n_nationkey, r_name,
+       (n_regionkey = r_regionkey)::BIGINT AS is_home
+FROM nation CROSS JOIN region
+"""
+
+
+def q_key_overlap_profile(sf_dir: str):
+    """Set-membership profile of two key universes (customer vs
+    supplier keys): counts in both / customer-only / supplier-only —
+    a FULL-OUTER key classification folded to three rows; distinct
+    keys only ever cross the exchange."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from webextract.functions.joins import hash_join
+
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        )
+        .rename_columns({"c_custkey": "k"})
+        .groupby("k").aggregate(Count()).select_columns(["k"])
+    )
+    supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+        )
+        .rename_columns({"s_suppkey": "k"})
+        .groupby("k").aggregate(Count()).select_columns(["k"])
+    )
+    ks = pa.schema([("k", pa.int64())])
+    both = hash_join(cust, supp, on="k", how="semi",
+                     left_schema=ks, right_schema=ks).count()
+    conly = hash_join(cust, supp, on="k", how="anti",
+                      left_schema=ks, right_schema=ks).count()
+    sonly = hash_join(supp, cust, on="k", how="anti",
+                      left_schema=ks, right_schema=ks).count()
+    return pa.table({
+        "membership": pa.array(["both", "customer_only", "supplier_only"],
+                               type=pa.string()),
+        "n_keys": pa.array([int(both), int(conly), int(sonly)],
+                           type=pa.int64()),
+    })
+
+
+_SQL_KEY_OVERLAP_PROFILE = """
+WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+s AS (SELECT DISTINCT s_suppkey AS k FROM supplier)
+SELECT 'both' AS membership,
+       (SELECT count(*) FROM c WHERE k IN (SELECT k FROM s))::BIGINT
+         AS n_keys
+UNION ALL
+SELECT 'customer_only',
+       (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s))::BIGINT
+UNION ALL
+SELECT 'supplier_only',
+       (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))::BIGINT
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -7991,6 +8088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_word_simpson": q_lang_word_simpson,
         "host_doc_gini": q_host_doc_gini,
         "doc_dup_ngram_share": q_doc_dup_ngram_share,
+        "nation_region_cross": q_nation_region_cross,
+        "key_overlap_profile": q_key_overlap_profile,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8231,6 +8330,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_word_simpson": _SQL_LANG_WORD_SIMPSON,
         "host_doc_gini": _SQL_HOST_DOC_GINI,
         "doc_dup_ngram_share": _SQL_DOC_DUP_NGRAM_SHARE,
+        "nation_region_cross": _SQL_NATION_REGION_CROSS,
+        "key_overlap_profile": _SQL_KEY_OVERLAP_PROFILE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
