@@ -7882,6 +7882,55 @@ SELECT 'supplier_only',
 """
 
 
+def q_interleave_positions(sf_dir: str):
+    """Fair training-mix interleave: round-robin positions across
+    languages (pos = per-lang rank * n_langs + lang index) — every
+    language appears once per cycle regardless of size, the data-mixing
+    schedule multi-source LLM training uses. Per-lang ranks come from
+    the bucketed distributed prefix sum (functions/window.running_agg —
+    hot-key safe); the 5-entry lang index broadcasts as a literal."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from webextract.functions.window import running_agg
+
+    langs = sorted(
+        r["lang"]
+        for r in _docs(sf_dir, ["lang"]).groupby("lang")
+        .aggregate(Count()).take_all()
+    )
+    idx = {lg: i for i, lg in enumerate(langs)}
+    k = len(langs)
+    ref = ray.put(idx)
+
+    ra = running_agg(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        by="lang", order="doc_id", val="n_chars",
+    )
+
+    def pos(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        lgs = b.column("lang").to_pylist()
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        p = (rn - 1) * k + np.array([m[lg] for lg in lgs], dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "pos": pa.array(p, type=pa.int64()),
+        })
+
+    return ra.map_batches(pos, batch_format="pyarrow")
+
+
+_SQL_INTERLEAVE_POSITIONS = """
+WITH n AS (SELECT count(DISTINCT lang)::BIGINT AS k FROM documents)
+SELECT doc_id, lang,
+       ((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) * n.k
+        + (dense_rank() OVER (ORDER BY lang) - 1))::BIGINT AS pos
+FROM documents, n
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8090,6 +8139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_share": q_doc_dup_ngram_share,
         "nation_region_cross": q_nation_region_cross,
         "key_overlap_profile": q_key_overlap_profile,
+        "interleave_positions": q_interleave_positions,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8332,6 +8382,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngram_share": _SQL_DOC_DUP_NGRAM_SHARE,
         "nation_region_cross": _SQL_NATION_REGION_CROSS,
         "key_overlap_profile": _SQL_KEY_OVERLAP_PROFILE,
+        "interleave_positions": _SQL_INTERLEAVE_POSITIONS,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
