@@ -7931,6 +7931,31 @@ FROM documents, n
 """
 
 
+def q_top_docs_page2(sf_dir: str):
+    """LIMIT/OFFSET pagination: ranks 21-40 by length (n_chars DESC,
+    doc_id ASC — total order). The engine fetches the bounded top-40
+    (k rows per block through the exchange, the partial-top-k shape)
+    and slices the page driver-side; OFFSET never needs more than
+    offset+limit rows to materialize."""
+    top = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(40)
+        .take_all()
+    )
+    page = top[20:40]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in page], type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in page], type=pa.int64()),
+    })
+
+
+_SQL_TOP_DOCS_PAGE2 = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8140,6 +8165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_cross": q_nation_region_cross,
         "key_overlap_profile": q_key_overlap_profile,
         "interleave_positions": q_interleave_positions,
+        "top_docs_page2": q_top_docs_page2,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8383,6 +8409,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_region_cross": _SQL_NATION_REGION_CROSS,
         "key_overlap_profile": _SQL_KEY_OVERLAP_PROFILE,
         "interleave_positions": _SQL_INTERLEAVE_POSITIONS,
+        "top_docs_page2": _SQL_TOP_DOCS_PAGE2,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
