@@ -7956,6 +7956,97 @@ ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20
 """
 
 
+def q_corpus_report(sf_dir: str):
+    """One-stop corpus health report (the run-summary a 100 TB job
+    prints): row-class counts (corrupt / pdf / multi-column layouts),
+    char totals, and distinct-language/source/vocabulary cardinalities
+    — one flag-fold scan plus three keys-only distinct counts, folded
+    to a fixed (metric, value) table."""
+    from ray.data.aggregate import Count, Sum
+
+    def flags(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        corrupt = (ids % 50 == 7)
+        pdf = (ids % 25 == 3) & ~corrupt
+        two = (ids % 17 == 5) & ~(ids % 25 == 3)
+        three = (ids % 19 == 11) & ~(ids % 25 == 3) & ~(ids % 17 == 5)
+        return pa.table({
+            "corrupt": pa.array(corrupt.astype("int64")),
+            "pdf": pa.array(pdf.astype("int64")),
+            "twocol": pa.array(two.astype("int64")),
+            "threecol": pa.array(three.astype("int64")),
+            "n_chars": b.column("n_chars"),
+        })
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(flags, batch_format="pyarrow")
+        .aggregate(Count(), Sum("corrupt"), Sum("pdf"), Sum("twocol"),
+                   Sum("threecol"), Sum("n_chars"))
+    )
+
+    def distinct(col):
+        from ray.data.aggregate import Count as C
+
+        return int(
+            _docs(sf_dir, [col]).groupby(col).aggregate(C()).count()
+        )
+
+    from webextract.functions.ngrams import word_doc_pairs_batch
+
+    vocab = int(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(word_doc_pairs_batch, batch_format="pyarrow")
+        .groupby("word").aggregate(Count()).count()
+    )
+    rows = [
+        ("n_docs", int(agg["count()"])),
+        ("n_corrupt", int(agg["sum(corrupt)"])),
+        ("n_pdf", int(agg["sum(pdf)"])),
+        ("n_twocol", int(agg["sum(twocol)"])),
+        ("n_threecol", int(agg["sum(threecol)"])),
+        ("total_chars", int(agg["sum(n_chars)"])),
+        ("n_langs", distinct("lang")),
+        ("n_sources", distinct("source")),
+        ("vocab_size", vocab),
+    ]
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], type=pa.string()),
+        "value": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+_SQL_CORPUS_REPORT = """
+SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
+UNION ALL
+SELECT 'n_corrupt', count(*) FILTER (doc_id % 50 = 7)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'n_pdf',
+       count(*) FILTER (doc_id % 25 = 3 AND doc_id % 50 <> 7)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'n_twocol',
+       count(*) FILTER (doc_id % 17 = 5 AND doc_id % 25 <> 3)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'n_threecol',
+       count(*) FILTER (doc_id % 19 = 11 AND doc_id % 25 <> 3
+                        AND doc_id % 17 <> 5)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'total_chars', sum(n_chars)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_langs', count(DISTINCT lang)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_sources', count(DISTINCT source)::BIGINT FROM documents
+UNION ALL
+SELECT 'vocab_size', count(DISTINCT word)::BIGINT FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8166,6 +8257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_overlap_profile": q_key_overlap_profile,
         "interleave_positions": q_interleave_positions,
         "top_docs_page2": q_top_docs_page2,
+        "corpus_report": q_corpus_report,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8410,6 +8502,7 @@ def oracle_sql() -> dict[str, str]:
         "key_overlap_profile": _SQL_KEY_OVERLAP_PROFILE,
         "interleave_positions": _SQL_INTERLEAVE_POSITIONS,
         "top_docs_page2": _SQL_TOP_DOCS_PAGE2,
+        "corpus_report": _SQL_CORPUS_REPORT,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
