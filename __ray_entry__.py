@@ -8047,6 +8047,122 @@ SELECT 'vocab_size', count(DISTINCT word)::BIGINT FROM (
 """
 
 
+def q_user_median_gap(sf_dir: str):
+    """Per-user MEDIAN inter-event gap in whole seconds (quantile_disc
+    convention, rank ceil(n/2)-1): gaps computed by one vectorized
+    sort+diff per group — group size bounded by per-key activity, the
+    sessionize contract. Users with a single event drop (no gap),
+    matching the SQL lag filter."""
+    import ray.data
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(us, batch_format="pyarrow")
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("median_gap_s", pa.int64()),
+                            ("n_gaps", pa.int64())])
+
+    def med(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return out_schema.empty_table()
+        import math
+
+        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
+        gaps = np.sort(np.diff(ts) // 1_000_000)
+        k = max(0, math.ceil(0.5 * len(gaps)) - 1)
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "median_gap_s": pa.array([int(gaps[k])], type=pa.int64()),
+            "n_gaps": pa.array([len(gaps)], type=pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(med, batch_format="pyarrow")
+
+
+_SQL_USER_MEDIAN_GAP = """
+WITH l AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) // 1000000 AS gap_s
+  FROM events
+)
+SELECT user_id, quantile_disc(gap_s, 0.5)::BIGINT AS median_gap_s,
+       count(*)::BIGINT AS n_gaps
+FROM l WHERE gap_s IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_types_per_user_hist(sf_dir: str):
+    """Behavioral-diversity distribution: how many users touch k
+    distinct event types — two keys-only groupbys (distinct pairs,
+    per-user count, count-of-counts)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return (
+        ev.groupby(["user_id", "event_type"])
+        .aggregate(Count())
+        .groupby("user_id")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_types"})
+        .groupby("n_types")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_users"})
+    )
+
+
+_SQL_TYPES_PER_USER_HIST = """
+WITH u AS (
+  SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT n_types, count(*)::BIGINT AS n_users FROM u GROUP BY n_types
+"""
+
+
+def q_doc_type_token(sf_dir: str):
+    """Type-token counts per document (the lexical-richness / TTR
+    inputs, kept as exact integers — the ratio is the caller's single
+    division): pure map-side, no shuffle."""
+
+    def tt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        types: list = []
+        tokens: list = []
+        for t in b.column("text").to_pylist():
+            ws = t.split(" ")
+            tokens.append(len(ws))
+            types.append(len(set(ws)))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_types": pa.array(types, type=pa.int64()),
+            "n_tokens": pa.array(tokens, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tt, batch_format="pyarrow"
+    )
+
+
+_SQL_DOC_TYPE_TOKEN = """
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_types,
+       len(string_split(text, ' '))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8258,6 +8374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_positions": q_interleave_positions,
         "top_docs_page2": q_top_docs_page2,
         "corpus_report": q_corpus_report,
+        "user_median_gap": q_user_median_gap,
+        "types_per_user_hist": q_types_per_user_hist,
+        "doc_type_token": q_doc_type_token,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8503,6 +8622,9 @@ def oracle_sql() -> dict[str, str]:
         "interleave_positions": _SQL_INTERLEAVE_POSITIONS,
         "top_docs_page2": _SQL_TOP_DOCS_PAGE2,
         "corpus_report": _SQL_CORPUS_REPORT,
+        "user_median_gap": _SQL_USER_MEDIAN_GAP,
+        "types_per_user_hist": _SQL_TYPES_PER_USER_HIST,
+        "doc_type_token": _SQL_DOC_TYPE_TOKEN,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
