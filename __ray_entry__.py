@@ -8163,6 +8163,90 @@ FROM documents
 """
 
 
+def q_cents_log2_hist(sf_dir: str):
+    """Log2-bucketed value histogram — the heavy-tail binning for money
+    / size columns, in EXACT integer arithmetic: bucket = bit_length(x)
+    - 1 (engine int.bit_length, oracle len(bin(x)) — no float log
+    anywhere). Map-side bucket, one keys-only groupby."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        buckets = np.array([int(x).bit_length() - 1 if x > 0 else -1
+                            for x in c], dtype=np.int64)
+        return pa.table({
+            "log2_bucket": pa.array(buckets, type=pa.int64()),
+            "cents": pa.array(c, type=pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+    return (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby("log2_bucket")
+        .aggregate(Count(), Sum("cents", alias_name="total_cents"))
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+_SQL_CENTS_LOG2_HIST = """
+WITH c AS (
+  SELECT floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events
+)
+SELECT (CASE WHEN cents > 0 THEN len(bin(cents)) - 1
+             ELSE -1 END)::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS total_cents
+FROM c GROUP BY log2_bucket
+"""
+
+
+def q_disc_band_revenue(sf_dir: str):
+    """Revenue by discount band (5% buckets): band = floor(d * 20) —
+    identical IEEE multiply+floor both sides — with exact integer-cents
+    revenue per band."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def bands(b: pa.Table) -> pa.Table:
+        band = pc.cast(
+            pc.floor(pc.multiply(b.column("l_discount"), 20.0)), pa.int64()
+        )
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(1.0, b.column("l_discount")),
+        )
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"band": band, "cents": c})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_extendedprice"],
+    )
+    return (
+        li.map_batches(bands, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(), Sum("cents", alias_name="revenue_cents"))
+        .rename_columns({"count()": "n_lines"})
+    )
+
+
+_SQL_DISC_BAND_REVENUE = """
+SELECT floor(l_discount * 20.0)::BIGINT AS band,
+       count(*)::BIGINT AS n_lines,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
+                 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem GROUP BY band
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8377,6 +8461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_gap": q_user_median_gap,
         "types_per_user_hist": q_types_per_user_hist,
         "doc_type_token": q_doc_type_token,
+        "cents_log2_hist": q_cents_log2_hist,
+        "disc_band_revenue": q_disc_band_revenue,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8625,6 +8711,8 @@ def oracle_sql() -> dict[str, str]:
         "user_median_gap": _SQL_USER_MEDIAN_GAP,
         "types_per_user_hist": _SQL_TYPES_PER_USER_HIST,
         "doc_type_token": _SQL_DOC_TYPE_TOKEN,
+        "cents_log2_hist": _SQL_CENTS_LOG2_HIST,
+        "disc_band_revenue": _SQL_DISC_BAND_REVENUE,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
