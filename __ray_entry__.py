@@ -8247,6 +8247,126 @@ FROM lineitem GROUP BY band
 """
 
 
+def q_user_daily_dispersion(sf_dir: str):
+    """Burstiness inputs per user: over their active days, the count of
+    days plus sum and sum-of-squares of daily event counts — exact
+    integers (variance-to-mean is the caller's division). Two keys-only
+    groupbys: (user, day) counts, then per-user quadratic fold."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        day = pc.cast(
+            pc.divide(ts_us, pa.scalar(86_400_000_000, type=pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"user_id": b.column("user_id"), "day": day})
+
+    daily = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count())
+        .rename_columns({"count()": "c"})
+    )
+
+    def quad(b: pa.Table) -> pa.Table:
+        c = b.column("c")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "c": c,
+            "c2": pc.multiply(c, c),
+        })
+
+    return (
+        daily.map_batches(quad, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(),
+            Sum("c", alias_name="sum_c"),
+            Sum("c2", alias_name="sum_c2"),
+        )
+        .rename_columns({"count()": "n_days"})
+    )
+
+
+_SQL_USER_DAILY_DISPERSION = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY user_id, day
+)
+SELECT user_id, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS sum_c,
+       sum(c * c)::BIGINT AS sum_c2
+FROM d GROUP BY user_id
+"""
+
+
+def q_tax_disc_hist2d(sf_dir: str):
+    """Two-dimensional histogram: (tax band, discount band) cell counts
+    over lineitem — both bands exact floor(x*20) integer buckets,
+    one keys-only pair groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def bands(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tax_band": pc.cast(
+                pc.floor(pc.multiply(b.column("l_tax"), 20.0)), pa.int64()),
+            "disc_band": pc.cast(
+                pc.floor(pc.multiply(b.column("l_discount"), 20.0)),
+                pa.int64()),
+        })
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_tax", "l_discount"]
+    )
+    return (
+        li.map_batches(bands, batch_format="pyarrow")
+        .groupby(["tax_band", "disc_band"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_lines"})
+    )
+
+
+_SQL_TAX_DISC_HIST2D = """
+SELECT floor(l_tax * 20.0)::BIGINT AS tax_band,
+       floor(l_discount * 20.0)::BIGINT AS disc_band,
+       count(*)::BIGINT AS n_lines
+FROM lineitem GROUP BY tax_band, disc_band
+"""
+
+
+def q_word_length_hist(sf_dir: str):
+    """Corpus-wide word-length distribution: explode map-side, one
+    keys-only groupby over ~a dozen length keys."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        lens: list = []
+        for t in b.column("text").to_pylist():
+            lens.extend(len(w) for w in t.split(" "))
+        return pa.table({"wlen": pa.array(lens, type=pa.int64())})
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("wlen")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_words"})
+    )
+
+
+_SQL_WORD_LENGTH_HIST = """
+SELECT length(word)::BIGINT AS wlen, count(*)::BIGINT AS n_words
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY wlen
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8463,6 +8583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_type_token": q_doc_type_token,
         "cents_log2_hist": q_cents_log2_hist,
         "disc_band_revenue": q_disc_band_revenue,
+        "user_daily_dispersion": q_user_daily_dispersion,
+        "tax_disc_hist2d": q_tax_disc_hist2d,
+        "word_length_hist": q_word_length_hist,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8713,6 +8836,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_type_token": _SQL_DOC_TYPE_TOKEN,
         "cents_log2_hist": _SQL_CENTS_LOG2_HIST,
         "disc_band_revenue": _SQL_DISC_BAND_REVENUE,
+        "user_daily_dispersion": _SQL_USER_DAILY_DISPERSION,
+        "tax_disc_hist2d": _SQL_TAX_DISC_HIST2D,
+        "word_length_hist": _SQL_WORD_LENGTH_HIST,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
