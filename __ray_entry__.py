@@ -8367,6 +8367,86 @@ GROUP BY wlen
 """
 
 
+def q_lang_xor_checksum(sf_dir: str):
+    """Per-group XOR checksum — a CUSTOM aggregate Ray doesn't ship:
+    per-batch partial XOR of 60-bit md5(text) prefixes per language
+    (the combiner), then a per-lang map_groups XOR of the partials.
+    Order-invariant by construction, so layout never matters; the
+    audit-grade drift detector per partition key."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for lg, t in zip(b.column("lang").to_pylist(),
+                         b.column("text").to_pylist()):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            acc[lg] = acc.get(lg, 0) ^ h
+        langs = sorted(acc)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "x": pa.array([acc[lg] for lg in langs], type=pa.int64()),
+        })
+
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("checksum", pa.int64())])
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        x = 0
+        for v in group.column("x").to_pylist():
+            x ^= int(v)
+        return pa.table({
+            "lang": group.column("lang").slice(0, 1),
+            "checksum": pa.array([x], type=pa.int64()),
+        }, schema=out_schema)
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+_SQL_LANG_XOR_CHECKSUM = """
+SELECT lang,
+       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)::BIGINT
+         AS checksum
+FROM documents GROUP BY lang
+"""
+
+
+def q_lines_per_order_hist(sf_dir: str):
+    """Lineitem fan-out distribution: histogram of lines per order —
+    two keys-only groupbys over the biggest table."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    per_order = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .groupby("l_orderkey")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_lines"})
+    )
+    return (
+        per_order.groupby("n_lines")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_orders"})
+    )
+
+
+_SQL_LINES_PER_ORDER_HIST = """
+WITH o AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, count(*)::BIGINT AS n_orders FROM o GROUP BY n_lines
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -8586,6 +8666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_dispersion": q_user_daily_dispersion,
         "tax_disc_hist2d": q_tax_disc_hist2d,
         "word_length_hist": q_word_length_hist,
+        "lang_xor_checksum": q_lang_xor_checksum,
+        "lines_per_order_hist": q_lines_per_order_hist,
         "doc_length_quantiles_by_lang_sketch":
             q_doc_length_quantiles_by_lang_sketch,
     }
@@ -8839,6 +8921,8 @@ def oracle_sql() -> dict[str, str]:
         "user_daily_dispersion": _SQL_USER_DAILY_DISPERSION,
         "tax_disc_hist2d": _SQL_TAX_DISC_HIST2D,
         "word_length_hist": _SQL_WORD_LENGTH_HIST,
+        "lang_xor_checksum": _SQL_LANG_XOR_CHECKSUM,
+        "lines_per_order_hist": _SQL_LINES_PER_ORDER_HIST,
         # approx_users_per_type: HLL estimate — approximate by design,
         # rows-only (the exact mirror is users_per_type).
         # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
