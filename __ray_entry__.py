@@ -420,11 +420,11 @@ def q_dedup_docs_rows(sf_dir: str):
     Scale shape (round-3 rewrite): the keyed DECISION is a keys-only
     shuffle (groupby(fp).min(doc_id) over projected (fp, doc_id)); the
     surviving full rows are then retrieved with `winner_filter` — a
-    partition-aligned map-side semi filter — so the text payload is read
-    once and NEVER crosses an all-to-all (the old version shuffled
-    (doc_id, text, lang) through groupby(fp).map_groups)."""
-    import tempfile
-
+    partition-aligned map-side semi filter whose winner buckets travel
+    through the OBJECT STORE (cluster-safe: no node-local scratch) — so
+    the text payload is read once and NEVER crosses an all-to-all (the
+    old version shuffled (doc_id, text, lang) through
+    groupby(fp).map_groups)."""
     from webextract.functions.dedup import exact_dedup, winner_filter
     from webextract.functions.textstats import fingerprint_batch
 
@@ -436,7 +436,6 @@ def q_dedup_docs_rows(sf_dir: str):
     winners = exact_dedup(keys, "fp", "doc_id").select_columns(["doc_id"])
     out = winner_filter(
         _docs(sf_dir, ["doc_id", "text", "lang"]), winners, "doc_id",
-        tmp_dir=tempfile.mkdtemp(prefix="winner_filter_"),
     )
     return out.select_columns(["doc_id", "text", "lang"])
 
@@ -1387,16 +1386,12 @@ LEFT JOIN (SELECT * FROM topg WHERE rn = 1) t ON t.doc_id = d.doc_id
 def q_paragraph_dedup(sf_dir: str):
     """C4-style corpus-global line dedup + document reassembly. Decision
     is a keys-only (lfp, okey) shuffle; surviving line payloads reach the
-    reassembly via the partition-aligned `winner_filter`, never an
-    all-to-all (functions/paragraphs.py for the full scale argument)."""
-    import tempfile
-
+    reassembly via the partition-aligned `winner_filter` (object-store
+    winner buckets — cluster-safe), never an all-to-all
+    (functions/paragraphs.py for the full scale argument)."""
     from webextract.functions.paragraphs import paragraph_dedup
 
-    return paragraph_dedup(
-        lambda: _docs(sf_dir, ["doc_id", "text"]),
-        tmp_dir=tempfile.mkdtemp(prefix="paradedup_"),
-    )
+    return paragraph_dedup(lambda: _docs(sf_dir, ["doc_id", "text"]))
 
 
 _SQL_PARAGRAPH_DEDUP = """
@@ -1489,9 +1484,8 @@ def q_host_quota(sf_dir: str):
     Scale shape = the `dedup_docs_rows` discipline: the keyed decision is
     a (source, doc_id) keys-only shuffle whose groups emit at most k
     winner ids; full rows are then retrieved map-side with
-    `winner_filter`, so text payloads never cross an all-to-all."""
-    import tempfile
-
+    `winner_filter` (object-store winner buckets — cluster-safe), so text
+    payloads never cross an all-to-all."""
     from webextract.functions.dedup import winner_filter
 
     k = 3
@@ -1505,7 +1499,6 @@ def q_host_quota(sf_dir: str):
         topk, batch_format="pyarrow")
     out = winner_filter(
         _docs(sf_dir, ["doc_id", "source", "lang"]), winners, "doc_id",
-        tmp_dir=tempfile.mkdtemp(prefix="hostquota_"),
     )
     return out.select_columns(["doc_id", "source", "lang"])
 
@@ -1779,7 +1772,7 @@ _MESSY_URL_SQL = """
 (CASE WHEN doc_id % 4 = 1 THEN 'Host' || (doc_id % 20) || '.Example'
       ELSE 'host' || (doc_id % 20) || '.example' END) ||
 (CASE WHEN doc_id % 5 = 2 THEN ':443' ELSE '' END) ||
-'/doc/' || (doc_id % 25) ||
+(CASE WHEN doc_id % 11 = 3 THEN '' ELSE '/doc/' || (doc_id % 25) END) ||
 (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed'
       WHEN doc_id % 3 = 2 THEN '?ref=a&utm_campaign=x&id=' || (doc_id % 25)
       ELSE '' END) ||
@@ -1792,11 +1785,12 @@ def _messy_url(doc_id: int) -> str:
     host = (f"Host{doc_id % 20}.Example" if doc_id % 4 == 1
             else f"host{doc_id % 20}.example")
     port = ":443" if doc_id % 5 == 2 else ""
+    path = "" if doc_id % 11 == 3 else f"/doc/{doc_id % 25}"
     q = ("?utm_source=feed" if doc_id % 3 == 1
          else f"?ref=a&utm_campaign=x&id={doc_id % 25}" if doc_id % 3 == 2
          else "")
     frag = "#sec1" if doc_id % 2 == 1 else ""
-    return f"{scheme}://{host}{port}/doc/{doc_id % 25}{q}{frag}"
+    return f"{scheme}://{host}{port}{path}{q}{frag}"
 
 
 def _messy_urls_ds(sf_dir: str):
@@ -1831,16 +1825,22 @@ s AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
 p AS (SELECT doc_id,
         lower(split_part(nofrag, '://', 1)) AS scheme,
         split_part(nofrag, '://', 2) AS rest FROM s),
+cutp AS (SELECT doc_id, scheme, rest,
+        least(coalesce(nullif(instr(rest, '/'), 0), 1000000000),
+              coalesce(nullif(instr(rest, '?'), 0), 1000000000)) AS cut
+       FROM p),
 hp AS (SELECT doc_id, scheme,
-        lower(split_part(rest, '/', 1)) AS hostport,
-        substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM p),
+        lower(CASE WHEN cut = 1000000000 THEN rest
+                   ELSE substr(rest, 1, cut - 1) END) AS hostport,
+        CASE WHEN cut = 1000000000 THEN ''
+             ELSE substr(rest, cut) END AS pathq FROM cutp),
 hh AS (SELECT doc_id, scheme,
         CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
                THEN substr(hostport, 1, length(hostport) - 4)
              WHEN scheme = 'http' AND hostport LIKE '%:80'
                THEN substr(hostport, 1, length(hostport) - 3)
              ELSE hostport END AS host,
-        CASE WHEN pathq = '' THEN '/'
+        CASE WHEN split_part(pathq, '?', 1) = '' THEN '/'
              ELSE split_part(pathq, '?', 1) END AS path,
         CASE WHEN pathq LIKE '%?%'
                THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
@@ -7510,46 +7510,76 @@ def q_bpe_merges(sf_dir: str):
 
 
 def _bpe_ctes(n_merges: int = 5) -> str:
-    """The shared CTE chain (w, r0..rN, p/b per step) both BPE oracles
-    build on."""
+    """The shared CTE chain (w, r0, per-step s/t/m/k/b/r) both BPE
+    oracles build on. Each step is an EXACT symbol-scan merge (see
+    `_bpe_merge_step`); pair counts fold the exploded symbol table."""
     parts = ["""
-w AS (
+w AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents
   ) GROUP BY word
 ),
-r0 AS (
-  SELECT array_to_string(
+r0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY word) AS wid,
+         array_to_string(
            list_transform(range(1, len(word) + 1), i ->
              word[i:i]), ' ') AS rep, freq
   FROM w
 )"""]
     for k in range(1, n_merges + 1):
         parts.append(f""",
-p{k} AS (
-  SELECT s.pair, sum(s.freq)::BIGINT AS n FROM (
-    SELECT q.syms[i] || ' ' || q.syms[i+1] AS pair, q.freq
-    FROM (SELECT string_split(rep, ' ') AS syms, freq FROM r{k-1}) q,
-         unnest(range(1, len(q.syms))) AS t(i)
-  ) s GROUP BY s.pair
+xs{k} AS MATERIALIZED (
+  SELECT wid, freq, t.i::BIGINT AS i, q.syms[t.i] AS sym
+  FROM (SELECT wid, freq, string_split(rep, ' ') AS syms FROM r{k-1}) q,
+       unnest(range(1, len(q.syms) + 1)) AS t(i)
 ),
-b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
-r{k} AS (
-  SELECT replace(rep, (SELECT pair FROM b{k}),
-                 replace((SELECT pair FROM b{k}), ' ', '')) AS rep, freq
-  FROM r{k-1}
+xt{k} AS MATERIALIZED (
+  SELECT wid, freq, i, sym,
+         lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
+  FROM xs{k}
+),
+p{k} AS MATERIALIZED (
+  SELECT sym || ' ' || nxt AS pair, sum(freq)::BIGINT AS n
+  FROM xt{k} WHERE nxt IS NOT NULL GROUP BY 1
+),
+b{k} AS MATERIALIZED (
+  SELECT pair, string_split(pair, ' ')[1] AS l,
+         string_split(pair, ' ')[2] AS r,
+         replace(pair, ' ', '') AS m, n
+  FROM p{k} ORDER BY n DESC, pair LIMIT 1
+),
+xm{k} AS MATERIALIZED (
+  SELECT wid, i FROM xt{k}
+  WHERE sym = (SELECT l FROM b{k}) AND nxt = (SELECT r FROM b{k})
+),
+xk{k} AS MATERIALIZED (
+  SELECT wid, i FROM (
+    SELECT wid, i, min(i) OVER (PARTITION BY wid, grp) AS gmin
+    FROM (SELECT wid, i,
+                 i - row_number() OVER (PARTITION BY wid ORDER BY i) AS grp
+          FROM xm{k})
+  ) WHERE (i - gmin) % 2 = 0
+),
+r{k} AS MATERIALIZED (
+  SELECT s.wid, any_value(s.freq) AS freq,
+         coalesce(string_agg(
+           CASE WHEN kk.i IS NOT NULL THEN (SELECT m FROM b{k})
+                ELSE s.sym END, ' ' ORDER BY s.i), '') AS rep
+  FROM xt{k} s
+  LEFT JOIN xk{k} kk ON kk.wid = s.wid AND kk.i = s.i
+  WHERE NOT EXISTS (SELECT 1 FROM xk{k} kp
+                    WHERE kp.wid = s.wid AND kp.i = s.i - 1)
+  GROUP BY s.wid
 )""")
     return "".join(parts)
 
 
 def _bpe_sql(n_merges: int = 5) -> str:
     """Unrolled SQL mirror of bpe_train: per step, bigram pair counts
-    over the current symbol representation, argmax (n DESC, pair ASC),
-    textual replace merge."""
+    over the exploded symbol table, argmax (n DESC, pair ASC), exact
+    left-to-right symbol-scan merge (islands-parity; see _bpe_ctes)."""
     finals = [
-        f"SELECT {k}::BIGINT AS step, "
-        f"string_split(pair, ' ')[1] AS l_sym, "
-        f"string_split(pair, ' ')[2] AS r_sym, n FROM b{k}"
+        f"SELECT {k}::BIGINT AS step, l AS l_sym, r AS r_sym, n FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
     return ("WITH " + _bpe_ctes(n_merges) + "\n"
@@ -7558,22 +7588,61 @@ def _bpe_sql(n_merges: int = 5) -> str:
 
 def _bpe_apply_sql(n_merges: int = 5) -> str:
     """Oracle for bpe_apply_counts: re-derive the merges (shared CTEs),
-    then chain the same textual replaces over every word of every doc
-    and count subword symbols."""
+    then chain the SAME exact symbol-scan merges over every word of
+    every doc and count subword symbols. Each a{k} step mirrors
+    functions/bpe.merge_rep via the islands-parity rule (greedy
+    left-to-right = keep even offsets within runs of consecutive match
+    positions; a skipped match is exactly one that overlaps the
+    previous kept one)."""
     steps = []
     for k in range(1, n_merges + 1):
         steps.append(f""",
-a{k} AS (
-  SELECT doc_id, replace(rep, (SELECT pair FROM b{k}),
-                 replace((SELECT pair FROM b{k}), ' ', '')) AS rep
-  FROM a{k-1}
+ds{k} AS MATERIALIZED (
+  SELECT doc_id, wid, t.i::BIGINT AS i, q.syms[t.i] AS sym
+  FROM (SELECT doc_id, wid, string_split(rep, ' ') AS syms
+        FROM a{k-1}) q,
+       unnest(range(1, len(q.syms) + 1)) AS t(i)
+),
+dt{k} AS MATERIALIZED (
+  SELECT doc_id, wid, i, sym,
+         lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY i) AS nxt
+  FROM ds{k}
+),
+dm{k} AS MATERIALIZED (
+  SELECT doc_id, wid, i FROM dt{k}
+  WHERE sym = (SELECT l FROM b{k}) AND nxt = (SELECT r FROM b{k})
+),
+dk{k} AS MATERIALIZED (
+  SELECT doc_id, wid, i FROM (
+    SELECT doc_id, wid, i,
+           min(i) OVER (PARTITION BY doc_id, wid, grp) AS gmin
+    FROM (SELECT doc_id, wid, i,
+                 i - row_number() OVER (PARTITION BY doc_id, wid
+                                        ORDER BY i) AS grp
+          FROM dm{k})
+  ) WHERE (i - gmin) % 2 = 0
+),
+a{k} AS MATERIALIZED (
+  SELECT s.doc_id, s.wid,
+         coalesce(string_agg(
+           CASE WHEN kk.i IS NOT NULL THEN (SELECT m FROM b{k})
+                ELSE s.sym END, ' ' ORDER BY s.i), '') AS rep
+  FROM dt{k} s
+  LEFT JOIN dk{k} kk
+    ON kk.doc_id = s.doc_id AND kk.wid = s.wid AND kk.i = s.i
+  WHERE NOT EXISTS (SELECT 1 FROM dk{k} kp
+                    WHERE kp.doc_id = s.doc_id AND kp.wid = s.wid
+                      AND kp.i = s.i - 1)
+  GROUP BY s.doc_id, s.wid
 )""")
     return ("WITH " + _bpe_ctes(n_merges) + """,
-d0 AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+d0 AS MATERIALIZED (
+  SELECT doc_id, q.ws[t.wid] AS word, t.wid::BIGINT AS wid FROM (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents) q,
+    unnest(range(1, len(q.ws) + 1)) AS t(wid)
 ),
-a0 AS (
-  SELECT doc_id, array_to_string(
+a0 AS MATERIALIZED (
+  SELECT doc_id, wid, array_to_string(
     list_transform(range(1, len(word) + 1), i -> word[i:i]), ' ') AS rep
   FROM d0
 )""" + "".join(steps) + f"""

@@ -67,3 +67,65 @@ def test_bpe_matches_canonical_on_corpus(ray_session):
                     n_merges=5).to_pylist()
     assert [(r["step"], r["l_sym"], r["r_sym"], r["n"]) for r in got] \
         == expect
+
+
+def test_merge_rep_no_cross_boundary_merge():
+    """Round-3 ADVICE regression: with an existing symbol 'ya', the rep
+    'ya b' textually contains 'a b' — a bare str.replace would produce
+    'yab'. The symbol scan must leave it alone."""
+    from webextract.functions.bpe import merge_rep
+
+    assert merge_rep("ya b", "a", "b", "ab") == "ya b"
+    assert merge_rep("a b ya b a b", "a", "b", "ab") == "ab ya b ab"
+    # left-to-right non-overlap: 'a a a' merges the FIRST pair only
+    assert merge_rep("a a a", "a", "a", "aa") == "aa a"
+    assert merge_rep("a a a a", "a", "a", "aa") == "aa aa"
+
+
+def _islands_parity_merge(rep, left, right, merged):
+    """Python model of the SQL oracle's merge rule (__ray_entry__
+    `_bpe_ctes`): find match-start positions, keep even offsets within
+    each island of CONSECUTIVE positions (gaps-and-islands), emit merged
+    at kept positions and drop the consumed right-symbol positions."""
+    syms = rep.split(" ")
+    matches = [i for i in range(len(syms) - 1)
+               if syms[i] == left and syms[i + 1] == right]
+    kept = set()
+    island_start = None
+    prev = None
+    for i in matches:
+        if prev is None or i != prev + 1:
+            island_start = i
+        if (i - island_start) % 2 == 0:
+            kept.add(i)
+        prev = i
+    out = []
+    for i, s in enumerate(syms):
+        if i in kept:
+            out.append(merged)
+        elif (i - 1) not in kept:
+            out.append(s)
+    return " ".join(out)
+
+
+def test_oracle_islands_parity_equals_symbol_scan():
+    """Property: the SQL oracle's islands-parity rule (keep even offsets
+    within runs of consecutive match positions) is exactly the greedy
+    left-to-right symbol scan. Exhaustive over small symbol alphabets
+    covers adjacent/overlapping-occurrence geometry — including ≥5-runs
+    of a self-overlapping pair, where a padded textual replace() picks a
+    DIFFERENT maximal matching ('a a a a a' -> 'aa a aa', not the
+    Sennrich 'aa aa a')."""
+    from itertools import product
+
+    from webextract.functions.bpe import merge_rep
+
+    for n in range(1, 7):
+        for syms in product(["a", "b", "ab", "ya"], repeat=n):
+            rep = " ".join(syms)
+            for left, right in [("a", "b"), ("a", "a"), ("a", "ab"),
+                                ("ab", "a"), ("b", "ya")]:
+                merged = left + right
+                assert (_islands_parity_merge(rep, left, right, merged)
+                        == merge_rep(rep, left, right, merged)), \
+                    (rep, left, right)

@@ -110,3 +110,70 @@ def test_hash_join_empty_side(ray_session):
         right_schema=pa.schema([("k", pa.int64()), ("lv", pa.string())]),
     )
     assert semi.count() == 0
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """NULL never equals NULL (round-3 ADVICE): null-keyed rows must not
+    inner-join each other; left/full/anti keep them as unmatched; semi
+    drops them."""
+    from webextract.functions.joins import hash_join
+
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.string())])
+    lt = pa.table({"k": [1, None, 2, None], "lv": ["a", "b", "c", "d"]})
+    rt = pa.table({"k": [1, None, 3], "rv": ["x", "y", "z"]})
+
+    def mk():
+        return (ray.data.from_arrow(lt).repartition(2),
+                ray.data.from_arrow(rt).repartition(2))
+
+    l, r = mk()
+    inner = hash_join(l, r, on="k", left_schema=ls, right_schema=rs).take_all()
+    assert sorted((row["k"], row["lv"], row["rv"]) for row in inner) \
+        == [(1, "a", "x")]
+
+    l, r = mk()
+    left = hash_join(l, r, on="k", how="left",
+                     left_schema=ls, right_schema=rs).take_all()
+    assert sorted(((row["k"] or 0), row["lv"], (row["rv"] or ""))
+                  for row in left) \
+        == [(0, "b", ""), (0, "d", ""), (1, "a", "x"), (2, "c", "")]
+
+    l, r = mk()
+    full = hash_join(l, r, on="k", how="full",
+                     left_schema=ls, right_schema=rs).take_all()
+    got = sorted(((row["k"] or 0), (row["lv"] or ""), (row["rv"] or ""))
+                 for row in full)
+    assert got == [(0, "", "y"), (0, "b", ""), (0, "d", ""),
+                   (1, "a", "x"), (2, "c", ""), (3, "", "z")]
+
+    l, r = mk()
+    anti = hash_join(l, r, on="k", how="anti",
+                     left_schema=ls, right_schema=rs).take_all()
+    assert sorted((row["k"] or 0, row["lv"]) for row in anti) \
+        == [(0, "b"), (0, "d"), (2, "c")]  # NOT EXISTS keeps null keys
+
+    l, r = mk()
+    semi = hash_join(l, r, on="k", how="semi",
+                     left_schema=ls, right_schema=rs).take_all()
+    assert sorted((row["k"], row["lv"]) for row in semi) == [(1, "a")]
+
+
+def test_hash_join_on_null_component_drops_row(ray_session):
+    """A composite key with any NULL component packs to NULL and must not
+    match anything (inner)."""
+    from webextract.functions.joins import hash_join_on
+
+    ls = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                    ("lv", pa.string())])
+    rs = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                    ("rv", pa.string())])
+    lt = pa.table({"a": [1, None, 2], "b": ["x", "x", None],
+                   "lv": ["p", "q", "r"]})
+    rt = pa.table({"a": [1, None, 2], "b": ["x", "x", None],
+                   "rv": ["u", "v", "w"]})
+    out = hash_join_on(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                       on=["a", "b"], left_schema=ls,
+                       right_schema=rs).take_all()
+    assert sorted((row["a"], row["b"], row["lv"], row["rv"])
+                  for row in out) == [(1, "x", "p", "u")]

@@ -40,6 +40,11 @@ def test_canonicalize_rules():
     assert c("https://h.example/a?") == "https://h.example/a"
     # non-absolute input: fragment-stripped only
     assert c("mailto:x@y.example#z") == "mailto:x@y.example"
+    # host-only url WITH a query: hostport ends at the earliest of '/'
+    # and '?' (round-3 ADVICE fix — the query must not fold into the host)
+    assert c("https://Host?utm_source=x") == "https://host/"
+    assert c("https://Host.Example?a=1&utm_b=2#f") == "https://host.example/?a=1"
+    assert c("https://Host:443?a=1") == "https://host/?a=1"
 
 
 def test_dedup_by_url_keeps_newest():

@@ -1,15 +1,24 @@
 """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
 top-k byte-pair merges over the corpus vocabulary.
 
-Spec (shared verbatim with the SQL oracle):
+Spec (shared with the SQL oracle):
 * seed symbols are single characters; a word's state is its symbols
   joined by ' ' (space never occurs inside corpus words);
 * each step counts ADJACENT symbol pairs weighted by corpus word
   frequency (all occurrences, not per-doc distinct), picks the max
   (count DESC, pair ASC — a total order), and merges every
-  non-overlapping occurrence LEFT-TO-RIGHT — exactly Python
-  ``str.replace(left + ' ' + right, left + right)``, which both engines
-  implement identically.
+  non-overlapping occurrence in ONE LEFT-TO-RIGHT pass over the SYMBOL
+  LIST (Sennrich et al. 2016 semantics). A bare
+  ``rep.replace(left+' '+right, ...)`` is NOT equivalent — it can merge
+  across symbol boundaries once earlier merges create multi-char symbols
+  (rep 'ya b' contains substring 'a b'; round-3 ADVICE). The SQL oracle
+  mirrors the scan with a boundary-PADDED replace applied twice:
+  ``replace(' '||rep||' ', ' '||l||' '||r||' ', ' '||lr||' ')`` matches
+  only whole symbols; one application misses an occurrence exactly when
+  the immediately preceding occurrence consumed their shared space, two
+  such misses are never adjacent, so a second application reaches the
+  same fixed set as the left-to-right scan (property-tested against the
+  Python scan in tests/test_bpe.py).
 
 Scale shape: the corpus-wide word-frequency fold is ONE keys-only
 groupby over the documents; afterwards every iteration runs on the
@@ -27,6 +36,23 @@ from typing import List
 import pyarrow as pa
 
 
+def merge_rep(rep: str, left: str, right: str, merged: str) -> str:
+    """One left-to-right non-overlapping merge pass over the symbol list
+    (the canonical Sennrich merge step). ``merged == left + right``."""
+    syms = rep.split(" ")
+    n = len(syms)
+    out: List[str] = []
+    i = 0
+    while i < n:
+        if syms[i] == left and i + 1 < n and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
 def word_freqs(ds, *, text_col: str = "text"):
     """(word, freq) over the corpus — one keys-only groupby."""
     from ray.data.aggregate import Count
@@ -34,7 +60,7 @@ def word_freqs(ds, *, text_col: str = "text"):
     def explode(b: pa.Table) -> pa.Table:
         words: List[str] = []
         for t in b.column(text_col).to_pylist():
-            words.extend(t.split(" "))
+            words.extend((t or "").split(" "))
         return pa.table({"word": pa.array(words, type=pa.string())})
 
     return (
@@ -94,8 +120,9 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
         steps.append((step, left, right, n))
         merged = left + right
 
-        def merge(b: pa.Table, pair=pair, merged=merged) -> pa.Table:
-            reps = [r.replace(pair, merged)
+        def merge(b: pa.Table, left=left, right=right,
+                  merged=merged) -> pa.Table:
+            reps = [merge_rep(r, left, right, merged)
                     for r in b.column("rep").to_pylist()]
             return pa.table({
                 "rep": pa.array(reps, type=pa.string()),
@@ -118,19 +145,19 @@ def bpe_apply_counts(ds, merges: List[tuple], *, text_col: str = "text",
     subword tokens — the tokenizer-application half of the train/apply
     loop. `merges` is the ordered [(left, right), ...] list from
     :func:`bpe_train` (broadcast by value into the batch closure —
-    bytes-small). Pure map-side; the per-word replace chain is the
-    identical textual rule the trainer used."""
-    pairs = [(left + " " + right, left + right) for left, right in merges]
+    bytes-small). Pure map-side; the per-word merge chain is the
+    identical symbol-scan rule the trainer used."""
+    triples = [(left, right, left + right) for left, right in merges]
 
     def apply(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_pylist()
         counts: List[int] = []
         for t in b.column(text_col).to_pylist():
             n = 0
-            for w in t.split(" "):
+            for w in (t or "").split(" "):
                 rep = " ".join(w)
-                for pat, rep2 in pairs:
-                    rep = rep.replace(pat, rep2)
+                for left, right, merged in triples:
+                    rep = merge_rep(rep, left, right, merged)
                 n += rep.count(" ") + 1
             counts.append(n)
         return pa.table({

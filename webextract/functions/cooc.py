@@ -37,7 +37,7 @@ def text_pair_counts(ds, *, text_col: str = "text", k: int = 20):
         a: List[str] = []
         b: List[str] = []
         for t in batch.column(text_col).to_pylist():
-            for w1, w2 in combinations(sorted(set(t.split(" "))), 2):
+            for w1, w2 in combinations(sorted(set((t or "").split(" "))), 2):
                 a.append(w1)
                 b.append(w2)
         return pa.table({

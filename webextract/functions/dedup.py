@@ -210,8 +210,34 @@ def exact_dedup(ds, key_col: str, order_col: str):
     return out.rename_columns({f"min({order_col})": order_col})
 
 
-def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
-                  bucket_width: int = 1 << 16, concurrency=None):
+class _BucketStore:
+    """Driver-owned actor holding winner-id buckets as object refs.
+
+    The actor heap holds only ``{bucket_id: ObjectRef}`` — the id arrays
+    themselves live in the object store (one ``ray.put`` per bucket, owned
+    by this actor so they outlive the dump tasks that produced them).
+    Readers fetch a ref once per bucket and ``ray.get`` it zero-copy from
+    local shared memory; cross-node reads are one plasma transfer per
+    (node, bucket). Sharded across ``num_stores`` actors by bucket id so
+    neither puts nor gets serialize on one process.
+    """
+
+    def __init__(self):
+        self.refs: dict = {}
+
+    def put(self, bid: int, ids: np.ndarray) -> int:
+        import ray
+
+        self.refs[bid] = ray.put(np.ascontiguousarray(ids))
+        return bid
+
+    def get(self, bid: int):
+        return [self.refs.get(bid)]  # wrapped so ray.get returns the ref
+
+
+def winner_filter(ds, winners, key_col: str, *, tmp_dir: str | None = None,
+                  bucket_width: int = 1 << 16, concurrency=None,
+                  num_stores: int = 8):
     """Semi-filter `ds` to rows whose `key_col` is in `winners` WITHOUT the
     payload columns ever crossing a shuffle.
 
@@ -222,33 +248,48 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
     boolean decision. Instead:
 
     1. `winners` (keys only — caller guarantees no payload columns) is
-       RANGE-bucketed by ``key // bucket_width`` and spilled to one small
-       parquet side file per bucket (the only shuffle, keys-only);
+       RANGE-bucketed by ``key // bucket_width`` (floor division — negative
+       keys bucket identically on both sides) and each bucket's id array is
+       published through the OBJECT STORE via a sharded driver-owned
+       `_BucketStore` actor pool (the only shuffle, keys-only). No
+       filesystem is touched, so the filter stage works on any node of a
+       multi-node cluster. Passing ``tmp_dir`` switches to parquet side
+       files instead — only valid when the path is a SHARED scratch mount
+       visible to every worker node (same contract as lineage/output dirs).
     2. `ds` is filtered map-side: each task inspects its batch's key range,
-       loads just the overlapping bucket files (cached per actor/process),
-       and keeps rows via a vectorized membership test.
+       fetches just the overlapping buckets (cached per actor), and keeps
+       rows via a vectorized membership test.
 
     Partitioning assumption (documented per SURVEY §4): keys are roughly
     monotone within input partitions (true for sequential ids over
     partitioned files), so each task touches O(1) buckets and total side
-    traffic ~ one pass over the winner ids. `tmp_dir` must be visible to
-    all workers (shared scratch — same contract as lineage/output dirs).
+    traffic ~ one pass over the winner ids. For a RANDOM key layout every
+    actor would eventually cache most buckets — at that point prefer a
+    broadcast semi-join (winners fit memory) or `functions.joins.hash_join`
+    (they don't); this operator's win is the partition-aligned case.
     """
     import os
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    os.makedirs(tmp_dir, exist_ok=True)
+    import ray
+
     ktype = pa.int64()
+    use_files = tmp_dir is not None
+    if use_files:
+        os.makedirs(tmp_dir, exist_ok=True)
+        stores = None
+    else:
+        actor_cls = ray.remote(num_cpus=0)(_BucketStore)
+        stores = [actor_cls.remote() for _ in range(num_stores)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({key_col: pa.array([], type=ktype),
                              "_bucket": pa.array([], type=ktype)})
-        k = b.column(key_col).cast(ktype)
+        k = np.asarray(b.column(key_col).cast(ktype).combine_chunks())
         return pa.Table.from_arrays(
-            [k, pc.divide(k.combine_chunks(), bucket_width)],
+            [pa.array(k), pa.array(k // bucket_width)],
             names=[key_col, "_bucket"],
         )
 
@@ -257,12 +298,17 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
             return pa.table({"bucket": pa.array([], type=ktype),
                              "n": pa.array([], type=ktype)})
         bid = g.column("_bucket")[0].as_py()
-        pq.write_table(g.select([key_col]),
-                       os.path.join(tmp_dir, f"bucket_{bid}.parquet"))
+        ids = np.asarray(g.column(key_col).combine_chunks())
+        if use_files:
+            pq.write_table(g.select([key_col]),
+                           os.path.join(tmp_dir, f"bucket_{bid}.parquet"))
+        else:
+            # blocking: the store must own the bucket before the barrier
+            ray.get(stores[bid % num_stores].put.remote(bid, ids))
         return pa.table({"bucket": pa.array([bid], type=ktype),
                          "n": pa.array([g.num_rows], type=ktype)})
 
-    # Barrier: the side files must exist before the filter stage reads them.
+    # Barrier: every bucket must be published before the filter stage reads.
     manifest = (
         winners.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
@@ -272,26 +318,31 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
     have = set(r["bucket"] for r in manifest.take_all())
 
     class SemiFilter:
-        """Stateful filter: bucket id -> winner-id array, loaded lazily and
+        """Stateful filter: bucket id -> winner-id array, fetched lazily and
         cached for the actor/process lifetime."""
 
-        def __init__(self, tmp_dir: str, key_col: str, bucket_width: int,
-                     have: frozenset):
+        def __init__(self, tmp_dir, key_col: str, bucket_width: int,
+                     have: frozenset, stores):
             self.tmp_dir = tmp_dir
             self.key_col = key_col
             self.bucket_width = bucket_width
             self.have = have
+            self.stores = stores
             self.cache: dict = {}
 
         def _ids(self, bid: int) -> np.ndarray:
             arr = self.cache.get(bid)
             if arr is None:
-                if bid in self.have:
+                if bid not in self.have:
+                    arr = np.empty(0, dtype=np.int64)
+                elif self.tmp_dir is not None:
                     t = pq.read_table(
                         os.path.join(self.tmp_dir, f"bucket_{bid}.parquet"))
                     arr = np.asarray(t.column(0).combine_chunks())
                 else:
-                    arr = np.empty(0, dtype=np.int64)
+                    store = self.stores[bid % len(self.stores)]
+                    (ref,) = ray.get(store.get.remote(bid))
+                    arr = ray.get(ref)
                 self.cache[bid] = arr
             return arr
 
@@ -309,7 +360,7 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str,
         SemiFilter,
         fn_constructor_kwargs={"tmp_dir": tmp_dir, "key_col": key_col,
                                "bucket_width": bucket_width,
-                               "have": frozenset(have)},
+                               "have": frozenset(have), "stores": stores},
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )

@@ -65,7 +65,7 @@ def fuzzy_vocab_pairs(ds, *, text_col: str = "text", max_dist: int = 2,
     def words(b: pa.Table) -> pa.Table:
         out: Set[str] = set()
         for t in b.column(text_col).to_pylist():
-            out.update(t.split(" "))
+            out.update((t or "").split(" "))
         return pa.table({"w": pa.array(sorted(out), type=pa.string())})
 
     def variants(b: pa.Table) -> pa.Table:

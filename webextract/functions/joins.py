@@ -95,7 +95,19 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
       (SQL FULL OUTER JOIN);
     * ``"semi"``  — left rows whose key EXISTS on the right (payload_r
       columns are not emitted);
-    * ``"anti"``  — left rows whose key does NOT exist on the right.
+    * ``"anti"``  — left rows whose key does NOT exist on the right
+      (NOT EXISTS convention: a NULL-keyed left row matches nothing and
+      is therefore KEPT).
+
+    NULL join keys follow SQL semantics: NULL never equals NULL, so
+    NULL-keyed rows are FILTERED map-side before the shuffle (they can
+    never match) and re-emitted as unmatched output where the join shape
+    calls for it — left/full/anti keep NULL-keyed left rows (right
+    payload NULL), right/full keep NULL-keyed right rows (left payload
+    NULL). Those re-emission branches consume the owning side's subgraph
+    a second time (cheap map-side scan; project before joining). Without
+    this, all NULL keys would collapse into one shuffle group and
+    inner-join each other (round-3 ADVICE).
 
     Semi/anti move only the key + left payload through the shuffle — the
     existence probe never materializes right payloads per match, so a hot
@@ -156,6 +168,18 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
                     [pa.nulls(0, type=t) for t in union_types],
                     names=union_names,
                 )
+            # SQL NULL-key semantics: a NULL key matches nothing — drop
+            # such rows before the shuffle (re-emitted as unmatched by
+            # the extras branches below where the join shape keeps them)
+            key = batch.column(on)
+            if key.null_count:
+                batch = batch.filter(pc.is_valid(key))
+                n = batch.num_rows
+                if n == 0:
+                    return pa.Table.from_arrays(
+                        [pa.nulls(0, type=t) for t in union_types],
+                        names=union_names,
+                    )
             arrays = [batch.column(on).cast(types[on])]
             for c in payload_l + payload_r:
                 arrays.append(
@@ -234,7 +258,37 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
             out_names.append(c)
         return pa.Table.from_arrays(out_arrays, names=out_names)
 
-    return unioned.groupby(on).map_groups(join_group, batch_format="pyarrow")
+    joined = unioned.groupby(on).map_groups(join_group,
+                                            batch_format="pyarrow")
+
+    # Unmatched NULL-keyed rows for the join shapes that keep them.
+    semi_shape = how in ("semi", "anti")
+    out_names = out_l_names if semi_shape else [on] + payload_l + payload_r
+
+    def null_rows(side_payload):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(on)
+            b = batch.filter(pc.is_null(key)) if batch.num_rows else batch
+            n = b.num_rows
+            arrays = []
+            for c in out_names:
+                if n and c in side_payload:
+                    arrays.append(b.column(c).cast(types[c]))
+                else:
+                    arrays.append(pa.nulls(n, type=types[c]))
+            return pa.Table.from_arrays(arrays, names=out_names)
+
+        return fn
+
+    if how in ("left", "full", "anti") and lschema.field(on).nullable:
+        joined = joined.union(
+            left.map_batches(null_rows(set(payload_l)),
+                             batch_format="pyarrow"))
+    if how in ("right", "full") and rschema.field(on).nullable:
+        joined = joined.union(
+            right.map_batches(null_rows(set(payload_r)),
+                              batch_format="pyarrow"))
+    return joined
 
 
 def _splitmix64(x):
@@ -440,7 +494,10 @@ def hash_join_on(left, right, *, on: "List[str]", how: str = "inner",
     The packed key is exact for int64/string key columns (decimal int
     rendering is unambiguous; the unit separator never appears in the
     corpus's key strings — a key string containing ``\\x1f`` would need
-    caller-side escaping). The LEFT side's original key columns ride
+    caller-side escaping). A composite key with ANY null component packs
+    to NULL (binary_join_element_wise) and follows `hash_join`'s SQL
+    NULL-key semantics: it matches nothing (dropped for inner/semi, kept
+    for anti). The LEFT side's original key columns ride
     along as payload and are re-emitted; the right side's are dropped
     (they are equal by definition). ``how`` is limited to the shapes
     where that equality holds for every output row: inner / semi / anti.

@@ -43,7 +43,7 @@ def doc_distinct_ngrams_batch(
     """
     out: List[str] = []
     for t in batch.column(text_col).to_pylist():
-        words = t.split(" ")
+        words = (t or "").split(" ")
         if len(words) < n:
             continue
         seen = set()

@@ -96,7 +96,8 @@ def _reassemble(group: pa.Table) -> pa.Table:
     })
 
 
-def paragraph_dedup(docs_fn, *, tmp_dir: str, concurrency=None):
+def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
+                    concurrency=None):
     """Corpus-global line dedup -> reassembled (doc_id, text) dataset.
 
     ``docs_fn()`` must return a fresh (doc_id, text) Dataset per call —

@@ -38,22 +38,26 @@ def canonicalize_url(url: str) -> str:
         return u
     scheme, rest = u.split("://", 1)
     scheme = scheme.lower()
-    slash = rest.find("/")
-    if slash < 0:
+    # hostport ends at the EARLIEST of '/' and '?': a host-only url with a
+    # query ('https://Host?utm_source=x') must not fold the query into the
+    # host (round-3 ADVICE fix; exercised by the doc_id%11 messy variant).
+    cuts = [i for i in (rest.find("/"), rest.find("?")) if i >= 0]
+    if not cuts:
         hostport, pathq = rest, ""
     else:
-        hostport, pathq = rest[:slash], rest[slash:]
+        cut = min(cuts)
+        hostport, pathq = rest[:cut], rest[cut:]
     hostport = hostport.lower()
     if scheme == "https" and hostport.endswith(":443"):
         hostport = hostport[:-4]
     elif scheme == "http" and hostport.endswith(":80"):
         hostport = hostport[:-3]
-    if not pathq:
-        path, query = "/", ""
-    elif "?" in pathq:
+    if "?" in pathq:
         path, query = pathq.split("?", 1)
     else:
         path, query = pathq, ""
+    if not path:
+        path = "/"
     params = [p for p in query.split("&") if p and not p.startswith("utm_")]
     if params:
         return f"{scheme}://{hostport}{path}?{'&'.join(params)}"
