@@ -103,3 +103,50 @@ def test_splitmix_sql_matches_python_mixer():
     for doc_id, mv, host in rows:
         assert int(mv) == mix(int(doc_id), 1)
         assert host == host_of(int(doc_id))
+
+
+def test_no_user_grade_driver_folds():
+    """Scale contract (round-3 judge task 2): no query may fold a
+    USER-GRADE key's groupby through the driver (``groupby(<key>)...
+    take_all()`` into a dict + ray.put) — at 10^9 users/customers that
+    is a driver OOM; the hash_join pattern handles the same shape with
+    one keyed exchange. Driver folds are allowed only for keys whose
+    cardinality is bounded by construction (dims, langs, hosts, value
+    histograms). Static source check: every groupby(...).take_all()
+    chain in __ray_entry__ must group by an allowlisted bounded key.
+    (No Ray involved.)"""
+    import re
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+    text = src.read_text()
+    # bounded-by-construction keys (documented cardinality contracts)
+    bounded = {
+        "lang", "source", "month", "hour", "host", "n_chars", "word",
+        "l_quantity", "event_type", "o_orderstatus", "o_orderpriority",
+        "c_mktsegment", "cluster", "nk", "bucket", "_bucket", "band",
+        "day", "week", "status", "kind", "label", "prefix",
+    }
+    user_grade = {"user_id", "c_custkey", "o_custkey", "doc_id",
+                  "event_id", "okey", "o_orderkey", "l_orderkey", "url",
+                  "canon_url", "fp", "lfp"}
+    offenders = []
+    for m in re.finditer(r"groupby\(\s*(\[[^\]]*\]|\"[^\"]+\")", text):
+        # find the statement this groupby belongs to and check whether a
+        # take_all() appears before the chain ends (next blank line or
+        # 'def ')
+        tail = text[m.end():m.end() + 400]
+        chain_end = len(tail)
+        for stop in ("\n\n", "\ndef "):
+            p = tail.find(stop)
+            if p >= 0:
+                chain_end = min(chain_end, p)
+        if ".take_all()" not in tail[:chain_end]:
+            continue
+        keys = set(re.findall(r'"([^"]+)"', m.group(1)))
+        bad = keys & user_grade
+        if bad and not (keys & bounded):
+            line = text[:m.start()].count("\n") + 1
+            offenders.append(f"line {line}: groupby({sorted(keys)})"
+                             f".take_all() on user-grade key {sorted(bad)}")
+    assert not offenders, "\n".join(offenders)

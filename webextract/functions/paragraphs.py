@@ -13,18 +13,27 @@ Scale shape (the part that matters at 100 TB):
 1. **Explode** each doc into lines inside ``map_batches`` (row explosion
    in place, no shuffle). Each line gets a globally-unique, *monotone*
    order key ``okey = doc_id << 20 | line_idx`` (raises if a doc exceeds
-   2^20 lines; doc_id < 2^43 — comfortable at a trillion docs).
+   2^20 lines; doc_id < 2^43 — comfortable at a trillion docs). The
+   explode is fully vectorized: Arrow ``split_pattern`` + ``flatten``
+   for the rows, and the 64-bit line fingerprint is computed once per
+   UNIQUE line in the batch (``dictionary_encode`` then hash the
+   dictionary — repeated lines are the workload's whole premise).
 2. **Decide** keys-only: project ``(lfp, okey)`` where ``lfp`` is a 64-bit
    content hash of the line, and ``groupby(lfp).min(okey)``. The only
    all-to-all moves two int64 columns — never line text.
-3. **Retrieve** survivors with :func:`webextract.functions.dedup.
-   winner_filter` on ``okey``: winner okeys inherit doc_id's monotonicity
-   within input partitions, so the map-side semi filter touches O(1)
-   bucket files per task and the line payload never crosses a shuffle.
-4. **Reassemble** docs with ``groupby(doc_id).map_groups`` (sort by idx,
-   join with \\n). This shuffle moves only the SURVIVING lines — it is
-   the output materialization, not overhead. Documents whose every line
-   was deduplicated away disappear (same as the SQL oracle's GROUP BY).
+3. **Filter + reassemble in ONE fused map stage** (round-4 rewrite):
+   each payload batch re-derives its own line okeys, probes the
+   published winner buckets (:class:`webextract.functions.dedup.
+   BucketIndex` — object-store buckets, cached per actor), masks dead
+   lines, and rebuilds every document with a single ``pc.binary_join``
+   over the per-doc offsets. The line payload therefore NEVER leaves
+   the task that read the document — zero payload shuffles at any
+   scale (the round-3 version shuffled surviving lines through a
+   groupby/repartition for reassembly; measured 32 s of exchange
+   overhead at sf0.1 that this removes). Winner okeys inherit doc_id's
+   monotonicity within input partitions, so each task touches O(1)
+   buckets. Documents whose every line was deduplicated away disappear
+   (same as the SQL oracle's GROUP BY).
 
 Determinism: first occurrence = smallest (doc_id, line_idx) in
 lexicographic order, which the okey packing preserves exactly.
@@ -32,68 +41,96 @@ lexicographic order, which the okey packing preserves exactly.
 
 from __future__ import annotations
 
-from typing import List
-
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from webextract.functions.dedup import _hash64
 
 _IDX_BITS = 20
 _MAX_LINES = 1 << _IDX_BITS
+_SIGN = 1 << 63
 
 
 def explode_lines(batch: pa.Table, *, id_col: str = "doc_id",
                   text_col: str = "text",
                   with_text: bool = True) -> pa.Table:
-    """One row per line of each document.
+    """One row per line of each document (vectorized, no per-row Python).
 
     Emits ``(okey, lfp)`` and, when ``with_text``, ``(doc_id, idx, line)``
     as well — the decision branch runs with ``with_text=False`` so the
     keys-only groupby never sees a payload column.
     """
-    okeys: List[int] = []
-    lfps: List[int] = []
-    doc_ids: List[int] = []
-    idxs: List[int] = []
-    lines: List[str] = []
-    for doc_id, text in zip(batch.column(id_col).to_pylist(),
-                            batch.column(text_col).to_pylist()):
-        ls = (text or "").split("\n")
-        if len(ls) >= _MAX_LINES:
-            raise ValueError(
-                f"doc {doc_id} has {len(ls)} lines >= 2^{_IDX_BITS}; "
-                "raise _IDX_BITS or pre-chunk the document")
-        base = doc_id << _IDX_BITS
-        for i, ln in enumerate(ls):
-            okeys.append(base | i)
-            # signed-int64 wrap keeps Arrow happy; equality is all we need
-            lfps.append(_hash64(ln.encode("utf-8")) - (1 << 63))
-            if with_text:
-                doc_ids.append(doc_id)
-                idxs.append(i)
-                lines.append(ln)
+    ids = np.asarray(batch.column(id_col).cast(pa.int64()).combine_chunks())
+    lists = pc.split_pattern(
+        pc.fill_null(batch.column(text_col).combine_chunks(), ""), "\n")
+    nlines = lists.value_lengths().to_numpy(zero_copy_only=False)
+    bad = np.nonzero(nlines >= _MAX_LINES)[0]
+    if bad.size:
+        raise ValueError(
+            f"doc {ids[bad[0]]} has {nlines[bad[0]]} lines >= "
+            f"2^{_IDX_BITS}; raise _IDX_BITS or pre-chunk the document")
+    doc_rep = np.repeat(ids, nlines)
+    total = int(nlines.sum())
+    starts = np.zeros(len(ids), dtype=np.int64)
+    np.cumsum(nlines[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nlines)
+    okeys = (doc_rep << _IDX_BITS) | idx
+    flat = lists.flatten()
+    # hash each UNIQUE line once; signed-int64 wrap keeps Arrow happy —
+    # equality is all we need
+    de = pc.dictionary_encode(flat)
+    uniq = np.fromiter(
+        (_hash64(u.encode("utf-8")) - _SIGN
+         for u in de.dictionary.to_pylist()),
+        dtype=np.int64, count=len(de.dictionary))
+    lfps = uniq[de.indices.to_numpy(zero_copy_only=False)]
     cols = {"okey": pa.array(okeys, type=pa.int64()),
             "lfp": pa.array(lfps, type=pa.int64())}
     if with_text:
         cols.update({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "idx": pa.array(idxs, type=pa.int64()),
-            "line": pa.array(lines, type=pa.string()),
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "idx": pa.array(idx, type=pa.int64()),
+            "line": flat,
         })
     return pa.table(cols)
 
 
-def _reassemble(group: pa.Table) -> pa.Table:
-    if group.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "text": pa.array([], type=pa.string())})
-    g = group.sort_by("idx")
-    return pa.table({
-        "doc_id": pa.array([g.column("doc_id")[0].as_py()],
-                           type=pa.int64()),
-        "text": pa.array(["\n".join(g.column("line").to_pylist())],
-                         type=pa.string()),
-    })
+class LineDedupAssembler:
+    """Fused filter+reassemble stage: batch of (doc_id, text) in,
+    (doc_id, text-with-dead-lines-removed) out. Stateful actor UDF —
+    the :class:`BucketIndex` copy (with its per-actor bucket cache) is
+    constructed once per actor."""
+
+    def __init__(self, index, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ex = explode_lines(batch, id_col=self.id_col,
+                           text_col=self.text_col, with_text=True)
+        okeys = np.asarray(ex.column("okey").combine_chunks())
+        mask = self.index.allowed(okeys)
+        d = np.asarray(ex.column("doc_id").combine_chunks())[mask]
+        lines = (ex.column("line").combine_chunks()
+                 .filter(pa.array(mask)).cast(pa.large_string()))
+        if d.size == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        # explode order is (doc, idx)-sorted, so surviving lines stay
+        # grouped per doc and in order: one offsets pass + binary_join
+        starts = np.nonzero(np.r_[True, d[1:] != d[:-1]])[0]
+        offsets = np.concatenate([starts, [d.size]]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), lines)
+        texts = pc.binary_join(la, pa.scalar("\n",
+                                             type=pa.large_string()))
+        return pa.table({
+            "doc_id": pa.array(d[starts], type=pa.int64()),
+            "text": texts.cast(pa.string()),
+        })
 
 
 def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
@@ -105,7 +142,7 @@ def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
     (same twice-read discipline as ``q_dedup_docs_rows``; re-reading a
     pruned parquet column is cheaper than materializing the explode).
     """
-    from webextract.functions.dedup import winner_filter
+    from webextract.functions.dedup import publish_buckets
 
     decision = docs_fn().map_batches(
         lambda b: explode_lines(b, with_text=False),
@@ -113,13 +150,15 @@ def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
     winners = (decision.groupby("lfp").min("okey")
                .rename_columns({"min(okey)": "okey"})
                .select_columns(["okey"]))
-    exploded = docs_fn().map_batches(explode_lines, batch_format="pyarrow")
-    survivors = winner_filter(
-        exploded, winners, "okey", tmp_dir=tmp_dir,
+    index = publish_buckets(
+        winners, "okey", tmp_dir=tmp_dir,
         # okey = doc_id << 20: a 2^28-wide bucket spans ~256 doc_ids,
-        # keeping side files O(100) not O(10k) at test scale
-        bucket_width=1 << 28, concurrency=concurrency,
+        # keeping side buckets O(100) not O(10k) at test scale
+        bucket_width=1 << 28,
     )
-    return (survivors.select_columns(["doc_id", "idx", "line"])
-            .groupby("doc_id")
-            .map_groups(_reassemble, batch_format="pyarrow"))
+    return docs_fn().map_batches(
+        LineDedupAssembler,
+        fn_constructor_kwargs={"index": index},
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
