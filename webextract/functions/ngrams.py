@@ -101,7 +101,7 @@ def line_filter_batch(
         # the extractor never emits empty lines (nonempty blocks joined
         # by single '\n'); filtering '' makes text=='' count 0 lines,
         # matching the oracle's list_filter(c <> '') line set.
-        lines = [ln for ln in t.split("\n") if ln]
+        lines = [ln for ln in (t or "").split("\n") if ln]
         kept = [
             ln
             for ln in lines
@@ -129,7 +129,7 @@ def word_doc_pairs_batch(
     for did, t in zip(
         batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
     ):
-        for w in set(t.split(" ")):
+        for w in set((t or "").split(" ")):
             words.append(w)
             ids.append(did)
     return pa.table({

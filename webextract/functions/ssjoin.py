@@ -40,7 +40,7 @@ import pyarrow as pa
 def _shingles(text: str, n: int) -> List[str]:
     """Distinct word n-grams, mirroring the SQL oracle's gram CTE
     (``words[i+1 : i+n]`` over ``range(0, greatest(len-n+1, 1))``)."""
-    words = text.split(" ")
+    words = (text or "").split(" ")
     return sorted({
         " ".join(words[i:i + n])
         for i in range(max(len(words) - (n - 1), 1))
