@@ -1,9022 +1,33 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the graft builder (Ray Data target) — thin shim.
 
-``entry()`` runs the flagship detect-then-extract pipeline on sf0.001.
+``entry()`` runs the flagship detect-then-extract pipeline on sf0.001;
 ``queries()`` exposes one callable per implemented operator/pipeline from
 SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
 SQL-expressible one (same column names — the driver hashes values after
 sorting columns by name).
 
+The implementation lives in ``webextract/queries/`` (one module per query
+domain; see that package's ``__init__``); this shim re-exports the whole
+historical surface so ``import __ray_entry__`` keeps working for the
+driver, ``bench.py`` and the tests.
+
 Ray is initialised by the driver BEFORE this module is imported: nothing
-here calls ``ray.init()`` / ``ray.shutdown()``.
-
-The flagship queries derive a BASELINE-shaped pages table
-(url, warc_ts, html, text, lang) deterministically from the driver's
-``documents`` table (webextract/corpus.py render; FIXTURES.md §1), extract
-main content through the full Ray pipeline, and the oracle reconstructs the
-expected byte-exact text in pure SQL — mirroring
-``corpus.split_paragraphs``: k = doc_id%3+1 word-chunks (5 for
-three-column rows), '\\n'-joined.
-"""
-
-from __future__ import annotations
-
-from collections.abc import Callable
-from typing import Any
-
-import numpy as np
-import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.parquet as pq
-
-def _conc():
-    """Actor-pool bounds for the oracle queries: (1, 4) measured-best.
-
-    A wider cap (tried (1, 16) at 32 cpus) made every secondary SLOWER at
-    the sf0.1 tier — actor ramp latency dominates these short runs and the
-    extra pools starve task stages. Override via RAY_GRAFT_QUERY_CONC for
-    experiments on bigger corpora."""
-    import os
-
-    return (1, int(os.environ.get("RAY_GRAFT_QUERY_CONC", "4")))
-
-
-def _docs(sf_dir: str, columns=None):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
-
-
-# --------------------------------------------------------------------------
-# Flagship: detect-then-extract with byte-identity oracle
-# --------------------------------------------------------------------------
-
-
-_EXTRACT_CACHE: dict = {}
-_LINKS_CACHE: dict = {}
-
-
-def _extract_ds(sf_dir: str):
-    """Extracted-pages dataset, materialized and memoized per sf_dir:
-    six driver queries (extract_text, block_counts, verify_pass,
-    training_prep, c4_line_filter, ...) consume the same
-    render->segment->extract subgraph; the result is one row per doc
-    (html payload already dropped), so pinning it once per session is
-    strictly cheaper than re-running the pipeline per query."""
-    ds = _EXTRACT_CACHE.get(sf_dir)
-    if ds is None:
-        from webextract.pipelines.extract_pipeline import extract_pages
-        from webextract.sources.pages import pages_from_documents
-
-        ds = extract_pages(
-            pages_from_documents(sf_dir), concurrency=_conc()
-        ).materialize()
-        _EXTRACT_CACHE[sf_dir] = ds
-    return ds
-
-
-def _links_ds(sf_dir: str):
-    """(doc_id, href, anchor) rows, materialized + memoized per sf_dir
-    (shared by extract_links / anchor_terms / top_anchor_per_target)."""
-    ds = _LINKS_CACHE.get(sf_dir)
-    if ds is None:
-        from webextract.sources.pages import pages_from_documents
-        from webextract.stages.links import extract_links
-
-        ds = extract_links(
-            pages_from_documents(sf_dir), concurrency=_conc()
-        ).materialize()
-        _LINKS_CACHE[sf_dir] = ds
-    return ds
-
-
-def q_extract_text(sf_dir: str):
-    """Byte-identical extracted text per document (ok rows)."""
-    ds = _extract_ds(sf_dir).filter(expr="status == 'ok'")
-    return ds.select_columns(["doc_id", "text"])
-
-
-_SQL_GOLD_TEXT = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
-         (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
-  FROM documents
-)
-SELECT doc_id,
-  array_to_string(
-    list_filter(
-      list_transform(range(0, k), i ->
-        array_to_string(words[(i*len(words))//k + 1 : ((i+1)*len(words))//k], ' ')
-      ), c -> c <> ''), chr(10)) AS text
-FROM w
-WHERE doc_id % 50 <> 7
-"""
-
-
-def q_verify_pass(sf_dir: str):
-    """The north-rule verification pass as a query: byte-equality flags
-    reduced to global counters (RecMetric partial+AllReduce pattern). The
-    oracle pins n_match == n_ok — 100% byte-identity is itself the assertion.
-    """
-    from webextract.functions.metrics import verify_extraction
-
-    m = verify_extraction(_extract_ds(sf_dir))
-    return pa.table(
-        {
-            "n_docs": pa.array([m["n_docs"]], type=pa.int64()),
-            "n_ok": pa.array([m["n_ok"]], type=pa.int64()),
-            "n_match": pa.array([m["n_match"]], type=pa.int64()),
-        }
-    )
-
-
-_SQL_VERIFY_PASS = """
-SELECT count(*)::BIGINT AS n_docs,
-       sum(CASE WHEN doc_id % 50 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
-       sum(CASE WHEN doc_id % 50 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_match
-FROM documents
-"""
-
-
-def q_extract_block_counts(sf_dir: str):
-    """Detect-stage block counts + branch routing + quarantine status."""
-    ds = _extract_ds(sf_dir)
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_blocks": pc.cast(b.column("n_blocks"), pa.int64()),
-                "doctype": b.column("doctype"),
-                "status": b.column("status"),
-            }
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-_SQL_BLOCK_COUNTS = """
-SELECT doc_id,
-  CASE WHEN doc_id % 50 = 7 THEN 0
-       ELSE least(CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END,
-                 len(string_split(text, ' '))) END AS n_blocks,
-  CASE WHEN doc_id % 50 = 7 THEN ''
-       WHEN doc_id % 25 = 3 THEN 'pdf' ELSE 'html' END AS doctype,
-  CASE WHEN doc_id % 50 = 7 THEN 'error' ELSE 'ok' END AS status
-FROM documents
-"""
-
-
-def q_training_prep(sf_dir: str):
-    """Full prep composition: extract -> quality filter -> 64-token chunks.
-
-    All synthetic docs pass the quality gate deterministically (word-soup
-    alpha ratio ~1.0 >> 0.5), so the oracle is gold-text chunking over the
-    non-corrupt docs.
-    """
-    from webextract.pipelines.prep_pipeline import prep_training_data
-    from webextract.sources.pages import pages_from_documents
-
-    return prep_training_data(
-        pages_from_documents(sf_dir), chunk_tokens=64, min_quality=0.5,
-        concurrency=_conc(),
-    )
-
-
-_SQL_TRAINING_PREP = r"""
-WITH k0 AS (
-  SELECT doc_id, text, (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5 THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
-  FROM documents WHERE doc_id % 50 <> 7
-),
-g AS (
-  SELECT doc_id,
-    array_to_string(
-      list_filter(
-        list_transform(range(0, k), i ->
-          array_to_string(
-            string_split(text, ' ')[(i*len(string_split(text, ' ')))//k + 1
-                                    : ((i+1)*len(string_split(text, ' ')))//k],
-            ' ')
-        ), c -> c <> ''), chr(10)) AS gold
-  FROM k0
-),
-w AS (
-  SELECT doc_id, string_split(gold, ' ') AS words FROM g
-),
-e AS (
-  SELECT doc_id, words, unnest(range(0, (len(words)-1)//64 + 1)) AS i FROM w
-)
-SELECT doc_id, i::INT AS chunk_idx,
-  array_to_string(words[i*64 + 1 : least((i+1)*64, len(words))], ' ') AS chunk_text,
-  (least((i+1)*64, len(words)) - i*64)::BIGINT AS n_tokens
-FROM e
-"""
-
-
-# --------------------------------------------------------------------------
-# Text analysis
-# --------------------------------------------------------------------------
-
-
-def q_doc_fingerprint(sf_dir: str):
-    from webextract.functions.textstats import fingerprint_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "fp"])
-
-
-def q_quality_stats(sf_dir: str):
-    from webextract.functions.textstats import quality_stats_batch
-
-    def project(b: pa.Table) -> pa.Table:
-        b = quality_stats_batch(b)
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_chars": b.column("n_chars_c"),
-                "n_tokens": b.column("n_tokens"),
-            }
-        )
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(project, batch_format="pyarrow")
-
-
-def q_token_stats_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    from webextract.functions.textstats import quality_stats_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        quality_stats_batch, batch_format="pyarrow"
-    )
-    out = ds.groupby("lang").aggregate(
-        Count(), Sum("n_tokens"), Min("n_chars_c"), Max("n_chars_c")
-    )
-    return out.rename_columns(
-        {
-            "count()": "n_docs",
-            "sum(n_tokens)": "total_tokens",
-            "min(n_chars_c)": "min_chars",
-            "max(n_chars_c)": "max_chars",
-        }
-    )
-
-
-def q_bpe_token_counts(sf_dir: str):
-    from webextract.functions.textstats import bpe_token_count_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        bpe_token_count_batch, batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "n_bpe_tokens"])
-
-
-def q_quality_scores(sf_dir: str):
-    """C4/Gopher-style quality ratios; UNROUNDED float64 so the exact IEEE
-    divisions match the SQL oracle bit-for-bit (np.round is half-even,
-    DuckDB round is half-away — rounding would desync at ties)."""
-    import functools
-
-    from webextract.functions.textstats import quality_score_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        functools.partial(quality_score_batch, round_to=None),
-        batch_format="pyarrow",
-    )
-    return ds.select_columns(
-        ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality"]
-    )
-
-
-_SQL_QUALITY_SCORES = r"""
-WITH q AS (
-  SELECT doc_id,
-    length(text)::DOUBLE AS n,
-    length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE AS alpha_cnt,
-    length(regexp_replace(text, '[\p{L}\p{N}\s\x{0b}]', '', 'g'))::DOUBLE AS punct_cnt,
-    list_filter(regexp_split_to_array(lower(text), '[\s\x{0b}]+'),
-                w -> w <> '') AS words
-  FROM documents
-),
-r AS (
-  SELECT doc_id,
-    CASE WHEN n > 0 THEN alpha_cnt / n ELSE 0.0 END AS alpha_ratio,
-    CASE WHEN n > 0 THEN punct_cnt / n ELSE 0.0 END AS punct_ratio,
-    CASE WHEN len(words) > 0 AND n > 0 THEN
-      len(list_filter(words, w -> list_contains(
-        ['the','a','an','and','or','of','to','in','is','are','was','for',
-         'with','on','at','by','it','this','that'], w)))::DOUBLE / len(words)
-      ELSE 0.0 END AS stopword_ratio,
-    CASE WHEN len(words) > 0 AND n > 0
-      THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
-           / len(words) ELSE 0.0 END AS mwl,
-    n
-  FROM q
-)
-SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio,
-  CASE WHEN n > 0 THEN greatest(0.0, least(1.0,
-    alpha_ratio - 2.0 * greatest(0.0, punct_ratio - 0.1)
-      - (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.0 ELSE 0.3 END)))
-  ELSE 0.0 END AS quality
-FROM r
-"""
-
-
-_SQL_LANG_ID = r"""
-WITH w AS (
-  SELECT doc_id, text,
-         list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '[\s\x{0b}]+'),
-           w -> w <> '')) AS ws
-  FROM documents
-),
-v AS (
-  SELECT doc_id, text,
-    len(list_intersect(ws, ['der','die','und','das','ist','nicht','ein','mit','für'])) AS v_de,
-    len(list_intersect(ws, ['the','and','of','to','is','in','that','for','with'])) AS v_en,
-    len(list_intersect(ws, ['el','la','los','que','es','una','por','con','para'])) AS v_es,
-    len(list_intersect(ws, ['le','la','les','et','est','une','pour','que','dans'])) AS v_fr
-  FROM w
-)
-SELECT doc_id,
-  CASE
-    WHEN length(regexp_replace(substring(text, 1, 2000),
-                               '[^\x{4e00}-\x{9fff}]', '', 'g'))
-         > 0.2 * least(length(text), 2000) THEN 'zh'
-    WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
-    WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
-    WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
-    WHEN v_es >= v_fr THEN 'es'
-    ELSE 'fr'
-  END AS lang_pred
-FROM v
-"""
-
-
-def q_pii_scan(sf_dir: str):
-    """PII span counts per doc (oracle asserts zero false positives on the
-    clean synthetic text — PII precision, not recall; recall is pytest-side
-    with planted entities)."""
-    from webextract.functions.pii import PiiScanner
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PiiScanner,
-        fn_constructor_kwargs={"redact_col": False},
-        batch_format="pyarrow",
-        concurrency=_conc(),
-    )
-
-    def project(b: pa.Table) -> pa.Table:
-        n = [len(s) for s in b.column("pii_spans").to_pylist()]
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "n_pii": pa.array(n, type=pa.int64())}
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-def q_lang_id(sf_dir: str):
-    from webextract.functions.textstats import lang_id_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        lang_id_batch, batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "lang_pred"])
-
-
-# --------------------------------------------------------------------------
-# Dedup family
-# --------------------------------------------------------------------------
-
-
-def q_dedup_exact(sf_dir: str):
-    from webextract.functions.dedup import exact_dedup
-    from webextract.functions.textstats import fingerprint_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
-    )
-    return exact_dedup(ds.select_columns(["fp", "doc_id"]), "fp", "doc_id")
-
-
-def q_dedup_events(sf_dir: str):
-    import ray.data
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "event_id"]
-    )
-    return (
-        ds.groupby(["user_id", "event_type"])
-        .min("event_id")
-        .rename_columns({"min(event_id)": "event_id"})
-    )
-
-
-def q_dedup_docs_rows(sf_dir: str):
-    """Keep-first dedup returning the FULL surviving row (not just the key)
-    — the shape a prep pipeline actually wants.
-
-    Scale shape (round-3 rewrite): the keyed DECISION is a keys-only
-    shuffle (groupby(fp).min(doc_id) over projected (fp, doc_id)); the
-    surviving full rows are then retrieved with `winner_filter` — a
-    partition-aligned map-side semi filter whose winner buckets travel
-    through the OBJECT STORE (cluster-safe: no node-local scratch) — so
-    the text payload is read once and NEVER crosses an all-to-all (the
-    old version shuffled (doc_id, text, lang) through
-    groupby(fp).map_groups)."""
-    from webextract.functions.dedup import exact_dedup, winner_filter
-    from webextract.functions.textstats import fingerprint_batch
-
-    keys = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(fingerprint_batch, batch_format="pyarrow")
-        .select_columns(["fp", "doc_id"])
-    )
-    winners = exact_dedup(keys, "fp", "doc_id").select_columns(["doc_id"])
-    out = winner_filter(
-        _docs(sf_dir, ["doc_id", "text", "lang"]), winners, "doc_id",
-    )
-    return out.select_columns(["doc_id", "text", "lang"])
-
-
-_SQL_DEDUP_ROWS = """
-SELECT doc_id, text, lang FROM documents
-QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-"""
-
-
-def q_normalize_text(sf_dir: str):
-    """Unicode canonicalization prep op: NFC normalize + lowercase +
-    whitespace collapse — the text-side RecResizeNormForInfer analog
-    (canonicalize-before-emit), SQL-mirrored via nfc_normalize/lower/
-    regexp_replace."""
-    import re
-    import unicodedata
-
-    ws = re.compile(r"\s+")
-
-    def norm(b: pa.Table) -> pa.Table:
-        out = [
-            ws.sub(" ", unicodedata.normalize("NFC", (t or "")).lower()).strip()
-            for t in b.column("text").to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "norm_text": pa.array(out, type=pa.string()),
-            }
-        )
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        norm, batch_format="pyarrow"
-    )
-
-
-_SQL_NORMALIZE = r"""
-SELECT doc_id,
-       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
-         AS norm_text
-FROM documents
-"""
-
-
-def q_minhash_signatures(sf_dir: str):
-    from webextract.functions.dedup import MinHasher
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=_conc()
-    )
-
-    def project(b: pa.Table) -> pa.Table:
-        sig0 = [int(s[0]) for s in b.column("minhash").to_pylist()]
-        band0 = [int(k[0]) for k in b.column("band_key").to_pylist()]
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "sig0": pa.array(sig0, type=pa.int64()),
-                "band0": pa.array(band0, type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-def q_neardup_pairs(sf_dir: str):
-    from webextract.functions.dedup import neardup_pairs
-
-    return neardup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
-
-
-def q_neardup_pairs_exact(sf_dir: str):
-    """LSH candidates verified with EXACT n-gram Jaccard, fully distributed.
-
-    Candidate (id_a, id_b) pairs from MinHash+LSH (bands=16 for ~1.0 recall
-    at j>=0.9) are joined BACK to their texts with two hash joins — the
-    shuffle moves (doc_id, text) pairs, never a driver-side dict — then each
-    row computes exact word-3-gram Jaccard and keeps pairs >= 0.8. On the
-    deterministic corpus every planted near-dup sits at j>=0.9 and every
-    non-dup below 0.3, so the result equals the all-pairs SQL oracle.
-    """
-    from webextract.functions.dedup import jaccard, neardup_pairs
-    from webextract.functions.joins import hash_join
-
-    # Join keys are renamed ONCE on the parquet side (id_a/id_b) — never a
-    # swap-style rename chain on the lazy join output: Ray 2.49's metadata
-    # schema propagation mis-composes chained renames that reintroduce a
-    # removed name (the round-2 driver crash). Schemas are passed
-    # explicitly so no hash_join partially executes its input subgraph
-    # just to discover columns.
-    cand = neardup_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, bands=16
-    ).drop_columns(["est_jaccard"])
-    texts_a = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"doc_id": "id_a", "text": "text_a"}
-    )
-    texts_b = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"doc_id": "id_b", "text": "text_b"}
-    )
-    s_cand = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
-    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
-    j1 = hash_join(cand, texts_a, on="id_a",
-                   left_schema=s_cand, right_schema=s_ta)
-    s_j1 = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", pa.string())]
-    )
-    j2 = hash_join(j1, texts_b, on="id_b",
-                   left_schema=s_j1, right_schema=s_tb)
-
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        ids_a = b.column("id_a").to_pylist()
-        ids_b = b.column("id_b").to_pylist()
-        ja = [
-            round(jaccard(ta, tb), 6)
-            for ta, tb in zip(b.column("text_a").to_pylist(),
-                              b.column("text_b").to_pylist())
-        ]
-        keep_a, keep_b, keep_j = [], [], []
-        for a, bb, jc in zip(ids_a, ids_b, ja):
-            if jc >= 0.8:
-                keep_a.append(a)
-                keep_b.append(bb)
-                keep_j.append(jc)
-        return pa.table(
-            {
-                "id_a": pa.array(keep_a, type=pa.int64()),
-                "id_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(keep_j, type=pa.float64()),
-            }
-        )
-
-    return j2.map_batches(verify, batch_format="pyarrow")
-
-
-_SQL_NEARDUP_EXACT = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-),
-g AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
-  FROM w, unnest(range(0, greatest(len(words) - 2, 1))) AS t(i)
-),
-cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       round(ix::DOUBLE / (ca.n + cb.n - ix), 6) AS jaccard
-FROM inter
-JOIN cnt ca ON ca.doc_id = id_a
-JOIN cnt cb ON cb.doc_id = id_b
-WHERE ix::DOUBLE / (ca.n + cb.n - ix) >= 0.8
-"""
-
-
-_NEARDUP_PAIRS_CACHE: dict = {}
-
-
-def _neardup_pairs_exact_mat(sf_dir: str):
-    """Materialized (and memoized per sf_dir) exact near-dup pairs: three
-    queries (`neardup_pairs_exact` consumers `dedup_clusters` and
-    `neardup_keep`) share the same expensive LSH->join->verify subgraph;
-    the result is tiny (pairs only), so pinning it once per session is
-    strictly cheaper than recomputing the chain per query."""
-    ds = _NEARDUP_PAIRS_CACHE.get(sf_dir)
-    if ds is None:
-        ds = q_neardup_pairs_exact(sf_dir).materialize()
-        _NEARDUP_PAIRS_CACHE[sf_dir] = ds
-    return ds
-
-
-def q_neardup_pairs_exact_cached(sf_dir: str):
-    """Driver-facing `neardup_pairs_exact`: same result, via the shared
-    materialized subgraph (docstring of `q_neardup_pairs_exact` has the
-    semantics; `_neardup_pairs_exact_mat` the caching rationale)."""
-    return _neardup_pairs_exact_mat(sf_dir)
-
-
-def q_dedup_clusters(sf_dir: str):
-    """Duplicate CLUSTERS: exact-verified near-dup pairs -> connected
-    components by distributed min-label propagation (functions/graph.py);
-    component id = min doc_id reachable. The step that turns pair mining
-    into keep-one-per-cluster dedup."""
-    from webextract.functions.graph import connected_components
-
-    pairs = _neardup_pairs_exact_mat(sf_dir)
-    return connected_components(pairs).rename_columns({"node": "doc_id"})
-
-
-_SQL_DEDUP_CLUSTERS = (
-    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
-    + r"""
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-)
-SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
-FROM reach GROUP BY src
-"""
-)
-
-
-def q_rolling_fingerprint(sf_dir: str):
-    """Winnowing-style doc fingerprint: min rolling-window hash per doc."""
-    from webextract.functions.textstats import rolling_hashes
-
-    def fp(b: pa.Table) -> pa.Table:
-        vals = [min(rolling_hashes(s or "", window=32))
-                for s in b.column("text").to_pylist()]
-        return pa.table(
-            {"doc_id": b.column("doc_id"),
-             "fp_rolling": pa.array(vals, type=pa.int64())}
-        )
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
-
-
-def q_simhash(sf_dir: str):
-    from webextract.functions.dedup import simhash_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        simhash_batch, batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "simhash"])
-
-
-# --------------------------------------------------------------------------
-# Relational coverage (groupby/agg, broadcast join, sort/limit, window)
-# --------------------------------------------------------------------------
-
-
-def q_pricing_summary(sf_dir: str):
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity"],
-    )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity"), Count()
-    )
-    out = out.rename_columns(
-        {"sum(l_quantity)": "sum_qty", "count()": "count_order"}
-    )
-
-    def rnd(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("sum_qty")
-        return b.set_column(i, "sum_qty", pc.round(b.column("sum_qty"), ndigits=2))
-
-    return out.map_batches(rnd, batch_format="pyarrow")
-
-
-def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: small customer side shipped once via ray.put,
-    probed with vectorized pc.index_in + take (no per-row Python)
-    (functions/joins.broadcast_join)."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from webextract.functions.joins import broadcast_join
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    ).rename_columns({"o_custkey": "c_custkey"})
-    joined = broadcast_join(orders, cust, key="c_custkey",
-                            concurrency=_conc())
-    return (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_orders"})
-    )
-
-
-def q_orders_customers_join(sf_dir: str):
-    """Big-big hash join (one shuffle, per-key cross product)."""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
-    ).rename_columns({"o_custkey": "c_custkey"})
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    return hash_join(orders, cust, on="c_custkey")
-
-
-def q_customers_no_orders(sf_dir: str):
-    """ANTI join: customers with no order among the first 1000 orderkeys —
-    the existence probe ships only keys through the shuffle (no
-    cross-product term for hot keys). (The full orders table covers every
-    customer in this synthetic data, which would make the anti side empty;
-    the orderkey cut keeps the result non-trivial.)"""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    orders = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
-        )
-        .filter(expr="o_orderkey <= 1000")
-        .select_columns(["o_custkey"])
-        .rename_columns({"o_custkey": "c_custkey"})
-    )
-    return hash_join(cust, orders, on="c_custkey", how="anti")
-
-
-def q_customers_with_orders(sf_dir: str):
-    """SEMI join: customers having at least one order."""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    ).rename_columns({"o_custkey": "c_custkey"})
-    return hash_join(cust, orders, on="c_custkey", how="semi")
-
-
-def q_events_sliding_window(sf_dir: str):
-    """SLIDING window (1h width, 30min slide): each event lands in exactly
-    two windows — rows duplicated in map_batches (flat explode), then one
-    groupby; no per-window scans."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
-    )
-
-    def explode(b: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(b.column("ts"), multiple=30, unit="minute")
-        prev = pc.add(base, pa.scalar(-1_800_000_000, type=pa.duration("us")))
-        et = b.column("event_type")
-        return pa.table(
-            {
-                "event_type": pa.concat_arrays(
-                    [et.combine_chunks(), et.combine_chunks()]
-                ),
-                "window_start": pa.concat_arrays(
-                    [base.combine_chunks().cast(pa.timestamp("us")),
-                     prev.combine_chunks().cast(pa.timestamp("us"))]
-                ),
-            }
-        )
-
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n_events"})
-    )
-
-    def recast(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("window_start")
-        return b.set_column(
-            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
-        )
-
-    return out.map_batches(recast, batch_format="pyarrow")
-
-
-_SQL_SLIDING = """
-SELECT event_type, ws AS window_start, count(*) AS n_events
-FROM (
-  SELECT event_type,
-         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
-                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
-  FROM events
-)
-GROUP BY event_type, ws
-"""
-
-
-def q_top_docs_per_lang(sf_dir: str):
-    """Top-k per group: 2 longest docs per language — per-group sort+head
-    inside map_groups; only the group shuffle is global."""
-
-    def head2(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
-        )
-        return g.take(idx[:2])
-
-    return (
-        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
-        .groupby("lang")
-        .map_groups(head2, batch_format="pyarrow")
-    )
-
-
-_SQL_TOP_PER_LANG = """
-SELECT lang, doc_id, n_chars FROM documents
-QUALIFY row_number() OVER (PARTITION BY lang
-                           ORDER BY n_chars DESC, doc_id) <= 2
-"""
-
-
-def q_pii_recall(sf_dir: str):
-    """PII RECALL on planted entities: deterministic injections (email /
-    ssn-like / ipv4 keyed on doc_id % 4) must each be found exactly once.
-    Complements `pii_scan` (precision on clean text)."""
-    from webextract.functions.pii import PiiScanner
-
-    def plant(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        out = []
-        for i, t in zip(ids, texts):
-            if i % 4 == 1:
-                out.append(f"{t} reach me at user{i}@example.com")
-            elif i % 4 == 2:
-                out.append(f"{t} id 123-45-6789")
-            elif i % 4 == 3:
-                out.append(f"{t} from 10.1.2.{i % 250}")
-            else:
-                out.append(t or "")
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "text": pa.array(out, type=pa.string()),
-            }
-        )
-
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        plant, batch_format="pyarrow"
-    ).map_batches(
-        PiiScanner,
-        fn_constructor_kwargs={"redact_col": False},
-        batch_format="pyarrow",
-        concurrency=_conc(),
-    )
-
-    def project(b: pa.Table) -> pa.Table:
-        spans = b.column("pii_spans").to_pylist()
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_pii": pa.array([len(s) for s in spans], type=pa.int64()),
-                "kind": pa.array(
-                    [s[0]["kind"] if s else "" for s in spans],
-                    type=pa.string(),
-                ),
-            }
-        )
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
-_SQL_PII_RECALL = """
-SELECT doc_id,
-  CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END::BIGINT AS n_pii,
-  CASE doc_id % 4 WHEN 1 THEN 'email' WHEN 2 THEN 'ssn_like'
-                  WHEN 3 THEN 'ipv4' ELSE '' END AS kind
-FROM documents
-"""
-
-
-def q_doc_length_quantiles(sf_dir: str):
-    """EXACT distributed quantiles over a bounded-cardinality int column:
-    groupby(value).count() shuffles one row per DISTINCT length, the driver
-    folds the tiny histogram — never a global sort of the data. Matches
-    DuckDB quantile_disc (v[floor(q*(n-1))])."""
-    from ray.data.aggregate import Count
-
-    hist = (
-        _docs(sf_dir, ["n_chars"])
-        .groupby("n_chars")
-        .aggregate(Count())
-        .rename_columns({"count()": "n"})
-        .take_all()
-    )
-    hist.sort(key=lambda r: r["n_chars"])
-    total = sum(r["n"] for r in hist)
-    qs = [0.5, 0.9, 0.99]
-    targets = [int(q * (total - 1)) for q in qs]  # 0-based rank
-    vals = []
-    cum = 0
-    it = iter(hist)
-    row = next(it)
-    for t in targets:
-        while cum + row["n"] <= t:
-            cum += row["n"]
-            row = next(it)
-        vals.append(row["n_chars"])
-    return pa.table(
-        {
-            "q": pa.array(qs, type=pa.float64()),
-            "value": pa.array(vals, type=pa.int64()),
-        }
-    )
-
-
-_SQL_QUANTILES = """
-SELECT 0.5::DOUBLE AS q, quantile_disc(n_chars, 0.5)::BIGINT AS value FROM documents
-UNION ALL
-SELECT 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::BIGINT FROM documents
-UNION ALL
-SELECT 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::BIGINT FROM documents
-"""
-
-
-def q_top_words(sf_dir: str):
-    """EXACT distributed heavy hitters: Misra-Gries nomination per block +
-    broadcast-filtered exact second pass (functions/sketches.py)."""
-    from webextract.functions.sketches import top_k_words
-
-    return top_k_words(_docs(sf_dir, ["text"]), k=10)
-
-
-_SQL_TOP_WORDS = """
-SELECT word, count(*)::BIGINT AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-GROUP BY word
-ORDER BY n DESC, word
-LIMIT 10
-"""
-
-
-def q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT user_id): per-block 4 KB
-    register partials, driver-side register-max merge. Approximate by
-    construction -> rows-only check; the error bound is pinned by pytest."""
-    import ray.data
-
-    from webextract.functions.sketches import approx_distinct
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
-    return pa.table({"estimate": pa.array([float(est)], type=pa.float64())})
-
-
-def q_distinct_langs(sf_dir: str):
-    """Set op: distinct values via Ray `unique` (shuffle on the key only)."""
-    langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
-    return pa.table({"lang": pa.array(langs, type=pa.string())})
-
-
-def q_top_docs_by_len(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
-
-
-def q_events_window(sf_dir: str):
-    """Tumbling 1h window per event_type (count + int bounds; no float sums)."""
-    import ray.data
-    from ray.data.aggregate import Count, Max, Min
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
-    )
-
-    def trunc(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "window_start",
-            pc.floor_temporal(b.column("ts"), unit="hour").cast(pa.timestamp("us")),
-        ).drop_columns(["ts"])
-
-    out = (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(), Min("event_id"), Max("event_id"))
-    )
-    out = out.rename_columns(
-        {
-            "count()": "n_events",
-            "min(event_id)": "first_event",
-            "max(event_id)": "last_event",
-        }
-    )
-
-    def recast(b: pa.Table) -> pa.Table:
-        # Ray's aggregate path downcasts timestamps to [s]; restore [us] so
-        # the Arrow schema matches the DuckDB oracle exactly.
-        i = b.schema.get_field_index("window_start")
-        return b.set_column(
-            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
-        )
-
-    return out.map_batches(recast, batch_format="pyarrow")
-
-
-def q_chunk_documents(sf_dir: str):
-    """LLM-prep chunking: 1 doc -> k 64-token windows (VQA-chunk analog)."""
-    from webextract.functions.chunking import chunk_documents
-
-    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]), max_tokens=64)
-
-
-_SQL_CHUNKS = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-),
-e AS (
-  SELECT doc_id, words,
-    unnest(range(0, (len(words)-1)//64 + 1)) AS i
-  FROM w
-)
-SELECT doc_id, i::INT AS chunk_idx,
-  array_to_string(words[i*64 + 1 : least((i+1)*64, len(words))], ' ') AS chunk_text,
-  (least((i+1)*64, len(words)) - i*64)::BIGINT AS n_tokens
-FROM e
-"""
-
-
-def q_tfidf_topk(sf_dir: str):
-    """Top-3 TF-IDF terms per doc (functions/tfidf.py — two keys-only
-    shuffles, idf as an exact integer ratio so doubles match the oracle)."""
-    from webextract.functions.tfidf import tfidf_topk
-
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), n_docs=n_docs, k=3)
-
-
-_SQL_TFIDF = """
-WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-),
-tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
-df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY 1),
-n AS (SELECT count(*)::BIGINT AS n FROM documents)
-SELECT doc_id, tf.word, tf, df, (tf * n.n)::DOUBLE / df AS score
-FROM tf JOIN df USING (word), n
-QUALIFY row_number() OVER (PARTITION BY doc_id
-                           ORDER BY score DESC, tf.word) <= 3
-"""
-
-
-def q_events_asof(sf_dir: str):
-    """Backward as-of join: each click matched to the latest prior (or
-    simultaneous) view by the same user (functions/temporal.asof_join —
-    one keys+ids shuffle, vectorized searchsorted merge per user)."""
-    import ray.data
-
-    from webextract.functions.temporal import asof_join
-
-    def load(event_type: str, id_name: str, ts_name: str):
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "ts", "user_id", "event_type"],
-        ).filter(expr=f"event_type == '{event_type}'")
-
-        def conv(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "user_id": b.column("user_id"),
-                ts_name: b.column("ts").cast(pa.int64()),
-                id_name: b.column("event_id"),
-            })
-
-        schema = pa.schema([("user_id", pa.int64()), (ts_name, pa.int64()),
-                            (id_name, pa.int64())])
-        return ds.map_batches(conv, batch_format="pyarrow"), schema
-
-    clicks, lschema = load("click", "event_id", "ts_us")
-    views, rschema = load("view", "view_event_id", "view_ts_us")
-    return asof_join(
-        clicks, views, by="user_id", left_ts="ts_us", right_ts="view_ts_us",
-        left_schema=lschema, right_schema=rschema, how="inner",
-    )
-
-
-# Right-side ts ties resolve to the max view_event_id in the engine (stable
-# tie-break sort on the payload column) — the GROUP BY here mirrors that.
-_SQL_EVENTS_ASOF = """
-WITH c AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id
-  FROM events WHERE event_type = 'click'
-), v AS (
-  SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_event_id
-  FROM events WHERE event_type = 'view' GROUP BY 1, 2
-)
-SELECT c.user_id, c.ts_us, c.event_id, v.view_ts_us, v.view_event_id
-FROM c ASOF JOIN v
-  ON c.user_id = v.user_id AND c.ts_us >= v.view_ts_us
-"""
-
-
-# 50 deterministic overlapping windows: lo_i = 2024-01-01 + i*37 min,
-# width 53 min (overlap factor 53/37), shared by engine and oracle.
-_IV_BASE_US = 1_704_067_200_000_000  # epoch_us('2024-01-01')
-_IV_STEP_US = 37 * 60 * 1_000_000
-_IV_WIDTH_US = 53 * 60 * 1_000_000
-_IV_N = 50
-
-
-def q_events_interval(sf_dir: str):
-    """Interval (range) join: events against 50 overlapping time windows,
-    broadcast probe with no shuffle (functions/temporal.interval_join)."""
-    import ray.data
-
-    from webextract.functions.temporal import interval_join
-
-    intervals = pa.table({
-        "interval_id": pa.array(range(_IV_N), type=pa.int64()),
-        "lo": pa.array([_IV_BASE_US + i * _IV_STEP_US for i in range(_IV_N)],
-                       type=pa.int64()),
-        "hi": pa.array(
-            [_IV_BASE_US + i * _IV_STEP_US + _IV_WIDTH_US
-             for i in range(_IV_N)], type=pa.int64()),
-    })
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
-
-    def conv(b: pa.Table) -> pa.Table:
-        return pa.table({"event_id": b.column("event_id"),
-                         "ts_us": b.column("ts").cast(pa.int64())})
-
-    ds = ds.map_batches(conv, batch_format="pyarrow")
-    return interval_join(ds, intervals, ts="ts_us")
-
-
-_SQL_EVENTS_INTERVAL = f"""
-WITH iv AS (
-  SELECT i AS interval_id,
-         {_IV_BASE_US} + i * {_IV_STEP_US} AS lo,
-         {_IV_BASE_US} + i * {_IV_STEP_US} + {_IV_WIDTH_US} AS hi
-  FROM range({_IV_N}) t(i)
-)
-SELECT e.event_id, epoch_us(e.ts) AS ts_us, iv.interval_id
-FROM events e JOIN iv ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) < iv.hi
-"""
-
-
-def q_sessionize(sf_dir: str):
-    """Gap-based sessionization per user (30-minute gap)."""
-    import ray.data
-
-    from webextract.functions.sessions import sessionize
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
-    )
-    return sessionize(ds, gap_minutes=30)
-
-
-_SQL_SESSIONS = r"""
-WITH o AS (
-  SELECT user_id, event_id, ts,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, event_id,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
-  FROM o
-)
-SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
-       min(event_id) AS first_event, max(event_id) AS last_event
-FROM s GROUP BY user_id, session_idx
-"""
-
-
-def q_entity_spans(sf_dir: str):
-    """BIO tag-sequence -> entity spans (kie_ser_postprocess.py:10-83
-    analog): deterministic tags over the token stream (i%7==0 -> B-ENT,
-    i%7==1 -> I-ENT, else O) decode to 2-token entity spans."""
-    from webextract.functions.entities import explode_entities
-
-    def tag(b: pa.Table) -> pa.Table:
-        toks = [(t or "").split(" ") for t in b.column("text").to_pylist()]
-        tags = [
-            ["B-ENT" if i % 7 == 0 else ("I-ENT" if i % 7 == 1 else "O")
-             for i in range(len(ts))]
-            for ts in toks
-        ]
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "tokens": pa.array(toks, type=pa.list_(pa.string())),
-                "tags": pa.array(tags, type=pa.list_(pa.string())),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(tag, batch_format="pyarrow")
-        .map_batches(explode_entities, batch_format="pyarrow")
-    )
-
-
-_SQL_ENTITY_SPANS = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-),
-e AS (
-  SELECT doc_id, words, len(words) AS n,
-         unnest(range(0, (len(words) + 6) // 7)) AS j
-  FROM w
-)
-SELECT doc_id, j::INT AS ent_idx, (j*7)::INT AS tok_start,
-       least(j*7 + 2, n)::INT AS tok_end, 'ENT' AS label,
-       CASE WHEN j*7 + 1 < n THEN words[j*7 + 1] || ' ' || words[j*7 + 2]
-            ELSE words[j*7 + 1] END AS ent_text
-FROM e
-"""
-
-
-def q_entity_relations(sf_dir: str):
-    """KIE relation extraction (VQAReTokenRelation,
-    layoutlm_transforms.py:418-463 analog): SER-style BIO tags place a
-    QUESTION entity at token 14m (2 tokens) and an ANSWER at 14m+7;
-    candidate pairs are fed in REVERSED (answer_id, question_id) order and
-    the op normalizes question->head, computing the relation span as the
-    min/max over both entity spans' bounds."""
-    from webextract.functions.entities import explode_relations
-
-    def tag(b: pa.Table) -> pa.Table:
-        toks = [(t or "").split(" ") for t in b.column("text").to_pylist()]
-        tags, cands = [], []
-        for ts in toks:
-            row = []
-            for i in range(len(ts)):
-                m = i % 14
-                row.append("B-QUESTION" if m == 0 else
-                           "I-QUESTION" if m == 1 else
-                           "B-ANSWER" if m == 7 else
-                           "I-ANSWER" if m == 8 else "O")
-            tags.append(row)
-            n_ent = sum(1 for i in range(len(ts)) if i % 14 in (0, 7))
-            cands.append([[j + 1, j] for j in range(0, n_ent - 1, 2)])
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "tokens": pa.array(toks, type=pa.list_(pa.string())),
-                "tags": pa.array(tags, type=pa.list_(pa.string())),
-                "rel_candidates": pa.array(
-                    cands, type=pa.list_(pa.list_(pa.int32()))),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(tag, batch_format="pyarrow")
-        .map_batches(explode_relations, batch_format="pyarrow")
-    )
-
-
-_SQL_ENTITY_RELATIONS = r"""
-WITH w AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
-),
-r AS (
-  SELECT doc_id, n,
-         unnest(range(0, greatest((n - 8) // 14 + 1, 0))) AS m
-  FROM w WHERE n >= 8
-)
-SELECT doc_id, (2*m)::INT AS head, (2*m + 1)::INT AS tail,
-       (14*m)::INT AS start_index, least(14*m + 9, n)::INT AS end_index
-FROM r
-"""
-
-
-def q_repetition_stats(sf_dir: str):
-    """Gopher-style repetition quality signals (duplicate-line fractions +
-    top word-2-gram character coverage) — raw IEEE ratios, SQL-mirrored."""
-    from webextract.functions.textstats import repetition_stats_batch
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        repetition_stats_batch, batch_format="pyarrow"
-    ).select_columns(
-        ["doc_id", "dup_line_frac", "dup_line_char_frac",
-         "top_2gram_char_frac"]
-    )
-
-
-_SQL_REPETITION = r"""
-WITH lx AS (
-  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
-),
-lc AS (
-  SELECT doc_id, line, count(*) AS c FROM lx GROUP BY doc_id, line
-),
-lagg AS (
-  SELECT doc_id,
-    sum(c) AS n_lines,
-    sum(c * length(line)) AS total_chars,
-    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
-    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
-  FROM lc GROUP BY doc_id
-),
-w AS (
-  SELECT doc_id, length(text) AS n,
-    list_filter(regexp_split_to_array(text, '[\s\x{0b}]+'),
-                x -> x <> '') AS words
-  FROM documents
-),
-g AS (
-  SELECT doc_id, n, words[i+1] || ' ' || words[i+2] AS gram
-  FROM w, unnest(range(0, greatest(len(words) - 1, 0))) AS t(i)
-),
-gc AS (
-  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
-),
-topg AS (
-  SELECT doc_id, n, c * length(gram) AS cov,
-    row_number() OVER (PARTITION BY doc_id
-                       ORDER BY c DESC, gram ASC) AS rn
-  FROM gc
-)
-SELECT d.doc_id,
-  CASE WHEN la.n_lines > 0
-       THEN la.dup_lines::DOUBLE / la.n_lines ELSE 0.0 END AS dup_line_frac,
-  CASE WHEN la.total_chars > 0
-       THEN la.dup_chars::DOUBLE / la.total_chars
-       ELSE 0.0 END AS dup_line_char_frac,
-  coalesce(CASE WHEN t.n > 0 THEN t.cov::DOUBLE / t.n END,
-           0.0) AS top_2gram_char_frac
-FROM documents d
-LEFT JOIN lagg la ON la.doc_id = d.doc_id
-LEFT JOIN (SELECT * FROM topg WHERE rn = 1) t ON t.doc_id = d.doc_id
-"""
-
-
-def q_paragraph_dedup(sf_dir: str):
-    """C4-style corpus-global line dedup + document reassembly. Decision
-    is a keys-only (lfp, okey) shuffle; surviving line payloads reach the
-    reassembly via the partition-aligned `winner_filter` (object-store
-    winner buckets — cluster-safe), never an all-to-all
-    (functions/paragraphs.py for the full scale argument)."""
-    from webextract.functions.paragraphs import paragraph_dedup
-
-    return paragraph_dedup(lambda: _docs(sf_dir, ["doc_id", "text"]))
-
-
-_SQL_PARAGRAPH_DEDUP = """
-WITH lx AS (
-  SELECT doc_id, i::BIGINT AS idx, l[i+1] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
-       unnest(range(0, len(l))) t(i)
-),
-keep AS (
-  SELECT doc_id, idx, line FROM lx
-  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1
-)
-SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
-FROM keep GROUP BY doc_id
-"""
-
-
-def q_decontaminate(sf_dir: str):
-    """Benchmark decontamination: eval split = doc_id % 97 == 0; training
-    docs flagged when any word 8-gram also occurs in the eval split
-    (broadcast semi-join — functions/decontam.py)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from webextract.functions.decontam import decontaminate
-
-    def _mod97(b):
-        return b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
-
-    def eval_split(b):
-        return b.filter(pa.array(_mod97(b)))
-
-    def train_split(b):
-        return b.filter(pa.array(~_mod97(b)))
-
-    ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        eval_split, batch_format="pyarrow")
-    tr = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        train_split, batch_format="pyarrow")
-    return decontaminate(tr, ev).select_columns(["doc_id", "contaminated"])
-
-
-_SQL_DECONTAMINATE = r"""
-WITH w AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '[\s\x{0b}]+'),
-                x -> x <> '') AS words
-  FROM documents
-),
-g AS (
-  SELECT doc_id, array_to_string(words[i+1:i+8], ' ') AS gram
-  FROM w, unnest(range(0, greatest(len(words) - 7, 0))) AS t(i)
-),
-ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-bad AS (
-  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
-  WHERE g.doc_id % 97 <> 0
-)
-SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated
-FROM documents d WHERE d.doc_id % 97 <> 0
-"""
-
-
-def q_stratified_sample(sf_dir: str):
-    """Deterministic per-language stratified sample (en 25%, de 50%,
-    others 80%): key-derived LCG threshold, map-side only, SQL-mirrored
-    with identical constants (functions/sampling.py)."""
-    from webextract.functions.sampling import stratified_sample_batch
-
-    def sample(b):
-        return stratified_sample_batch(
-            b, rates_permille={"en": 250, "de": 500},
-            default_permille=800)
-
-    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        sample, batch_format="pyarrow")
-
-
-_SQL_STRATIFIED = """
-SELECT doc_id, lang FROM documents
-WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 1000
-      < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500 ELSE 800 END
-"""
-
-
-def q_host_quota(sf_dir: str):
-    """Per-domain document cap (Gopher §A1.2 caps docs per domain to
-    bound source skew): keep the first `k` docs per source, by doc_id.
-
-    Scale shape = the `dedup_docs_rows` discipline: the keyed decision is
-    a (source, doc_id) keys-only shuffle whose groups emit at most k
-    winner ids; full rows are then retrieved map-side with
-    `winner_filter` (object-store winner buckets — cluster-safe), so text
-    payloads never cross an all-to-all."""
-    from webextract.functions.dedup import winner_filter
-
-    k = 3
-
-    def topk(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())[:k]
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
-
-    keys = _docs(sf_dir, ["source", "doc_id"])
-    winners = keys.groupby("source").map_groups(
-        topk, batch_format="pyarrow")
-    out = winner_filter(
-        _docs(sf_dir, ["doc_id", "source", "lang"]), winners, "doc_id",
-    )
-    return out.select_columns(["doc_id", "source", "lang"])
-
-
-_SQL_HOST_QUOTA = """
-SELECT doc_id, source, lang FROM documents
-QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 3
-"""
-
-
-def q_seq_decode(sf_dir: str):
-    """EOS-terminated sequence decode (RecAttnLabelDecode,
-    rec_postprocess.py:255-346 analog): the first 20 chars of each doc are
-    encoded into the 36-char GO/STOP dictionary (unencodable chars
-    skipped), <STOP>-terminated, GO-padded; docs with doc_id%10==0 get NO
-    stop token and must decode to '' (the reference's no-EOS rule)."""
-    from webextract.stages.seqdecode import SeqDecodeUDF
-
-    charset = "0123456789abcdefghijklmnopqrstuvwxyz"
-    idx = {c: i + 2 for i, c in enumerate(charset)}
-
-    def encode(b: pa.Table) -> pa.Table:
-        ids_col = []
-        for did, t in zip(b.column("doc_id").to_pylist(),
-                          b.column("text").to_pylist()):
-            ids = [idx[c] for c in (t or "").lower()[:20] if c in idx]
-            if did % 10 != 0:
-                ids.append(1)  # <STOP>
-            ids.extend([0] * max(0, 24 - len(ids)))  # trailing <GO> padding
-            ids_col.append(ids)
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "token_ids": pa.array(ids_col, type=pa.list_(pa.int32())),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(encode, batch_format="pyarrow")
-        .map_batches(
-            SeqDecodeUDF,
-            fn_constructor_kwargs={"kind": "attn", "charset": charset},
-            batch_format="pyarrow",
-            concurrency=_conc(),
-        )
-        .select_columns(["doc_id", "text"])
-    )
-
-
-_SQL_SEQ_DECODE = r"""
-SELECT doc_id,
-  CASE WHEN doc_id % 10 = 0 THEN ''
-       ELSE regexp_replace(substr(lower(text), 1, 20), '[^0-9a-z]', '', 'g')
-  END AS text
-FROM documents
-"""
-
-
-# --------------------------------------------------------------------------
-# Table structure + spatial matching
-# --------------------------------------------------------------------------
-
-
-def q_table_extract(sf_dir: str):
-    """Table-structure decode (TableLabelDecode analog): a deterministic
-    per-doc <table> grid derived from the documents table is parsed back
-    into explicit (row, col, text) cells; oracle reconstructs in SQL.
-
-    R = doc_id%3+2 rows x 3 cols; cell (r,c) holds words[(r*3+c) % n]."""
-    from html import escape
-
-    from webextract.stages.tables import explode_cells
-
-    def render(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        htmls = []
-        for i, t in zip(ids, texts):
-            words = (t or "").split(" ")
-            n = len(words)
-            rows = []
-            for r in range(i % 3 + 2):
-                tds = "".join(
-                    f"<td>{escape(words[(r * 3 + c) % n])}</td>" for c in range(3)
-                )
-                rows.append(f"<tr>{tds}</tr>")
-            htmls.append(("<table>" + "".join(rows) + "</table>").encode())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "html": pa.array(htmls, type=pa.binary()),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(render, batch_format="pyarrow")
-        .map_batches(explode_cells, batch_format="pyarrow")
-    )
-
-
-_SQL_TABLE_EXTRACT = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
-         (doc_id % 3 + 2)::INT AS nrows
-  FROM documents
-),
-e AS (
-  SELECT doc_id, words, unnest(range(0, nrows * 3)) AS i FROM w
-)
-SELECT doc_id, (i // 3)::INT AS row, (i % 3)::INT AS col,
-       words[(i % len(words)) + 1] AS cell_text
-FROM e
-"""
-
-
-def q_table_cell_match(sf_dir: str):
-    """Cell⇄text spatial join (matcher.py:217-270 analog) on deterministic
-    geometry: an R x 3 grid of 100x20 cells, two text boxes centered in
-    each cell; per-cell assembled text must equal 'w[i] w[i+ncells]'."""
-    from webextract.functions.matcher import match_cells_batch
-
-    def build(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        out_id, out_cells, out_tboxes, out_texts = [], [], [], []
-        for i, t in zip(ids, texts):
-            words = (t or "").split(" ")
-            n = len(words)
-            ncells = (i % 3 + 2) * 3
-            cells, tboxes, frags = [], [], []
-            for ci in range(ncells):
-                r, c = divmod(ci, 3)
-                x0, y0 = c * 100.0, r * 20.0
-                cells.append([x0, y0, x0 + 100.0, y0 + 20.0])
-            for ci in range(ncells):  # first fragment per cell, in order
-                r, c = divmod(ci, 3)
-                tboxes.append([c * 100.0 + 10, r * 20.0 + 5,
-                               c * 100.0 + 40, r * 20.0 + 15])
-                frags.append(words[ci % n])
-            for ci in range(ncells):  # second fragment per cell
-                r, c = divmod(ci, 3)
-                tboxes.append([c * 100.0 + 50, r * 20.0 + 5,
-                               c * 100.0 + 90, r * 20.0 + 15])
-                frags.append(words[(ci + ncells) % n])
-            out_id.append(i)
-            out_cells.append(cells)
-            out_tboxes.append(tboxes)
-            out_texts.append(frags)
-        box_t = pa.list_(pa.list_(pa.float64()))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "cell_boxes": pa.array(out_cells, type=box_t),
-                "text_boxes": pa.array(out_tboxes, type=box_t),
-                "texts": pa.array(out_texts, type=pa.list_(pa.string())),
-            }
-        )
-
-    matched = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(build, batch_format="pyarrow")
-        .map_batches(match_cells_batch, batch_format="pyarrow")
-    )
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids, cidx, ctext = [], [], []
-        for i in range(b.num_rows):
-            did = b.column("doc_id")[i].as_py()
-            for ci, txt in enumerate(b.column("cell_texts")[i].as_py()):
-                ids.append(did)
-                cidx.append(ci)
-                ctext.append(txt)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "cell_idx": pa.array(cidx, type=pa.int32()),
-                "cell_text": pa.array(ctext, type=pa.string()),
-            }
-        )
-
-    return matched.map_batches(explode, batch_format="pyarrow")
-
-
-_SQL_CELL_MATCH = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
-         ((doc_id % 3 + 2) * 3)::INT AS ncells
-  FROM documents
-),
-e AS (
-  SELECT doc_id, words, ncells, unnest(range(0, ncells)) AS ci FROM w
-)
-SELECT doc_id, ci::INT AS cell_idx,
-       words[(ci % len(words)) + 1] || ' ' ||
-       words[((ci + ncells) % len(words)) + 1] AS cell_text
-FROM e
-"""
-
-
-# --------------------------------------------------------------------------
-# Similarity search
-# --------------------------------------------------------------------------
-
-
-def _query_vec(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(0)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
-
-
-def q_similarity_topk(sf_dir: str):
-    import ray.data
-
-    from webextract.functions.similarity import topk_cosine
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    return topk_cosine(ds, _query_vec(sf_dir), k=10, concurrency=_conc())
-
-
-def q_similarity_topk_lsh(sf_dir: str):
-    import ray.data
-
-    from webextract.functions.similarity import topk_cosine_lsh
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    return topk_cosine_lsh(ds, _query_vec(sf_dir), k=5, n_planes=4,
-                           concurrency=_conc())
-
-
-def q_similarity_topk_ivf(sf_dir: str):
-    import ray.data
-
-    from webextract.functions.similarity import topk_cosine_ivf
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    return topk_cosine_ivf(ds, _query_vec(sf_dir), k=5, n_centroids=8,
-                           nprobe=2, concurrency=_conc())
-
-
-def q_embedding_neardup(sf_dir: str):
-    import ray.data
-
-    from webextract.functions.similarity import embedding_neardup
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    dim = len(_query_vec(sf_dir))
-    return embedding_neardup(ds, tau=0.95, dim=dim, n_planes=6,
-                             concurrency=_conc())
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 5: url canonicalization, unigram-LM scoring, lag windows,
-# count-min sketch
-# --------------------------------------------------------------------------
-
-# Messy-URL synthesis shared by the engine query and the SQL oracle: both
-# sides build the SAME raw url string from doc_id (modular rules only, so
-# SQL can mirror it), then canonicalize INDEPENDENTLY — the engine through
-# functions/urls.py, the oracle through DuckDB string functions. Variants
-# exercised: uppercase scheme/host, explicit :443, utm_* params, fragments;
-# path key doc_id%25 + host doc_id%20 (lcm 100 << corpus size, so canonical keys genuinely collide) force canonical collisions so the
-# dedup query has real work.
-_MESSY_URL_SQL = """
-(CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-(CASE WHEN doc_id % 4 = 1 THEN 'Host' || (doc_id % 20) || '.Example'
-      ELSE 'host' || (doc_id % 20) || '.example' END) ||
-(CASE WHEN doc_id % 5 = 2 THEN ':443' ELSE '' END) ||
-(CASE WHEN doc_id % 11 = 3 THEN '' ELSE '/doc/' || (doc_id % 25) END) ||
-(CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed'
-      WHEN doc_id % 3 = 2 THEN '?ref=a&utm_campaign=x&id=' || (doc_id % 25)
-      ELSE '' END) ||
-(CASE WHEN doc_id % 2 = 1 THEN '#sec1' ELSE '' END)
-"""
-
-
-def _messy_url(doc_id: int) -> str:
-    scheme = "HTTPS" if doc_id % 7 == 0 else "https"
-    host = (f"Host{doc_id % 20}.Example" if doc_id % 4 == 1
-            else f"host{doc_id % 20}.example")
-    port = ":443" if doc_id % 5 == 2 else ""
-    path = "" if doc_id % 11 == 3 else f"/doc/{doc_id % 25}"
-    q = ("?utm_source=feed" if doc_id % 3 == 1
-         else f"?ref=a&utm_campaign=x&id={doc_id % 25}" if doc_id % 3 == 2
-         else "")
-    frag = "#sec1" if doc_id % 2 == 1 else ""
-    return f"{scheme}://{host}{port}{path}{q}{frag}"
-
-
-def _messy_urls_ds(sf_dir: str):
-    def conv(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "url": pa.array([_messy_url(i) for i in ids], type=pa.string()),
-        })
-
-    return _docs(sf_dir, ["doc_id"]).map_batches(conv, batch_format="pyarrow")
-
-
-def q_url_canonical(sf_dir: str):
-    """URL canonicalization (functions/urls.py — fragment strip, case
-    folding, default-port drop, utm_* param removal), checked against an
-    independent DuckDB string-function implementation of the same rules."""
-    from webextract.functions.urls import canonicalize_batch
-
-    ds = _messy_urls_ds(sf_dir)
-    return ds.map_batches(
-        lambda b: canonicalize_batch(b).select(["doc_id", "canon_url"]),
-        batch_format="pyarrow")
-
-
-# The oracle CANONICALIZES the raw url with string ops (independent SQL
-# implementation of the five rules) — it does not shortcut to the expected
-# canonical form.
-_SQL_URL_CANON_BODY = """
-u AS (SELECT doc_id, {url_expr} AS url FROM documents),
-s AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
-p AS (SELECT doc_id,
-        lower(split_part(nofrag, '://', 1)) AS scheme,
-        split_part(nofrag, '://', 2) AS rest FROM s),
-cutp AS (SELECT doc_id, scheme, rest,
-        least(coalesce(nullif(instr(rest, '/'), 0), 1000000000),
-              coalesce(nullif(instr(rest, '?'), 0), 1000000000)) AS cut
-       FROM p),
-hp AS (SELECT doc_id, scheme,
-        lower(CASE WHEN cut = 1000000000 THEN rest
-                   ELSE substr(rest, 1, cut - 1) END) AS hostport,
-        CASE WHEN cut = 1000000000 THEN ''
-             ELSE substr(rest, cut) END AS pathq FROM cutp),
-hh AS (SELECT doc_id, scheme,
-        CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
-               THEN substr(hostport, 1, length(hostport) - 4)
-             WHEN scheme = 'http' AND hostport LIKE '%:80'
-               THEN substr(hostport, 1, length(hostport) - 3)
-             ELSE hostport END AS host,
-        CASE WHEN split_part(pathq, '?', 1) = '' THEN '/'
-             ELSE split_part(pathq, '?', 1) END AS path,
-        CASE WHEN pathq LIKE '%?%'
-               THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
-             ELSE '' END AS query
-       FROM hp),
-q AS (SELECT doc_id, scheme, host, path,
-        coalesce(array_to_string(list_filter(string_split(query, '&'),
-          x -> x <> '' AND NOT starts_with(x, 'utm_')), '&'), '') AS cq
-      FROM hh),
-canon AS (SELECT doc_id,
-        scheme || '://' || host || path ||
-        CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
-      FROM q)
-"""
-
-_SQL_URL_CANON = ("WITH " + _SQL_URL_CANON_BODY.format(url_expr=_MESSY_URL_SQL)
-                  + "\nSELECT doc_id, canon_url FROM canon")
-
-
-def q_url_dedup(sf_dir: str):
-    """Keep-newest row per CANONICAL url (functions/urls.dedup_by_url):
-    only (canon_url, doc_id) crosses the shuffle — the keys-only winner
-    discipline of dedup_docs_rows applied to crawl-url identity."""
-    from webextract.functions.urls import dedup_by_url
-
-    return dedup_by_url(_messy_urls_ds(sf_dir), order_col="doc_id",
-                        keep="max")
-
-
-_SQL_URL_DEDUP = ("WITH " + _SQL_URL_CANON_BODY.format(url_expr=_MESSY_URL_SQL)
-                  + """
-SELECT canon_url, doc_id FROM canon
-QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY doc_id DESC) = 1
-""")
-
-
-def q_lm_scores(sf_dir: str):
-    """CCNet-style bits-per-token under the corpus unigram LM
-    (functions/lm.py — two keys-only shuffles, integer-quantized token
-    information so doubles match the oracle bit-for-bit)."""
-    from webextract.functions.lm import corpus_token_count, unigram_lm_scores
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    n = corpus_token_count(docs)
-    return unigram_lm_scores(docs, total_tokens=n)
-
-
-# length(bin(x)) on a positive BIGINT == Python int.bit_length; // is
-# integer division in DuckDB, so lm_bits is an exact integer sum and
-# avg_bits one integer/integer division — bit-identical to the engine.
-_SQL_LM_SCORES = """
-WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-),
-tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
-cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
-n AS (SELECT count(*)::BIGINT AS n FROM w)
-SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-  sum(tf * length(bin(n.n // cnt.cnt)))::BIGINT AS lm_bits,
-  sum(tf * length(bin(n.n // cnt.cnt)))::DOUBLE / sum(tf) AS avg_bits
-FROM tf JOIN cnt USING (word), n
-GROUP BY doc_id
-"""
-
-
-def q_events_lag(sf_dir: str):
-    """Per-user LAG window (functions/temporal.key_lag): previous event id
-    + time gap within each user, ordered (ts, event_id); first event per
-    user dropped so no nullable columns."""
-    import ray.data
-
-    from webextract.functions.temporal import key_lag
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts", "user_id"])
-
-    def conv(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": b.column("ts").cast(pa.int64()),
-            "event_id": b.column("event_id"),
-        })
-
-    return key_lag(ds.map_batches(conv, batch_format="pyarrow"),
-                   by="user_id", ts="ts_us", payload="event_id")
-
-
-_SQL_EVENTS_LAG = """
-WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-)
-SELECT user_id, ts_us, event_id,
-  lag(event_id) OVER w AS prev_event_id,
-  ts_us - lag(ts_us) OVER w AS gap
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-QUALIFY prev_event_id IS NOT NULL
-"""
-
-
-def q_cms_word_counts(sf_dir: str):
-    """Approximate corpus word frequencies from a distributed count-min
-    sketch (functions/sketches.CmsSketch — never undercounts, overcount
-    bounded by e*N/w w.p. 1-2^-d; rows-only, bound pinned by pytest)."""
-    from webextract.functions.sketches import cms_word_counts
-
-    probes = ["count", "crawl", "data", "page", "text"]
-    return cms_word_counts(_docs(sf_dir, ["text"]), probes)
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 6: link graph — outlink extraction, host degrees, PageRank
-# --------------------------------------------------------------------------
-
-
-def q_extract_links(sf_dir: str):
-    """Outlink/anchor extraction from the raw page HTML
-    (stages/links.py — crop-fan-out analog over <a href> regions). The
-    oracle reconstructs the corpus's deterministic nav + sidebar link
-    inventory per doc; corrupt (%50==7) and pdf (%25==3) rows emit no
-    links, mirroring the segmenter's quarantine/doctype gating."""
-    return _links_ds(sf_dir)
-
-
-_SQL_EXTRACT_LINKS = """
-WITH ok AS (
-  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
-),
-nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
-ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok)
-SELECT doc_id, '/p' || i AS href,
-  (['Home','About','Products','Blog','Contact','Careers','Support','News'])
-    [((doc_id + i) % 8) + 1] AS anchor
-FROM nav
-UNION ALL
-SELECT doc_id, '/ad' || i AS href,
-  (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
-    [((doc_id * 3 + i) % 8) + 1] AS anchor
-FROM ads
-"""
-
-# Synthetic host graph shared by the engine and the SQL oracle (modular
-# rules only, like the messy-url synthesis): src = doc_id % 20,
-# dst = (doc_id*7 + 3) % 20. dst is always odd-shifted so no self-loops.
-
-
-def _host_edges_ds(sf_dir: str):
-    def conv(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": pa.array(ids % 20, type=pa.int64()),
-            "dst": pa.array((ids * 7 + 3) % 20, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id"]).map_batches(conv, batch_format="pyarrow")
-
-
-def q_host_degree(sf_dir: str):
-    """Exact per-host out/in degree over the synthetic host link graph
-    (functions/graph.degree_stats — per-batch combiner, one keys-only
-    groupby; multi-edges counted with multiplicity)."""
-    from webextract.functions.graph import degree_stats
-
-    return degree_stats(_host_edges_ds(sf_dir))
-
-
-_SQL_HOST_DEGREE = """
-WITH e AS (
-  SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst FROM documents
-)
-SELECT node, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg FROM (
-  SELECT src AS node, 1 AS o, 0 AS i FROM e
-  UNION ALL
-  SELECT dst AS node, 0 AS o, 1 AS i FROM e
-) GROUP BY node
-"""
-
-
-def q_pagerank_hosts(sf_dir: str):
-    """PageRank over the DISTINCT host graph (functions/graph.pagerank —
-    per-iteration join + groupby moving only (node, double) pairs).
-    Rows-only: cross-block float sums are order-dependent; exactness vs a
-    dense local reference is pinned by pytest instead."""
-    from webextract.functions.dedup import exact_dedup
-    from webextract.functions.graph import pagerank
-
-    def key(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        s = b.column("src").to_numpy(zero_copy_only=False)
-        d = b.column("dst").to_numpy(zero_copy_only=False)
-        return b.append_column("ek", pa.array(s * 1000 + d,
-                                              type=pa.int64()))
-
-    keyed = _host_edges_ds(sf_dir).map_batches(key, batch_format="pyarrow")
-    distinct = exact_dedup(keyed.select_columns(["ek", "src"]),
-                           key_col="ek", order_col="src")
-
-    def unkey(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ek = b.column("ek").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": pa.array(ek // 1000, type=pa.int64()),
-            "dst": pa.array(ek % 1000, type=pa.int64()),
-        })
-
-    edges = distinct.map_batches(unkey, batch_format="pyarrow")
-    return pagerank(edges, n_iter=5)
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 7: window/OLAP — running aggregates, rollup, pivot,
-# per-group quantiles, funnel, left + salted joins
-# --------------------------------------------------------------------------
-
-
-def q_docs_running(sf_dir: str):
-    """Per-language running character totals + row numbers (the SQL
-    ``SUM OVER (PARTITION BY lang ORDER BY doc_id)`` pair) via the
-    bucketed distributed prefix sum (functions/window.running_agg): group
-    size is bounded by bucket density, never by language frequency — the
-    hot-key-safe shape a 100 TB per-language scan needs."""
-    from webextract.functions.window import running_agg
-
-    return running_agg(
-        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
-        by="lang", order="doc_id", val="n_chars", bucket_width=256)
-
-
-_SQL_DOCS_RUNNING = """
-SELECT lang, doc_id, n_chars,
-  (sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT
-    AS running_n_chars,
-  (row_number() OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT AS rn
-FROM documents
-"""
-
-
-def q_docs_rollup(sf_dir: str):
-    """GROUP BY ROLLUP(lang, source): finest level is the only full-data
-    shuffle; the (lang) and () levels fold the bounded finest aggregate
-    (functions/window.rollup_counts)."""
-    from webextract.functions.window import rollup_counts
-
-    return rollup_counts(_docs(sf_dir, ["lang", "source", "n_chars"]),
-                         a="lang", b="source", val="n_chars")
-
-
-_SQL_DOCS_ROLLUP = """
-SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
-FROM documents GROUP BY ROLLUP(lang, source)
-"""
-
-
-def q_lang_source_pivot(sf_dir: str):
-    """Wide pivot: one row per lang, one count column per source
-    src0..src4 (closed category list — conditional aggregation, SQL
-    FILTER clauses)."""
-    from webextract.functions.window import pivot_counts
-
-    return pivot_counts(
-        _docs(sf_dir, ["lang", "source", "n_chars"]),
-        index="lang", pivot="source",
-        categories=[f"src{i}" for i in range(5)], val="n_chars")
-
-
-_SQL_LANG_SOURCE_PIVOT = """
-SELECT lang,
-  count(*) FILTER (WHERE source = 'src0')::BIGINT AS src0,
-  count(*) FILTER (WHERE source = 'src1')::BIGINT AS src1,
-  count(*) FILTER (WHERE source = 'src2')::BIGINT AS src2,
-  count(*) FILTER (WHERE source = 'src3')::BIGINT AS src3,
-  count(*) FILTER (WHERE source = 'src4')::BIGINT AS src4
-FROM documents
-WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
-GROUP BY lang
-"""
-
-
-def q_doc_length_quantiles_by_lang(sf_dir: str):
-    """EXACT per-language quantiles over the bounded-cardinality length
-    column: one row per distinct (lang, n_chars) crosses the shuffle
-    (functions/window.group_quantiles)."""
-    from webextract.functions.window import group_quantiles
-
-    return group_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
-                           by="lang", val="n_chars")
-
-
-_SQL_QUANTILES_BY_LANG = """
-SELECT lang, 0.5::DOUBLE AS q, quantile_disc(n_chars, 0.5)::BIGINT AS value
-FROM documents GROUP BY lang
-UNION ALL
-SELECT lang, 0.9::DOUBLE, quantile_disc(n_chars, 0.9)::BIGINT
-FROM documents GROUP BY lang
-UNION ALL
-SELECT lang, 0.99::DOUBLE, quantile_disc(n_chars, 0.99)::BIGINT
-FROM documents GROUP BY lang
-"""
-
-
-def q_events_funnel(sf_dir: str):
-    """Ordered-step conversion funnel view -> click -> purchase per user
-    (functions/window.funnel): step i is reached at the earliest event of
-    its type at-or-after step i-1's reach time; per-step user counts are
-    summed with one partial+final aggregate."""
-    import ray.data
-
-    from webextract.functions.window import funnel
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
-    return funnel(ds, by="user_id", ts="ts", step_col="event_type",
-                  steps=["view", "click", "purchase"])
-
-
-_SQL_EVENTS_FUNNEL = """
-WITH s0 AS (
-  SELECT user_id, min(epoch_us(ts)) AS t FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-),
-s1 AS (
-  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-  JOIN s0 ON e.user_id = s0.user_id
-  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t
-  GROUP BY e.user_id
-),
-s2 AS (
-  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
-  JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t
-  GROUP BY e.user_id
-)
-SELECT 'view' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_users
-UNION ALL
-SELECT 'click', (SELECT count(*) FROM s1)::BIGINT
-UNION ALL
-SELECT 'purchase', (SELECT count(*) FROM s2)::BIGINT
-"""
-
-
-def q_orders_customers_left(sf_dir: str):
-    """LEFT OUTER hash join: every order keeps its row; orders whose
-    customer is outside the c_custkey <= 500 cut get a NULL c_name
-    (functions/joins.hash_join how="left")."""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
-    ).rename_columns({"o_custkey": "c_custkey"})
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).filter(expr="c_custkey <= 500")
-    return hash_join(orders, cust, on="c_custkey", how="left")
-
-
-_SQL_ORDERS_CUSTOMERS_LEFT = """
-SELECT o_custkey AS c_custkey, o_orderkey, c_name
-FROM orders LEFT JOIN (
-  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500
-) c ON o_custkey = c.c_custkey
-"""
-
-
-def q_orders_customers_salted(sf_dir: str):
-    """The inner orders x customers join through the SKEW-DEFEATING salted
-    path (functions/joins.salted_hash_join): left keys split across 4
-    deterministic salts, right side replicated per salt — same result as
-    the plain hash join, per-group cross products bounded by ~1/4."""
-    import ray.data
-
-    from webextract.functions.joins import salted_hash_join
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
-    ).rename_columns({"o_custkey": "c_custkey"})
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    return salted_hash_join(
-        orders, cust, on="c_custkey", salt_from="o_orderkey", n_salt=4,
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("o_orderkey", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_name", pa.string())]))
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 8: aggregate/set extensions — exact count-distinct,
-# variance from integer partials, ordered string_agg, set ops,
-# deterministic hash sampling, KLL quantile sketch
-# --------------------------------------------------------------------------
-
-
-def q_users_per_type(sf_dir: str):
-    """Exact COUNT(DISTINCT user_id) per event type — two keys-only
-    groupby stages (functions/agg.count_distinct_by), no payload ever
-    shuffled and no driver-side set."""
-    import ray.data
-
-    from webextract.functions.agg import count_distinct_by
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"])
-    return count_distinct_by(ds, by="event_type", of="user_id")
-
-
-_SQL_USERS_PER_TYPE = """
-SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
-FROM events GROUP BY event_type
-"""
-
-
-def q_chars_moments_by_lang(sf_dir: str):
-    """Per-language sample variance/stddev of doc length from exact int64
-    partial sums + ONE final double expression (functions/agg.moments_by)
-    — bit-identical to the SQL oracle computing the same literal formula
-    over the same integer aggregates (the tfidf integer-ratio
-    discipline)."""
-    from webextract.functions.agg import moments_by
-
-    return moments_by(_docs(sf_dir, ["lang", "n_chars"]),
-                      by="lang", val="n_chars")
-
-
-_SQL_CHARS_MOMENTS = """
-SELECT lang, count(*)::BIGINT AS n,
-  (count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))::DOUBLE
-    / (count(*) * (count(*) - 1))::DOUBLE AS var_samp,
-  sqrt(
-    (count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))::DOUBLE
-      / (count(*) * (count(*) - 1))::DOUBLE) AS std_samp
-FROM documents GROUP BY lang
-"""
-
-
-def q_docs_collect_per_lang(sf_dir: str):
-    """Ordered per-group string_agg: doc_ids of long docs (n_chars > 500)
-    per language, ascending, comma-joined (functions/agg.collect_sorted;
-    group size bounded by the upstream filter, cap raises — no silent
-    truncation)."""
-    from webextract.functions.agg import collect_sorted
-
-    ds = _docs(sf_dir, ["lang", "doc_id", "n_chars"]).filter(
-        expr="n_chars > 500").select_columns(["lang", "doc_id"])
-    return collect_sorted(ds, by="lang", val="doc_id")
-
-
-_SQL_COLLECT_PER_LANG = """
-SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS vals
-FROM documents WHERE n_chars > 500 GROUP BY lang
-"""
-
-
-def q_langs_src_intersect(sf_dir: str):
-    """SQL INTERSECT over derived key sets: languages appearing in BOTH
-    src0 and src1 documents (functions/agg.key_intersect — per-side
-    distinct + semi probe, three keys-only shuffles)."""
-    from webextract.functions.agg import key_intersect
-
-    ks = pa.schema([("lang", pa.string())])
-    left = _docs(sf_dir, ["lang", "source"]).filter(
-        expr="source == 'src0'").select_columns(["lang"])
-    right = _docs(sf_dir, ["lang", "source"]).filter(
-        expr="source == 'src1'").select_columns(["lang"])
-    return key_intersect(left, right, on="lang",
-                         left_schema=ks, right_schema=ks)
-
-
-_SQL_LANGS_INTERSECT = """
-SELECT lang FROM documents WHERE source = 'src0'
-INTERSECT
-SELECT lang FROM documents WHERE source = 'src1'
-"""
-
-
-def q_custkeys_except(sf_dir: str):
-    """SQL EXCEPT over key sets: customer keys absent from the first 1000
-    orderkeys (functions/agg.key_except — distinct + anti probe; the cut
-    keeps the result non-trivial, as in `customers_no_orders` — the full
-    orders table covers every customer in this synthetic data)."""
-    import ray.data
-
-    from webextract.functions.agg import key_except
-
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey"])
-    orders = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                              columns=["o_custkey", "o_orderkey"])
-        .filter(expr="o_orderkey <= 1000")
-        .select_columns(["o_custkey"])
-        .rename_columns({"o_custkey": "c_custkey"})
-    )
-    ks = pa.schema([("c_custkey", pa.int64())])
-    return key_except(cust, orders, on="c_custkey",
-                      left_schema=ks, right_schema=ks)
-
-
-_SQL_CUSTKEYS_EXCEPT = """
-SELECT c_custkey FROM customer
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_orderkey <= 1000
-"""
-
-
-def q_docs_sample_per_lang(sf_dir: str):
-    """Deterministic pseudo-uniform 3-sample per language: priority =
-    md5(doc_id) hex, k smallest per group, per-block partial top-k first
-    so the final shuffle moves <= k rows per (block, lang)
-    (functions/agg.hash_sample_per_group)."""
-    from webextract.functions.agg import hash_sample_per_group
-
-    return hash_sample_per_group(_docs(sf_dir, ["lang", "doc_id"]),
-                                 by="lang", id_col="doc_id", k=3)
-
-
-_SQL_SAMPLE_PER_LANG = """
-SELECT lang, doc_id FROM documents
-QUALIFY row_number() OVER (
-  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 3
-"""
-
-
-def q_doc_length_quantiles_sketch(sf_dir: str):
-    """KLL-style streaming quantile sketch over doc lengths — the
-    UNBOUNDED-cardinality companion to the exact histogram-fold
-    quantiles: per-block O(k log) partials, distributed fold, <= 2% rank
-    error pinned by pytest (functions/sketches.approx_quantiles).
-    Approximate by construction -> rows-only at the driver."""
-    from webextract.functions.sketches import approx_quantiles
-
-    return approx_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars",
-                            (0.5, 0.9, 0.99))
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 9: FULL OUTER join, CUBE, interpolated quantiles
-# --------------------------------------------------------------------------
-
-
-def q_orders_customers_full(sf_dir: str):
-    """FULL OUTER hash join with misses on BOTH sides: orders cut to
-    o_orderkey <= 1000 (their customers partly outside the right cut) vs
-    customers cut to c_custkey <= 500 (partly orderless within the left
-    cut) — unmatched rows survive from each side with typed NULL payload
-    (functions/joins.hash_join how="full")."""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    orders = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                              columns=["o_custkey", "o_orderkey"])
-        .filter(expr="o_orderkey <= 1000")
-        .rename_columns({"o_custkey": "c_custkey"})
-    )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).filter(expr="c_custkey <= 500")
-    return hash_join(orders, cust, on="c_custkey", how="full")
-
-
-_SQL_ORDERS_CUSTOMERS_FULL = """
-SELECT coalesce(o.o_custkey, c.c_custkey) AS c_custkey, o.o_orderkey, c.c_name
-FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 1000) o
-FULL OUTER JOIN
-     (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
-ON o.o_custkey = c.c_custkey
-"""
-
-
-def q_docs_cube(sf_dir: str):
-    """GROUP BY CUBE(lang, source): rollup levels plus the source margin,
-    all folded from the bounded finest aggregate
-    (functions/window.cube_counts)."""
-    from webextract.functions.window import cube_counts
-
-    return cube_counts(_docs(sf_dir, ["lang", "source", "n_chars"]),
-                       a="lang", b="source", val="n_chars")
-
-
-_SQL_DOCS_CUBE = """
-SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
-FROM documents GROUP BY CUBE(lang, source)
-"""
-
-
-def q_doc_length_quantiles_cont(sf_dir: str):
-    """INTERPOLATED per-language quantiles (SQL quantile_cont) from the
-    bounded histogram shuffle — bit-identical to DuckDB's
-    (1-f)*v_lo + f*v_hi evaluation order
-    (functions/window.group_quantiles_cont)."""
-    from webextract.functions.window import group_quantiles_cont
-
-    return group_quantiles_cont(_docs(sf_dir, ["lang", "n_chars"]),
-                                by="lang", val="n_chars")
-
-
-_SQL_QUANTILES_CONT = """
-SELECT lang, 0.5::DOUBLE AS q, quantile_cont(n_chars, 0.5) AS value
-FROM documents GROUP BY lang
-UNION ALL
-SELECT lang, 0.9::DOUBLE, quantile_cont(n_chars, 0.9)
-FROM documents GROUP BY lang
-UNION ALL
-SELECT lang, 0.99::DOUBLE, quantile_cont(n_chars, 0.99)
-FROM documents GROUP BY lang
-"""
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 10: RIGHT join, rank/ntile windows, full-data k-means
-# --------------------------------------------------------------------------
-
-
-def q_orders_customers_right(sf_dir: str):
-    """RIGHT OUTER hash join (same planted misses as the FULL query):
-    customers with no order inside the o_orderkey <= 1000 cut survive
-    with NULL order payload; orders whose customer is outside the
-    c_custkey <= 500 cut are dropped (functions/joins.hash_join
-    how="right")."""
-    import ray.data
-
-    from webextract.functions.joins import hash_join
-
-    orders = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                              columns=["o_custkey", "o_orderkey"])
-        .filter(expr="o_orderkey <= 1000")
-        .rename_columns({"o_custkey": "c_custkey"})
-    )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).filter(expr="c_custkey <= 500")
-    return hash_join(orders, cust, on="c_custkey", how="right")
-
-
-_SQL_ORDERS_CUSTOMERS_RIGHT = """
-SELECT c.c_custkey AS c_custkey, o.o_orderkey, c.c_name
-FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 1000) o
-RIGHT JOIN
-     (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
-ON o.o_custkey = c.c_custkey
-"""
-
-
-def q_docs_rank_per_lang(sf_dir: str):
-    """Per-language RANK / DENSE_RANK over doc length plus NTILE(4):
-    one-row-per-distinct-(lang, n_chars) histogram shuffle for the rank
-    bases, tie groups (never whole key partitions) for the row numbers
-    (functions/window.rank_agg)."""
-    from webextract.functions.window import rank_agg
-
-    return rank_agg(_docs(sf_dir, ["lang", "doc_id", "n_chars"]),
-                    by="lang", val="n_chars", tiebreak="doc_id", n_tiles=4)
-
-
-_SQL_DOCS_RANK = """
-SELECT lang, doc_id, n_chars,
-       RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
-       DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS drnk,
-       NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
-FROM documents
-"""
-
-
-def q_kmeans_clusters(sf_dir: str):
-    """Full-data distributed k-means (k=10, 5 fixed Lloyd's passes, every
-    pass one map_batches + distributed Sum fold) over the embeddings
-    table; returns exactly k rows (cluster, n) — empty clusters report 0.
-    Iterative, not SQL-expressible -> rows-only at the driver
-    (functions/clustering.kmeans_fit/assign)."""
-    import ray.data
-
-    from webextract.functions.clustering import kmeans_assign, kmeans_fit
-
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    k = 10
-    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=k, n_iter=5)
-    asn = kmeans_assign(emb, cents, col="embedding", id_col="vec_id")
-    from ray.data.aggregate import Count
-
-    sizes = {int(r["cluster"]): int(r["count()"])
-             for r in asn.groupby("cluster").aggregate(Count()).take_all()}
-    return pa.table({
-        "cluster": pa.array(list(range(k)), type=pa.int64()),
-        "n": pa.array([sizes.get(c, 0) for c in range(k)], type=pa.int64()),
-    })
-
-
-_DOC_COL_TYPES = {"doc_id": pa.int64(), "lang": pa.string(),
-                  "source": pa.string(), "n_chars": pa.int64(),
-                  "text": pa.string()}
-
-
-def _neardup_survivors(sf_dir: str, columns: list):
-    """Docs (projected to `columns`) that survive near-dedup: connected
-    components of the exact-verified pair graph, losers (node !=
-    component) anti-joined out. Only the projected columns cross the
-    anti join's shuffle — at full scale you select keys + tiny metadata,
-    never text."""
-    from webextract.functions.graph import connected_components
-    from webextract.functions.joins import hash_join
-
-    pairs = _neardup_pairs_exact_mat(sf_dir)
-    comp = connected_components(pairs)  # (node, component)
-
-    def losers_only(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64())})
-        keep = pc.not_equal(b.column("node"), b.column("component"))
-        return pa.table({"doc_id": b.column("node").filter(keep)})
-
-    losers = comp.map_batches(losers_only, batch_format="pyarrow")
-    docs = _docs(sf_dir, columns)
-    return hash_join(
-        docs, losers, on="doc_id", how="anti",
-        left_schema=pa.schema([(c, _DOC_COL_TYPES[c]) for c in columns]),
-        right_schema=pa.schema([("doc_id", pa.int64())]),
-    )
-
-
-def q_neardup_keep(sf_dir: str):
-    """END-TO-END near-dedup retention — the workflow a 100 TB dedup run
-    actually executes: LSH candidates -> exact-Jaccard verify -> connected
-    components -> keep the min-doc_id winner per cluster -> anti-join the
-    losers out of the corpus (`_neardup_survivors`)."""
-    return _neardup_survivors(sf_dir, ["doc_id", "lang"])
-
-
-_SQL_NEARDUP_KEEP = (
-    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
-    + r"""
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-),
-comp AS (
-  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
-  FROM reach GROUP BY src
-)
-SELECT d.doc_id, d.lang FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
-"""
-)
-
-
-def _assign_packs(ds, cap: int = 8192):
-    """(lang, doc_id, n_chars) -> + pack_id via the bucketed distributed
-    prefix sum: pack_id = (exclusive running char count) // cap per
-    language stream. One stateless map after running_agg."""
-    from webextract.functions.window import running_agg
-
-    ran = running_agg(ds, by="lang", order="doc_id", val="n_chars")
-
-    def assign(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({
-                "lang": pa.array([], type=pa.string()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "n_chars": pa.array([], type=pa.int64()),
-                "pack_id": pa.array([], type=pa.int64()),
-            })
-        run = b.column("running_n_chars")
-        tok = b.column("n_chars")
-        pack = pc.divide(pc.subtract(run, tok), pa.scalar(cap, pa.int64()))
-        return pa.table({
-            "lang": b.column("lang"),
-            "doc_id": b.column("doc_id"),
-            "n_chars": tok,
-            "pack_id": pack.cast(pa.int64()),
-        })
-
-    return ran.map_batches(assign, batch_format="pyarrow")
-
-
-def q_pack_docs(sf_dir: str):
-    """Training-batch LINEAR PACKING: assign each doc (ordered by doc_id
-    within its language stream) to a fixed-capacity pack by its
-    exclusive prefix sum. The prefix sum is the bucketed distributed
-    running_agg (no global sort, no per-key giant groups); the pack
-    assignment is one stateless map afterward. This is the first-pass
-    grouping of sample-packing/concat-and-chunk training prep."""
-    return _assign_packs(_docs(sf_dir, ["lang", "doc_id", "n_chars"]))
-
-
-_SQL_PACK_DOCS = """
-SELECT lang, doc_id, n_chars,
-       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
-         - n_chars) // 8192)::BIGINT AS pack_id
-FROM documents
-"""
-
-
-def q_top_words_per_lang(sf_dir: str):
-    """EXACT per-language top-5 words: per-batch (lang, word) combiner
-    pre-aggregation (the shuffle moves one row per distinct pair per
-    block, never one per token), one keys-only groupby, then a per-lang
-    finish whose group size is bounded by the language's distinct
-    vocabulary. Ties break word-ascending (made total)."""
-    from ray.data.aggregate import Sum
-
-    def explode_count(b: pa.Table) -> pa.Table:
-        words = pc.split_pattern(b.column("text").combine_chunks(), " ")
-        langs = b.column("lang").combine_chunks()
-        reps = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        flat_words = words.flatten()
-        flat_langs = langs.take(
-            pa.array(np.repeat(np.arange(len(reps)), reps)))
-        t = pa.table({"lang": flat_langs, "word": flat_words})
-        return (t.group_by(["lang", "word"])
-                .aggregate([([], "count_all")])
-                .rename_columns(["lang", "word", "n"]))
-
-    counts = (
-        _docs(sf_dir, ["lang", "text"])
-        .map_batches(explode_count, batch_format="pyarrow")
-        .groupby(["lang", "word"])
-        .aggregate(Sum("n", alias_name="cnt"))
-    )
-
-    def top5(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({
-                "lang": pa.array([], type=pa.string()),
-                "word": pa.array([], type=pa.string()),
-                "cnt": pa.array([], type=pa.int64()),
-            })
-        cnt = np.asarray(group.column("cnt").cast(pa.int64())
-                         .to_numpy(zero_copy_only=False))
-        words = group.column("word").to_pylist()
-        order = sorted(range(len(cnt)), key=lambda i: (-cnt[i], words[i]))[:5]
-        idx = pa.array(order, type=pa.int64())
-        return pa.table({
-            "lang": group.column("lang").take(idx),
-            "word": group.column("word").take(idx),
-            "cnt": group.column("cnt").cast(pa.int64()).take(idx),
-        })
-
-    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
-
-
-_SQL_TOP_WORDS_PER_LANG = """
-WITH c AS (
-  SELECT lang, word, count(*)::BIGINT AS cnt
-  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
-        FROM documents)
-  GROUP BY lang, word
-)
-SELECT lang, word, cnt FROM c
-QUALIFY row_number() OVER (
-  PARTITION BY lang ORDER BY cnt DESC, word) <= 5
-"""
-
-
-def q_training_mix(sf_dir: str):
-    """HERO COMPOSITION — the dedup-then-pack manifest a training-data
-    run ships to the trainer: near-dedup survivors (`_neardup_survivors`:
-    LSH -> exact-Jaccard -> connected components -> anti-join losers)
-    flow straight into per-language linear packing (`_assign_packs`:
-    bucketed distributed prefix sums). Output: one row per surviving doc
-    with its (lang, pack_id) batch assignment. Every stage is the
-    already-oracle-green primitive; the SQL mirror composes the same
-    CTEs."""
-    survivors = _neardup_survivors(sf_dir, ["doc_id", "lang", "n_chars"])
-    return _assign_packs(survivors)
-
-
-_SQL_TRAINING_MIX = (
-    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
-    + r"""
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-),
-comp AS (
-  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
-  FROM reach GROUP BY src
-),
-survivors AS (
-  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-  WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
-)
-SELECT lang, doc_id, n_chars,
-       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
-         - n_chars) // 8192)::BIGINT AS pack_id
-FROM survivors
-"""
-)
-
-
-def q_semdedup_pairs(sf_dir: str):
-    """SemDeDup-style near-dup pairs: pairwise cosine computed ONLY
-    inside k-means clusters (candidate generation by semantic bucket —
-    functions/clustering.cluster_neardup). The driver's embeddings are
-    near-orthogonal (max off-diagonal cosine ~0.51, measured), so 0
-    pairs at tau=0.9 is the CORRECT answer — the planted-duplicate
-    pytest (test_clustering) pins the positive case. Iterative k-means
-    upstream -> rows-only at the driver."""
-    import ray.data
-
-    from webextract.functions.clustering import cluster_neardup, kmeans_fit
-
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=10, n_iter=3)
-    return cluster_neardup(emb, cents, col="embedding", id_col="vec_id",
-                           threshold=0.9)
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 12: lead/ffill windows, arg-min, bivariate corr, Bloom
-# semi join, triangle count, table checksum, PII extraction, percent_rank
-# --------------------------------------------------------------------------
-
-
-def _events_ts(sf_dir: str, extra_cols=()):
-    """events projected to int64 (user_id, ts_us, event_id [, extra])."""
-    import ray.data
-
-    cols = ["event_id", "ts", "user_id", *extra_cols]
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
-
-    def conv(b: pa.Table) -> pa.Table:
-        out = {
-            "user_id": b.column("user_id"),
-            "ts_us": b.column("ts").cast(pa.int64()),
-            "event_id": b.column("event_id"),
-        }
-        for c in extra_cols:
-            out[c] = b.column(c)
-        return pa.table(out)
-
-    return ds.map_batches(conv, batch_format="pyarrow")
-
-
-def q_events_lead(sf_dir: str):
-    """Per-user LEAD window (functions/temporal.key_lead): next event id
-    + time gap within each user, ordered (ts, event_id); last event per
-    user dropped so no nullable columns."""
-    from webextract.functions.temporal import key_lead
-
-    return key_lead(_events_ts(sf_dir), by="user_id", ts="ts_us",
-                    payload="event_id")
-
-
-_SQL_EVENTS_LEAD = """
-WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-)
-SELECT user_id, ts_us, event_id,
-  lead(event_id) OVER w AS next_event_id,
-  lead(ts_us) OVER w - ts_us AS gap
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-QUALIFY next_event_id IS NOT NULL
-"""
-
-
-def q_first_event_per_user(sf_dir: str):
-    """Per-user ARG-MIN (functions/agg.first_by): the lexicographically
-    first (ts, event_id) row per user — SQL min_by / QUALIFY
-    row_number()=1. Combiner-first: one candidate per (key, block)
-    through the shuffle."""
-    from webextract.functions.agg import first_by
-
-    return first_by(_events_ts(sf_dir), by="user_id",
-                    order=["ts_us", "event_id"])
-
-
-_SQL_FIRST_EVENT = """
-SELECT user_id, epoch_us(ts) AS ts_us, event_id
-FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id
-                           ORDER BY epoch_us(ts), event_id) = 1
-"""
-
-
-def q_chars_words_corr(sf_dir: str):
-    """Per-language Pearson correlation + sample covariance between doc
-    char length and word count (functions/agg.corr_by) — five exact
-    int64 partial sums per group, one final double expression
-    (round-only-at-end; the SQL oracle is the same literal formula)."""
-    from webextract.functions.agg import corr_by
-
-    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
-
-    def add_words(b: pa.Table) -> pa.Table:
-        nw = pc.add(pc.count_substring(b.column("text"), " "),
-                    1).cast(pa.int64())
-        return pa.table({"lang": b.column("lang"),
-                         "n_chars": b.column("n_chars"),
-                         "n_words": nw})
-
-    return corr_by(docs.map_batches(add_words, batch_format="pyarrow"),
-                   by="lang", x="n_chars", y="n_words")
-
-
-# len(string_split(text,' ')) == count(' ')+1 by the single-space corpus
-# contract; the final expressions are the SAME int64->double formula the
-# engine evaluates, so covar/corr are bit-identical.
-_SQL_CHARS_WORDS_CORR = """
-WITH m AS (
-  SELECT lang, n_chars::BIGINT AS x,
-         len(string_split(text, ' '))::BIGINT AS y
-  FROM documents
-),
-s AS (
-  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
-         sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
-  FROM m GROUP BY lang
-)
-SELECT lang, n,
-  CASE WHEN n >= 2 THEN (n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE
-       END AS covar_samp,
-  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
-    (n*sxy - sx*sy)::DOUBLE
-      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
-  END AS corr
-FROM s
-"""
-
-
-def q_table_checksum(sf_dir: str):
-    """Order-invariant whole-table fingerprint
-    (functions/checksum.table_checksum): one (count, Σ md5_number_lower
-    mod 2^63) pair over (doc_id, lang, text) — the 16-byte cross-cluster
-    verification handshake. Hash convention measured identical to DuckDB
-    md5_number_lower; see module docstring."""
-    from webextract.functions.checksum import table_checksum
-
-    return table_checksum(_docs(sf_dir, ["doc_id", "lang", "text"]),
-                          ["doc_id", "lang", "text"])
-
-
-_SQL_TABLE_CHECKSUM = """
-SELECT count(*)::BIGINT AS n_rows,
-  CAST(sum(md5_number_lower(concat_ws('|', doc_id, lang, text)))::HUGEINT
-       % 9223372036854775808 AS BIGINT) AS checksum
-FROM documents
-"""
-
-
-def q_orders_bloom_semi(sf_dir: str):
-    """EXACT semi join with a Bloom prefilter
-    (functions/joins.bloom_semi_join): orders placed by BUILDING-segment
-    customers. The bitmap (built distributed from the customer side,
-    broadcast once) drops definite non-matches BEFORE the shuffle — at
-    10^12 left rows the exchange carries ~matches + fp x n instead of
-    every row; the trailing exact semi join removes false positives, so
-    the result is exactly SQL IN (...)."""
-    import ray.data
-
-    from webextract.functions.joins import bloom_semi_join
-
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
-
-    def keys(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b.column("c_mktsegment"), "BUILDING")
-        return pa.table({"o_custkey": b.filter(keep).column("c_custkey")
-                        .cast(pa.int64())})
-
-    building = cust.map_batches(keys, batch_format="pyarrow")
-    return bloom_semi_join(
-        orders, building, on="o_custkey",
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64())]),
-        right_schema=pa.schema([("o_custkey", pa.int64())]))
-
-
-_SQL_ORDERS_BLOOM_SEMI = """
-SELECT o_custkey, o_orderkey FROM orders
-WHERE o_custkey IN (SELECT c_custkey FROM customer
-                    WHERE c_mktsegment = 'BUILDING')
-"""
-
-
-def q_host_triangles(sf_dir: str):
-    """Exact triangle count of the synthetic host link graph
-    (functions/graph.triangle_count — canonical-orient dedup, apex wedge
-    self-join, composite-key closure semi join; two keys-only
-    exchanges). The base `_host_edges_ds` functional graph is
-    triangle-free, so this query adds the deterministic ring + chord
-    families (a, a+1) and (a, a+2) — 54 distinct undirected edges, 28
-    triangles at every sf (the SQL oracle mirrors the same synthesis)."""
-    from webextract.functions.graph import triangle_count
-
-    def edges(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        a = (ids % 20).astype(np.int64)
-        fams = [((ids * 7 + 3) % 20).astype(np.int64),
-                (a + 1) % 20, (a + 2) % 20]
-        return pa.table({
-            "src": pa.array(np.concatenate([a, a, a])),
-            "dst": pa.array(np.concatenate(fams)),
-        })
-
-    return triangle_count(
-        _docs(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow"))
-
-
-_SQL_HOST_TRIANGLES = """
-WITH d AS (
-  SELECT doc_id % 20 AS a, (doc_id * 7 + 3) % 20 AS b FROM documents
-  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 1) % 20 FROM documents
-  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 2) % 20 FROM documents
-),
-e AS (
-  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-  FROM d WHERE a <> b
-),
-w AS (
-  SELECT e1.v AS v1, e2.v AS v2
-  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-)
-SELECT count(*)::BIGINT AS n_triangles
-FROM w JOIN e ON w.v1 = e.u AND w.v2 = e.v
-"""
-
-
-def q_events_ffill(sf_dir: str):
-    """Per-user forward fill (functions/temporal.key_ffill): carry the
-    most recent click's value forward over non-click events, ordered
-    (ts, event_id); rows before a user's first click dropped (SQL
-    last_value IGNORE NULLS + QUALIFY NOT NULL)."""
-    from webextract.functions.temporal import key_ffill
-
-    ds = _events_ts(sf_dir, extra_cols=("event_type", "value"))
-
-    def mask(b: pa.Table) -> pa.Table:
-        clicked = pc.equal(b.column("event_type"), "click")
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": b.column("ts_us"),
-            "event_id": b.column("event_id"),
-            "v": pc.if_else(clicked, b.column("value"),
-                            pa.nulls(b.num_rows, type=pa.float64())),
-        })
-
-    return key_ffill(ds.map_batches(mask, batch_format="pyarrow"),
-                     by="user_id", ts="ts_us", order2="event_id", val="v")
-
-
-_SQL_EVENTS_FFILL = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-    CASE WHEN event_type = 'click' THEN value END AS v
-  FROM events
-)
-SELECT user_id, ts_us, event_id,
-  last_value(v IGNORE NULLS) OVER (
-    PARTITION BY user_id ORDER BY ts_us, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-FROM e
-QUALIFY filled IS NOT NULL
-"""
-
-
-def q_pii_extract(sf_dir: str):
-    """PII EXTRACTION (explode): the planted-entity corpus of
-    `pii_recall`, but emitting the matched substring itself per span —
-    the redaction-audit artifact (what exactly left the corpus). Same
-    detectors (functions/pii), same plant schedule (doc_id % 4)."""
-    from webextract.functions.pii import PiiScanner
-
-    def plant(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        out = []
-        for i, t in zip(ids, texts):
-            if i % 4 == 1:
-                out.append(f"{t} reach me at user{i}@example.com")
-            elif i % 4 == 2:
-                out.append(f"{t} id 123-45-6789")
-            elif i % 4 == 3:
-                out.append(f"{t} from 10.1.2.{i % 250}")
-            else:
-                out.append(t or "")
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "text": pa.array(out, type=pa.string()),
-        })
-
-    out_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.string()),
-                            ("match", pa.string())])
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        spans = b.column("pii_spans").to_pylist()
-        o_id, o_kind, o_match = [], [], []
-        for i, t, ss in zip(ids, texts, spans):
-            for s in ss:
-                o_id.append(i)
-                o_kind.append(s["kind"])
-                o_match.append(t[s["start"]:s["end"]])
-        return pa.table({
-            "doc_id": pa.array(o_id, type=pa.int64()),
-            "kind": pa.array(o_kind, type=pa.string()),
-            "match": pa.array(o_match, type=pa.string()),
-        }, schema=out_schema)
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(plant, batch_format="pyarrow")
-        .map_batches(PiiScanner, fn_constructor_kwargs={"redact_col": False},
-                     batch_format="pyarrow", concurrency=_conc())
-        .map_batches(explode, batch_format="pyarrow")
-    )
-
-
-_SQL_PII_EXTRACT = """
-SELECT doc_id, 'email' AS kind,
-       'user' || doc_id || '@example.com' AS match
-FROM documents WHERE doc_id % 4 = 1
-UNION ALL
-SELECT doc_id, 'ssn_like', '123-45-6789' FROM documents WHERE doc_id % 4 = 2
-UNION ALL
-SELECT doc_id, 'ipv4', '10.1.2.' || (doc_id % 250)
-FROM documents WHERE doc_id % 4 = 3
-"""
-
-
-def q_docs_pct_rank_per_lang(sf_dir: str):
-    """PERCENT_RANK + CUME_DIST per language over doc char length
-    (functions/window.rank_agg pct=True) — each an exact-int IEEE
-    division appended to the rank/ntile histogram pass."""
-    from webextract.functions.window import rank_agg
-
-    return rank_agg(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
-                    by="lang", val="n_chars", tiebreak="doc_id",
-                    n_tiles=4, pct=True)
-
-
-_SQL_DOCS_PCT_RANK = """
-SELECT lang, doc_id, n_chars,
-  rank() OVER v AS rnk,
-  dense_rank() OVER v AS drnk,
-  ntile(4) OVER w AS tile,
-  percent_rank() OVER v AS prnk,
-  cume_dist() OVER v AS cume
-FROM documents
-WINDOW v AS (PARTITION BY lang ORDER BY n_chars),
-       w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
-"""
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 13: composite-key join, per-group HLL, winsorize
-# --------------------------------------------------------------------------
-
-
-def q_first_event_by_type(sf_dir: str):
-    """Composite-key (3-column) hash join
-    (functions/joins.hash_join_on): the keep-first winners per (user,
-    event_type) joined BACK to the events table on (user_id, event_type,
-    event_id) to retrieve the winning row's timestamp — the
-    dedup-decision-then-payload-retrieval shape on a multi-column key.
-    One packed-key hash exchange; key columns ride as left payload."""
-    from webextract.functions.joins import hash_join_on
-
-    winners = q_dedup_events(sf_dir)
-    events = _events_ts(sf_dir, extra_cols=("event_type",))
-    return hash_join_on(
-        winners, events,
-        on=["user_id", "event_type", "event_id"],
-        left_schema=pa.schema([("user_id", pa.int64()),
-                               ("event_type", pa.string()),
-                               ("event_id", pa.int64())]),
-        right_schema=pa.schema([("user_id", pa.int64()),
-                                ("ts_us", pa.int64()),
-                                ("event_id", pa.int64()),
-                                ("event_type", pa.string())]))
-
-
-_SQL_FIRST_EVENT_BY_TYPE = """
-SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
-FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-                           ORDER BY event_id) = 1
-"""
-
-
-def q_approx_users_per_type(sf_dir: str):
-    """Per-group HLL distinct (functions/sketches.approx_distinct_by) —
-    the unbounded-cardinality scale path beside the exact
-    `users_per_type`: one 1-KiB register row per (key, block) through
-    the shuffle instead of one row per distinct pair. Approximate ->
-    rows-only; the ~3% error bound is pytest-pinned against the exact
-    counts."""
-    import ray.data
-
-    from webextract.functions.sketches import approx_distinct_by
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"])
-    return approx_distinct_by(ds, by="event_type", of="user_id", p=10)
-
-
-def q_winsorized_lengths(sf_dir: str):
-    """Winsorize: clamp doc lengths to the corpus [p05, p95] — the
-    standard outlier-trim before length-based quality scoring. The
-    quantiles come from the bounded groupby(value).count() histogram
-    fold (`doc_length_quantiles` discipline, DuckDB quantile_disc
-    convention v[floor(q*(n-1))]); the clamp itself is one vectorized
-    map_batches."""
-    from ray.data.aggregate import Count
-
-    hist = (
-        _docs(sf_dir, ["n_chars"])
-        .groupby("n_chars").aggregate(Count())
-        .rename_columns({"count()": "n"})
-        .take_all()
-    )
-    hist.sort(key=lambda r: r["n_chars"])
-    total = sum(r["n"] for r in hist)
-    vals = []
-    for q in (0.05, 0.95):
-        t = int(q * (total - 1))
-        cum = 0
-        for row in hist:
-            if cum + row["n"] > t:
-                vals.append(row["n_chars"])
-                break
-            cum += row["n"]
-    lo, hi = vals
-
-    def clamp(b: pa.Table) -> pa.Table:
-        x = b.column("n_chars")
-        w = pc.min_element_wise(pc.max_element_wise(x, lo), hi)
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "n_chars_w": w.cast(pa.int64())})
-
-    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
-        clamp, batch_format="pyarrow")
-
-
-_SQL_WINSORIZED = """
-WITH q AS (
-  SELECT quantile_disc(n_chars, 0.05) AS lo,
-         quantile_disc(n_chars, 0.95) AS hi
-  FROM documents
-)
-SELECT doc_id, least(greatest(n_chars, lo), hi)::BIGINT AS n_chars_w
-FROM documents, q
-"""
-
-
-def q_ssjoin_pairs(sf_dir: str):
-    """EXACT all-pairs set-similarity join (functions/ssjoin.py,
-    prefix-filtered PPJoin-lite): every doc pair with word-3-gram
-    Jaccard >= 0.8, no LSH recall term — the exact counterpart to
-    `neardup_pairs` candidate generation. Threshold compares are integer
-    cross-multiplications (4/5), jac is one IEEE division; the SQL
-    oracle computes the same integer counts."""
-    from webextract.functions.ssjoin import ssjoin_pairs
-
-    return ssjoin_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
-
-
-_SQL_SSJOIN = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-g AS (SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
-      FROM w, unnest(range(0, greatest(len(words) - 2, 1))) AS t(i)),
-s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-p AS (
-  SELECT id_a, id_b, i, sa.n + sb.n - i AS u
-  FROM inter JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
-SELECT id_a, id_b, i::DOUBLE / u AS jac FROM p WHERE i * 5 >= u * 4
-"""
-
-
-def q_events_rolling(sf_dir: str):
-    """Per-user ROWS-frame rolling window (functions/window.key_rolling):
-    SUM/COUNT/AVG of the last 3 events' integer cents, ordered
-    (ts, event_id). The value is floored to cents FIRST so the rolling
-    sum is exact int64 and roll_avg one IEEE division — the SQL mirror
-    uses the same floor + cast + `(sum OVER w)::DOUBLE / count OVER w`."""
-    from webextract.functions.window import key_rolling
-
-    ds = _events_ts(sf_dir, extra_cols=("value",))
-
-    def cents(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        v = b.column("value").to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0).astype(np.int64)
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": b.column("ts_us"),
-            "event_id": b.column("event_id"),
-            "cents": pa.array(c),
-        })
-
-    return key_rolling(ds.map_batches(cents, batch_format="pyarrow"),
-                       by="user_id", ts="ts_us", order2="event_id",
-                       val="cents", window=3)
-
-
-_SQL_EVENTS_ROLLING = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         CAST(floor(value * 100) AS BIGINT) AS cents
-  FROM events
-)
-SELECT user_id, ts_us, event_id,
-  (sum(cents) OVER w)::BIGINT AS roll_sum,
-  count(*) OVER w AS roll_n,
-  (sum(cents) OVER w)::DOUBLE / (count(*) OVER w) AS roll_avg
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-"""
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 15: corpus profiling + vocabulary encode
-# --------------------------------------------------------------------------
-
-
-def q_dup_profile(sf_dir: str):
-    """Duplication profile: how many (user, event_type) groups occur
-    exactly k times — the dedup-analysis artifact that sizes a dedup
-    run before paying for it (the documents table is exact-dup-free by
-    construction, so the profile runs on the event log's real
-    multiplicity distribution). Two keys-only shuffles
-    (groupby(keys).count, then groupby(count).count); payload never
-    crosses either."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "event_type"])
-    return (
-        ds.groupby(["user_id", "event_type"]).aggregate(Count())
-        .rename_columns({"count()": "copies"})
-        .groupby("copies").aggregate(Count())
-        .rename_columns({"count()": "n_groups"})
-    )
-
-
-_SQL_DUP_PROFILE = """
-WITH g AS (SELECT user_id, event_type, count(*)::BIGINT AS copies
-           FROM events GROUP BY 1, 2)
-SELECT copies, count(*)::BIGINT AS n_groups FROM g GROUP BY copies
-"""
-
-
-def q_table_profile(sf_dir: str):
-    """Column completeness/cardinality profiler over documents
-    (the data-quality precheck a 100 TB ingest runs first): per column
-    -> row count, null count, exact distinct count. One Count aggregate
-    per column family; distinct via the keys-only groupby(value) path
-    (bounded here; at unbounded cardinality swap in
-    `sketches.approx_distinct_by`)."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    cols = ["lang", "source", "n_chars"]
-    ds = _docs(sf_dir, cols)
-
-    def null_counts(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "n": pa.array([b.num_rows], type=pa.int64()),
-            **{f"null_{c}": pa.array([b.column(c).null_count],
-                                     type=pa.int64()) for c in cols},
-        })
-
-    import pandas as pd  # tiny partial fold (one row per block)
-
-    nulls = ds.map_batches(null_counts, batch_format="pyarrow",
-                           batch_size=None).to_pandas().sum()
-    n = int(nulls["n"])
-    rows = []
-    for c in cols:
-        nd = ds.groupby(c).aggregate(Count()).count()
-        rows.append((c, n, int(nulls[f"null_{c}"]), nd))
-    return pa.table({
-        "column": pa.array([r[0] for r in rows], type=pa.string()),
-        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
-        "n_null": pa.array([r[2] for r in rows], type=pa.int64()),
-        "n_distinct": pa.array([r[3] for r in rows], type=pa.int64()),
-    })
-
-
-_SQL_TABLE_PROFILE = """
-SELECT 'lang' AS column, count(*)::BIGINT AS n_rows,
-  count(*) FILTER (lang IS NULL)::BIGINT AS n_null,
-  count(DISTINCT lang)::BIGINT AS n_distinct FROM documents
-UNION ALL
-SELECT 'source', count(*)::BIGINT,
-  count(*) FILTER (source IS NULL)::BIGINT,
-  count(DISTINCT source)::BIGINT FROM documents
-UNION ALL
-SELECT 'n_chars', count(*)::BIGINT,
-  count(*) FILTER (n_chars IS NULL)::BIGINT,
-  count(DISTINCT n_chars)::BIGINT FROM documents
-"""
-
-
-def _vocab_table(sf_dir: str) -> pa.Table:
-    """Deterministic corpus vocabulary: distinct words, lexicographic,
-    contiguous ids from 0 — the tokenizer-dictionary build
-    (`RecCTCLabelEncode` char-dict analog at word granularity,
-    mindocr/data/transforms/rec_transforms.py:26-60). The distinct set
-    comes from a keys-only groupby; the id assignment is a driver-side
-    sort of the BOUNDED vocabulary (31 words here; a 100 TB corpus'
-    word vocab is ~1e7 — still driver-bounded; beyond that,
-    frequency-cut first)."""
-    from ray.data.aggregate import Count
-
-    def words(b: pa.Table) -> pa.Table:
-        out = []
-        for t in b.column("text").to_pylist():
-            out.extend((t or "").split(" "))
-        return pa.table({"word": pa.array(out, type=pa.string())})
-
-    vocab = sorted(r["word"] for r in (
-        _docs(sf_dir, ["text"])
-        .map_batches(words, batch_format="pyarrow")
-        .groupby("word").aggregate(Count())
-        .take_all()
-    ))
-    return pa.table({
-        "word": pa.array(vocab, type=pa.string()),
-        "token_id": pa.array(range(len(vocab)), type=pa.int64()),
-    })
-
-
-def q_vocab_ids(sf_dir: str):
-    """The vocabulary table itself (word -> contiguous token id)."""
-    return _vocab_table(sf_dir)
-
-
-_SQL_VOCAB_IDS = """
-SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
-FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-      FROM documents)
-"""
-
-
-def q_docs_token_ids(sf_dir: str):
-    """Vocabulary ENCODE: every document as (doc_id, pos, token_id)
-    rows — the id-sequence handoff to a training pipeline
-    (`VQATokenLabelEncode` analog: stateful dict applied per batch).
-    The vocab rides to every task once via ray.put; the encode is a
-    vectorized pc.index_in per batch, exploded in place (the chunking
-    row-explosion discipline)."""
-    import ray
-
-    vocab = _vocab_table(sf_dir)
-    ref = ray.put(vocab)
-
-    class Encoder:
-        def __init__(self, ref):
-            import ray as _ray
-
-            v = _ray.get(ref)
-            self.words = v.column("word").combine_chunks()
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_pylist()
-            texts = b.column("text").to_pylist()
-            o_id, o_pos, o_w = [], [], []
-            for i, t in zip(ids, texts):
-                ws = (t or "").split(" ")
-                o_id.extend([i] * len(ws))
-                o_pos.extend(range(1, len(ws) + 1))
-                o_w.extend(ws)
-            tid = pc.index_in(pa.array(o_w, type=pa.string()),
-                              value_set=self.words)
-            return pa.table({
-                "doc_id": pa.array(o_id, type=pa.int64()),
-                "pos": pa.array(o_pos, type=pa.int64()),
-                "token_id": tid.cast(pa.int64()),
-            })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Encoder, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=_conc())
-
-
-_SQL_DOCS_TOKEN_IDS = """
-WITH v AS (
-  SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-        FROM documents)
-),
-w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-tok AS (SELECT doc_id, i AS pos, ws[i] AS word
-        FROM w, unnest(range(1, len(ws) + 1)) AS t(i))
-SELECT doc_id, pos, token_id FROM tok JOIN v USING (word)
-"""
-
-
-def q_docs_zscore_per_lang(sf_dir: str):
-    """Per-language z-score standardization of doc length — the feature
-    normalization step before quality-model scoring. Group moments from
-    `agg.corr_by`'s exact-integer partials (sample variance), broadcast
-    as (mean-numerator, var) pairs; z = (n*x - sx) / (n*sqrt(var)) —
-    every operand exact int64 until the one division + sqrt, mirrored
-    literally in SQL."""
-    import ray
-    from ray.data.aggregate import Count, Sum
-
-    import numpy as np
-
-    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-
-    def sq(b: pa.Table) -> pa.Table:
-        x = b.column("n_chars").cast(pa.int64())
-        return pa.table({"lang": b.column("lang"), "x": x,
-                         "xx": pc.multiply_checked(x, x)})
-
-    stats = (
-        docs.map_batches(sq, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("x", alias_name="sx"), Sum("xx", alias_name="sxx"),
-                   Count())
-        .take_all()
-    )
-    table = {r["lang"]: (int(r["count()"]), int(r["sx"]), int(r["sxx"]))
-             for r in stats}
-    ref = ray.put(table)
-
-    def z(b: pa.Table) -> pa.Table:
-        st = ray.get(ref)
-        langs = b.column("lang").to_pylist()
-        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        ns = np.array([st[lg][0] for lg in langs], dtype=np.int64)
-        sxs = np.array([st[lg][1] for lg in langs], dtype=np.int64)
-        sxxs = np.array([st[lg][2] for lg in langs], dtype=np.int64)
-        var = (ns * sxxs - sxs * sxs).astype(np.float64) \
-            / (ns * (ns - 1)).astype(np.float64)
-        out = (ns * x - sxs).astype(np.float64) / (ns * np.sqrt(var))
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "lang": b.column("lang"),
-            "n_chars": b.column("n_chars"),
-            "z": pa.array(out),
-        })
-
-    return docs.map_batches(z, batch_format="pyarrow")
-
-
-_SQL_DOCS_ZSCORE = """
-WITH s AS (
-  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
-         sum(n_chars * n_chars)::BIGINT AS sxx
-  FROM documents GROUP BY lang
-)
-SELECT doc_id, d.lang, n_chars,
-  (n * n_chars - sx)::DOUBLE
-    / (n * sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE)) AS z
-FROM documents d JOIN s ON d.lang = s.lang
-"""
-
-
-# --------------------------------------------------------------------------
-# Round-3 batch 16: sequence mining + cohort retention
-# --------------------------------------------------------------------------
-
-
-def q_event_transitions(sf_dir: str):
-    """Markov transition counts over per-user event sequences: LAG pairs
-    (prev_event_type -> event_type) counted corpus-wide — the
-    sequence-mining artifact behind session models. Composes key_lag's
-    keys-only shuffle with one tiny pair aggregate; event types ride as
-    dictionary ints through the lag, decoded only in the final rows."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from webextract.functions.temporal import key_lag
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts", "user_id",
-                                        "event_type"])
-    types = sorted(r["event_type"] for r in
-                   ds.groupby("event_type").aggregate(Count()).take_all())
-    if len(types) > 8:
-        raise ValueError("event_transitions: pk packing supports <= 8 "
-                         "event types; widen the packing stride")
-    t2i = {t: i for i, t in enumerate(types)}
-
-    def conv(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        tids = np.array([t2i[t] for t in
-                         b.column("event_type").to_pylist()],
-                        dtype=np.int64)
-        eids = b.column("event_id").to_numpy(zero_copy_only=False)
-        # payload carries (event_id, type) packed so the lag order stays
-        # (ts, event_id) — event_id is unique, so packing preserves it
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": b.column("ts").cast(pa.int64()),
-            "pk": pa.array(eids * 8 + tids),
-        })
-
-    lagged = key_lag(ds.map_batches(conv, batch_format="pyarrow"),
-                     by="user_id", ts="ts_us", payload="pk")
-
-    def pairs(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cur = b.column("pk").to_numpy(zero_copy_only=False) % 8
-        prev = b.column("prev_pk").to_numpy(zero_copy_only=False) % 8
-        return pa.table({
-            "prev_type": pa.array([types[i] for i in prev],
-                                  type=pa.string()),
-            "event_type": pa.array([types[i] for i in cur],
-                                   type=pa.string()),
-        })
-
-    return (
-        lagged.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["prev_type", "event_type"]).aggregate(Count())
-        .rename_columns({"count()": "n"})
-    )
-
-
-_SQL_EVENT_TRANSITIONS = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
-  FROM events
-),
-l AS (
-  SELECT user_id, event_type,
-    lag(event_type) OVER (PARTITION BY user_id
-                          ORDER BY ts_us, event_id) AS prev_type
-  FROM e
-)
-SELECT prev_type, event_type, count(*)::BIGINT AS n
-FROM l WHERE prev_type IS NOT NULL
-GROUP BY 1, 2
-"""
-
-
-def q_user_retention(sf_dir: str):
-    """Cohort retention: users grouped by first-seen day, distinct
-    active users per (cohort_day, active_day) — the product-analytics
-    staple. Composes `first_by` (arg-min cohort), a `hash_join` of the
-    cohort back onto the event stream (keys-only), and the exact
-    two-stage distinct count on a packed composite key."""
-    from webextract.functions.agg import count_distinct_by, first_by
-    from webextract.functions.joins import hash_join
-
-    DAY = 86_400_000_000
-    ev = _events_ts(sf_dir)
-
-    cohort = first_by(ev, by="user_id", order=["ts_us", "event_id"])
-
-    def to_day(name):
-        def fn(b: pa.Table) -> pa.Table:
-            d = pc.divide(b.column("ts_us"), DAY).cast(pa.int64())
-            return pa.table({"user_id": b.column("user_id"), name: d})
-        return fn
-
-    cohort_days = cohort.map_batches(to_day("cohort_day"),
-                                     batch_format="pyarrow")
-    active = ev.map_batches(to_day("active_day"), batch_format="pyarrow")
-    joined = hash_join(
-        active, cohort_days, on="user_id",
-        left_schema=pa.schema([("user_id", pa.int64()),
-                               ("active_day", pa.int64())]),
-        right_schema=pa.schema([("user_id", pa.int64()),
-                                ("cohort_day", pa.int64())]))
-
-    def pack(b: pa.Table) -> pa.Table:
-        ck = pc.binary_join_element_wise(
-            pc.cast(b.column("cohort_day"), pa.string()),
-            pc.cast(b.column("active_day"), pa.string()), "#")
-        return pa.table({"ck": ck, "user_id": b.column("user_id")})
-
-    counts = count_distinct_by(
-        joined.map_batches(pack, batch_format="pyarrow"),
-        by="ck", of="user_id", out_name="n_users")
-
-    out_schema = pa.schema([("cohort_day", pa.int64()),
-                            ("active_day", pa.int64()),
-                            ("n_users", pa.int64())])
-
-    def unpack(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            # aggregate subgraphs can emit schema-LESS empties under
-            # Ray 2.x (the round-2 flaky-crash lesson) — re-type them
-            return out_schema.empty_table()
-        parts = [s.split("#") for s in b.column("ck").to_pylist()]
-        return pa.table({
-            "cohort_day": pa.array([int(p[0]) for p in parts],
-                                   type=pa.int64()),
-            "active_day": pa.array([int(p[1]) for p in parts],
-                                   type=pa.int64()),
-            "n_users": b.column("n_users").cast(pa.int64()),
-        }, schema=out_schema)
-
-    return counts.map_batches(unpack, batch_format="pyarrow")
-
-
-_SQL_USER_RETENTION = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         epoch_us(ts) AS ts_us, event_id
-  FROM events
-),
-c AS (
-  SELECT user_id, day AS cohort_day FROM e
-  QUALIFY row_number() OVER (PARTITION BY user_id
-                             ORDER BY ts_us, event_id) = 1
-)
-SELECT cohort_day, e.day AS active_day,
-       count(DISTINCT e.user_id)::BIGINT AS n_users
-FROM e JOIN c ON e.user_id = c.user_id
-GROUP BY 1, 2
-"""
-
-
-def q_cluster_size_profile(sf_dir: str):
-    """Near-dup cluster-size histogram: how many duplicate clusters have
-    exactly k members — the artifact that tells a dedup run its expected
-    row reduction. Composes the memoized exact-pair + connected-
-    components subgraph with two tiny keys-only aggregates."""
-    from ray.data.aggregate import Count
-
-    return (
-        q_dedup_clusters(sf_dir)
-        .groupby("component").aggregate(Count())
-        .rename_columns({"count()": "size"})
-        .groupby("size").aggregate(Count())
-        .rename_columns({"count()": "n_clusters"})
-    )
-
-
-_SQL_CLUSTER_SIZE_PROFILE = (
-    "WITH comp AS (\n" + _SQL_DEDUP_CLUSTERS + "\n)\n"
-    + """
-SELECT size, count(*)::BIGINT AS n_clusters FROM (
-  SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component
-) GROUP BY size
-"""
-)
-
-
-def q_host_degree_profile(sf_dir: str):
-    """Degree-distribution histogram of the host link graph (the skew
-    diagnostic that decides whether a join needs salting): total degree
-    -> node count, folded from the exact degree_stats aggregate. Runs on
-    the ring+chord+functional edge family (the `host_triangles` graph —
-    the base functional graph is regular, which would collapse the
-    histogram to one row)."""
-    from ray.data.aggregate import Count
-
-    from webextract.functions.graph import degree_stats
-
-    def edges(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        a = (ids % 20).astype(np.int64)
-        fams = [((ids * 4 + 1) % 20).astype(np.int64),
-                (a + 1) % 20, (a + 2) % 20]
-        return pa.table({
-            "src": pa.array(np.concatenate([a, a, a])),
-            "dst": pa.array(np.concatenate(fams)),
-        })
-
-    ds = _docs(sf_dir, ["doc_id"]).map_batches(edges,
-                                               batch_format="pyarrow")
-
-    def total(b: pa.Table) -> pa.Table:
-        return pa.table({"degree": pc.add(
-            b.column("out_deg").cast(pa.int64()),
-            b.column("in_deg").cast(pa.int64()))})
-
-    return (
-        degree_stats(ds)
-        .map_batches(total, batch_format="pyarrow")
-        .groupby("degree").aggregate(Count())
-        .rename_columns({"count()": "n_nodes"})
-    )
-
-
-_SQL_HOST_DEGREE_PROFILE = """
-WITH e AS (
-  SELECT doc_id % 20 AS src, (doc_id * 4 + 1) % 20 AS dst FROM documents
-  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 1) % 20 FROM documents
-  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 2) % 20 FROM documents
-),
-d AS (
-  SELECT node, count(*)::BIGINT AS degree FROM (
-    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
-  ) GROUP BY node
-)
-SELECT degree, count(*)::BIGINT AS n_nodes FROM d GROUP BY degree
-"""
-
-
-def q_docs_linreg_per_lang(sf_dir: str):
-    """Per-language ordinary-least-squares fit of n_words ~ n_chars —
-    grouped regression from the SAME five exact int64 partial sums as
-    `corr_by`: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
-    (Σy − slope·Σx)/n, each a literal IEEE expression mirrored in SQL
-    (round-only-at-end)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    import numpy as np
-
-    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
-
-    def prep(b: pa.Table) -> pa.Table:
-        x = b.column("n_chars").cast(pa.int64())
-        y = pc.add(pc.count_substring(b.column("text"), " "),
-                   1).cast(pa.int64())
-        return pa.table({"lang": b.column("lang"), "_x": x, "_y": y,
-                         "_xx": pc.multiply_checked(x, x),
-                         "_xy": pc.multiply_checked(x, y)})
-
-    agg = (
-        docs.map_batches(prep, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("_x", alias_name="sx"), Sum("_y", alias_name="sy"),
-                   Sum("_xx", alias_name="sxx"),
-                   Sum("_xy", alias_name="sxy"), Count())
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        n = b.column("count()").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
-        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
-        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.int64)
-        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.int64)
-        slope = (n * sxy - sx * sy).astype(np.float64) \
-            / (n * sxx - sx * sx).astype(np.float64)
-        intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) \
-            / n.astype(np.float64)
-        return pa.table({"lang": b.column("lang"),
-                         "n": pa.array(n),
-                         "slope": pa.array(slope),
-                         "intercept": pa.array(intercept)})
-
-    return agg.map_batches(finish, batch_format="pyarrow")
-
-
-_SQL_DOCS_LINREG = """
-WITH m AS (
-  SELECT lang, n_chars::BIGINT AS x,
-         len(string_split(text, ' '))::BIGINT AS y
-  FROM documents
-),
-s AS (
-  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
-         sum(x*y)::BIGINT AS sxy
-  FROM m GROUP BY lang
-)
-SELECT lang, n,
-  (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,
-  (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
-     * sx::DOUBLE) / n::DOUBLE AS intercept
-FROM s
-"""
-
-
-def q_join_size_est(sf_dir: str):
-    """Pre-join cardinality estimate of |orders ⋈ customer| WITHOUT
-    running the join (functions/sketches.join_size_estimate — CMS
-    dot-product, two streaming passes, no shuffle). Never undercounts;
-    rows-only (approximate by design; the bound is pytest-pinned and the
-    exact answer is the oracle-green `orders_customers_join` row
-    count)."""
-    import ray.data
-
-    from webextract.functions.sketches import join_size_estimate
-
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey"])
-    est = join_size_estimate(orders, cust, left_on="o_custkey",
-                             right_on="c_custkey", w=8192)
-    return pa.table({"est_rows": pa.array([est], type=pa.int64())})
-
-
-def q_dataset_split(sf_dir: str):
-    """Deterministic train/val/test split: multiplicative-hash bucket of
-    doc_id (Knuth 2654435761 mod 2^32, then mod 100) -> 80/10/10 —
-    membership is a pure function of the row key, so reruns, resumed
-    runs, and different cluster layouts assign identically (the lineage
-    discipline applied to dataset splits). All-integer math, mirrored
-    literally in SQL; emits per-split doc counts + char totals."""
-    from ray.data.aggregate import Count, Sum
-
-    def split(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        # int64-exact for ids < 2^33 (the SQL mirror's BIGINT bound);
-        # beyond that switch the bucket hash to md5_number_lower % 100
-        bucket = (ids * 2654435761) % (1 << 32) % 100
-        name = np.where(bucket < 80, "train",
-                        np.where(bucket < 90, "val", "test"))
-        return pa.table({"split": pa.array(name.tolist(),
-                                           type=pa.string()),
-                         "n_chars": b.column("n_chars")})
-
-    return (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .map_batches(split, batch_format="pyarrow")
-        .groupby("split")
-        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_DATASET_SPLIT = """
-WITH s AS (
-  SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
-              THEN 'train'
-              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
-              THEN 'val' ELSE 'test' END AS split,
-         n_chars
-  FROM documents
-)
-SELECT split, count(*)::BIGINT AS n_docs,
-       sum(n_chars)::BIGINT AS total_chars
-FROM s GROUP BY split
-"""
-
-
-def q_doc_length_quantiles_by_lang_sketch(sf_dir: str):
-    """Per-language KLL quantile sketch
-    (functions/sketches.approx_quantiles_by) — the unbounded-cardinality
-    scale path beside the exact `doc_length_quantiles_by_lang`: one
-    O(k log n) sketch row per (key, block) through the shuffle instead
-    of one row per distinct value. Approximate -> rows-only; error
-    pinned by pytest against the exact per-group quantiles."""
-    from webextract.functions.sketches import approx_quantiles_by
-
-    return approx_quantiles_by(_docs(sf_dir, ["lang", "n_chars"]),
-                               by="lang", val="n_chars")
-
-
-def q_crossdoc_ngrams(sf_dir: str):
-    """Cross-document duplicated 5-grams: the exact-substring-dedup
-    primitive (functions/ngrams.dup_ngram_topk). Distinct n-grams are
-    computed per doc inside map_batches (no shuffle), then ONE
-    keys-only groupby counts document frequency; top-20 by
-    (ndocs DESC, ngram ASC) — a total order, deterministic k-cut."""
-    from webextract.functions.ngrams import dup_ngram_topk
-
-    return dup_ngram_topk(_docs(sf_dir, ["text"]), n=5, k=20, min_docs=2)
-
-
-_SQL_CROSSDOC_NGRAMS = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-g AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i+1:i+5], ' ') AS ngram
-  FROM w, unnest(range(0, greatest(len(words)-4, 0))) AS t(i)
-)
-SELECT ngram, count(*)::BIGINT AS ndocs
-FROM g GROUP BY ngram HAVING count(*) >= 2
-ORDER BY ndocs DESC, ngram LIMIT 20
-"""
-
-
-def q_c4_line_filter(sf_dir: str):
-    """Extraction composed with C4-style line filtering (Raffel et al.
-    2020 §2.2 analog): run the full detect-then-extract pipeline, then
-    drop lines with < 20 words or without the word 'the'
-    (functions/ngrams.line_filter_batch). Per-row map after the
-    extract — no shuffle anywhere; survivors' text stays byte-exact
-    (the filter re-joins original lines, never rewrites them)."""
-    from webextract.functions.ngrams import line_filter_batch
-
-    ds = _extract_ds(sf_dir).filter(expr="status == 'ok'")
-    return ds.select_columns(["doc_id", "text"]).map_batches(
-        line_filter_batch, batch_format="pyarrow"
-    )
-
-
-_SQL_C4_LINE_FILTER = r"""
-WITH k0 AS (
-  SELECT doc_id, text,
-         (CASE WHEN doc_id % 19 = 11 AND doc_id % 25 <> 3 AND doc_id % 17 <> 5
-               THEN 5 ELSE doc_id % 3 + 1 END)::INT AS k
-  FROM documents WHERE doc_id % 50 <> 7
-),
-g AS (
-  SELECT doc_id,
-    list_filter(
-      list_transform(range(0, k), i ->
-        array_to_string(
-          string_split(text, ' ')[(i*len(string_split(text, ' ')))//k + 1
-                                  : ((i+1)*len(string_split(text, ' ')))//k],
-          ' ')
-      ), c -> c <> '') AS lines
-  FROM k0
-),
-f AS (
-  SELECT doc_id, lines,
-    list_filter(lines, ln ->
-      len(string_split(ln, ' ')) >= 20
-      AND list_contains(string_split(ln, ' '), 'the')) AS kept
-  FROM g
-)
-SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
-       coalesce(array_to_string(kept, chr(10)), '') AS text
-FROM f
-"""
-
-
-def q_revenue_by_nation(sf_dir: str):
-    """TPC-H Q5-lite three-way join: orders -> customer -> nation,
-    revenue per nation. Scale shape: (1) revenue is pre-aggregated per
-    customer INSIDE the orders scan before any join (the shuffle moves
-    (custkey, cents, count) only — never order rows); (2) the
-    orders x customer step is one keys-only hash exchange; (3) the
-    25-row nation side broadcasts via ray.put. Money is summed as
-    integer cents — floor(x*100 + 0.5) on both sides, identical IEEE
-    double ops, so the distributed sum is order-independent and exact."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import broadcast_join, hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
-
-    per_cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("cents", alias_name="cents"), Count())
-        .rename_columns({"count()": "n_ord"})
-    )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    left_schema = pa.schema(
-        [("c_custkey", pa.int64()), ("cents", pa.int64()), ("n_ord", pa.int64())]
-    )
-    right_schema = pa.schema(
-        [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
-    )
-    joined = hash_join(
-        per_cust, cust, on="c_custkey",
-        left_schema=left_schema, right_schema=right_schema,
-    ).rename_columns({"c_nationkey": "n_nationkey"})
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    named = broadcast_join(joined, nation, key="n_nationkey",
-                           concurrency=_conc())
-    return (
-        named.groupby("n_name")
-        .aggregate(
-            Sum("cents", alias_name="revenue_cents"),
-            Sum("n_ord", alias_name="n_orders"),
-        )
-    )
-
-
-_SQL_REVENUE_BY_NATION = """
-SELECT n_name,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
-       count(*)::BIGINT AS n_orders
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-"""
-
-
-def q_word_postings(sf_dir: str):
-    """Inverted-index construction (functions/ngrams.inverted_index):
-    per-doc word dedup inside map_batches, ONE keys-only groupby
-    gathering each word's ascending posting list (comma-joined, the
-    oracle surface's list encoding) + document frequency. max_group
-    raises on stopword-sized lists — no silent truncation."""
-    from webextract.functions.ngrams import inverted_index
-
-    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
-
-
-_SQL_WORD_POSTINGS = """
-WITH e AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-),
-p AS (SELECT DISTINCT doc_id, word FROM e)
-SELECT word, count(*)::BIGINT AS df,
-       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
-FROM p GROUP BY word
-"""
-
-
-def q_train_shuffle(sf_dir: str):
-    """Deterministic global training-order shuffle
-    (functions/sampling.shuffle_index): position under ORDER BY
-    md5(str(doc_id)) — seedless, resume-safe, layout-invariant. One
-    keys-only groupby on 256 md5-prefix buckets; bucket counts (a
-    bounded 256-row fold) prefix-sum into offsets broadcast via
-    ray.put; no global sort."""
-    from webextract.functions.sampling import shuffle_index
-
-    return shuffle_index(_docs(sf_dir, ["doc_id"]))
-
-
-_SQL_TRAIN_SHUFFLE = """
-SELECT doc_id,
-       (row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
-        - 1)::BIGINT AS pos
-FROM documents
-"""
-
-
-def q_anchor_terms(sf_dir: str):
-    """Anchor-text aggregation — the web-index view of the link
-    inventory: for every link target, how each anchor term is used
-    across the crawl (stages/links.extract_links -> one keys-only
-    groupby on (href, anchor); counts pre-combine per block inside the
-    groupby, so hot targets cost one row per (block, term))."""
-    from ray.data.aggregate import Count
-
-    links = _links_ds(sf_dir)
-    return (
-        links.groupby(["href", "anchor"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n_links"})
-    )
-
-
-_SQL_ANCHOR_TERMS = """
-WITH ok AS (
-  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
-),
-nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
-ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok),
-links AS (
-  SELECT doc_id, '/p' || i AS href,
-    (['Home','About','Products','Blog','Contact','Careers','Support','News'])
-      [((doc_id + i) % 8) + 1] AS anchor
-  FROM nav
-  UNION ALL
-  SELECT doc_id, '/ad' || i AS href,
-    (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
-      [((doc_id * 3 + i) % 8) + 1] AS anchor
-  FROM ads
-)
-SELECT href, anchor, count(*)::BIGINT AS n_links
-FROM links GROUP BY href, anchor
-"""
-
-
-def q_word_cooccurrence(sf_dir: str):
-    """Top-20 co-occurring word pairs across documents
-    (functions/cooc.text_pair_counts): map-side pair explode (deduped
-    within each doc, w1 < w2), ONE keys-only groupby, total-order k-cut
-    (n DESC, w1, w2)."""
-    from webextract.functions.cooc import text_pair_counts
-
-    return text_pair_counts(_docs(sf_dir, ["text"]), k=20)
-
-
-_SQL_WORD_COOCCURRENCE = """
-WITH e AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-),
-p AS (SELECT DISTINCT doc_id, word FROM e)
-SELECT a.word AS w1, b.word AS w2, count(*)::BIGINT AS n
-FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.word < b.word
-GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20
-"""
-
-
-def q_event_type_pairs(sf_dir: str):
-    """Market-basket pairs: event types co-occurring under the same
-    user (functions/cooc.group_item_pairs — per-user distinct-item
-    gather, pair explode in map_groups, keys-only pair count; group
-    size is the DISTINCT type count, never the user's event count)."""
-    import ray.data
-
-    from webextract.functions.cooc import group_item_pairs
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
-    )
-    return group_item_pairs(ev, by="user_id", item="event_type")
-
-
-_SQL_EVENT_TYPE_PAIRS = """
-WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
-SELECT a.event_type AS t1, b.event_type AS t2, count(*)::BIGINT AS n_keys
-FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
-GROUP BY t1, t2
-"""
-
-
-def q_length_band_filter(sf_dir: str):
-    """Adaptive (data-dependent) filtering: keep documents whose length
-    falls in the corpus's own [p10, p90] band, then aggregate per
-    language — the two-pass quality-filter shape (RefinedWeb-style
-    percentile cuts). Pass 1 folds the DISTINCT-length histogram on the
-    driver (bounded by value cardinality, quantile_disc rank
-    ceil(q*n)-1 — the same convention as functions/window
-    .group_quantiles); pass 2 is a map-side filter with the two literal
-    thresholds + one keys-only groupby."""
-    import math
-
-    from ray.data.aggregate import Count, Sum
-
-    hist = (
-        _docs(sf_dir, ["n_chars"])
-        .groupby("n_chars")
-        .aggregate(Count())
-        .take_all()
-    )
-    hist.sort(key=lambda r: r["n_chars"])
-    total = sum(r["count()"] for r in hist)
-
-    def q_at(q: float) -> int:
-        target = max(0, math.ceil(q * total) - 1)
-        cum = 0
-        for r in hist:
-            if cum + r["count()"] > target:
-                return int(r["n_chars"])
-            cum += r["count()"]
-        return int(hist[-1]["n_chars"])
-
-    lo, hi = q_at(0.1), q_at(0.9)
-    return (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .filter(expr=f"n_chars >= {lo}")
-        .filter(expr=f"n_chars <= {hi}")
-        .groupby("lang")
-        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_LENGTH_BAND_FILTER = """
-WITH t AS (
-  SELECT quantile_disc(n_chars, 0.1) AS lo,
-         quantile_disc(n_chars, 0.9) AS hi
-  FROM documents
-)
-SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
-FROM documents, t
-WHERE n_chars BETWEEN lo AND hi
-GROUP BY lang
-"""
-
-
-def q_json_props_stats(sf_dir: str):
-    """Semi-structured extraction: parse the JSON `props` payload per
-    event (real json.loads in the batch UDF — the WARC-metadata /
-    JSON-LD analog), pull the numeric field, aggregate per event type.
-    Map-side parse, one keys-only groupby; malformed JSON would raise
-    (quarantining is the segmenter's job, metadata is contract-clean).
-    The oracle mirrors the extraction with a regex so it needs no
-    DuckDB JSON extension."""
-    import json
-
-    import ray.data
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    def parse(b: pa.Table) -> pa.Table:
-        ks = [int(json.loads(p)["k"]) for p in b.column("props").to_pylist()]
-        return pa.table({
-            "event_type": b.column("event_type"),
-            "k": pa.array(ks, type=pa.int64()),
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
-    )
-    return (
-        ev.map_batches(parse, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(),
-            Sum("k", alias_name="k_sum"),
-            Min("k", alias_name="k_min"),
-            Max("k", alias_name="k_max"),
-        )
-        .rename_columns({"count()": "n_events"})
-    )
-
-
-_SQL_JSON_PROPS_STATS = r"""
-SELECT event_type, count(*)::BIGINT AS n_events,
-       sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_sum,
-       min(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_min,
-       max(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS k_max
-FROM events GROUP BY event_type
-"""
-
-
-def q_top_orders_by_revenue(sf_dir: str):
-    """TPC-H Q3-lite: per-order lineitem revenue (pre-aggregated INSIDE
-    the lineitem scan — the shuffle moves (orderkey, cents), never line
-    rows), hash-joined to orders for the priority column, global top-10
-    by (revenue DESC, orderkey ASC). Revenue is exact integer cents:
-    floor(ext * (1 - disc) * 100 + 0.5), identical IEEE ops on both
-    sides, so the distributed sum is order-independent."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from webextract.functions.joins import hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(1.0, b.column("l_discount")),
-        )
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
-        )
-        return pa.table({"o_orderkey": b.column("l_orderkey"), "cents": c})
-
-    per_order = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
-    joined = hash_join(
-        per_order, orders, on="o_orderkey",
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
-        ),
-    )
-    return joined.sort(
-        ["revenue_cents", "o_orderkey"], descending=[True, False]
-    ).limit(10)
-
-
-_SQL_TOP_ORDERS_BY_REVENUE = """
-WITH r AS (
-  SELECT l_orderkey AS o_orderkey,
-         sum(floor(l_extendedprice * (1 - l_discount) * 100.0
-                   + 0.5)::BIGINT)::BIGINT AS revenue_cents
-  FROM lineitem GROUP BY l_orderkey
-)
-SELECT r.o_orderkey, revenue_cents, o_orderpriority
-FROM r JOIN orders USING (o_orderkey)
-ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
-"""
-
-
-def q_monthly_revenue(sf_dir: str):
-    """Calendar rollup: integer-cents order revenue per YYYY-MM month
-    (vectorized pc.strftime truncation map-side; one keys-only groupby
-    over ~120 month keys — the time-bucketed aggregate every crawl
-    freshness dashboard runs)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def bucket(b: pa.Table) -> pa.Table:
-        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
-        c = pc.cast(
-            pc.floor(
-                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
-            ),
-            pa.int64(),
-        )
-        return pa.table({"month": m, "cents": c})
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
-    )
-    return (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(), Sum("cents", alias_name="revenue_cents")
-        )
-        .rename_columns({"count()": "n_orders"})
-    )
-
-
-_SQL_MONTHLY_REVENUE = """
-SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       count(*)::BIGINT AS n_orders,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
-FROM orders GROUP BY month
-"""
-
-
-def q_supplier_balance_by_region(sf_dir: str):
-    """Dimension-chain broadcast: nation x region pre-joined driver-side
-    (25 x 5 rows), shipped once via ray.put, probed vectorized inside
-    the supplier scan — zero shuffles end-to-end except the final
-    5-key groupby. Account balances summed as exact integer cents
-    (floor(x*100+0.5) handles negatives identically on both sides)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import broadcast_join
-
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    )
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    rn = region.column("r_name").to_pylist()
-    rk = region.column("r_regionkey").to_pylist()
-    by_rk = dict(zip(rk, rn))
-    dim = pa.table({
-        "s_nationkey": nation.column("n_nationkey"),
-        "r_name": pa.array(
-            [by_rk[k] for k in nation.column("n_regionkey").to_pylist()],
-            type=pa.string(),
-        ),
-    })
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({"s_nationkey": b.column("s_nationkey"), "cents": c})
-
-    sup = (
-        ray.data.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
-        )
-        .map_batches(cents, batch_format="pyarrow")
-    )
-    named = broadcast_join(sup, dim, key="s_nationkey", concurrency=_conc())
-    return (
-        named.groupby("r_name")
-        .aggregate(Count(), Sum("cents", alias_name="balance_cents"))
-        .rename_columns({"count()": "n_suppliers"})
-    )
-
-
-_SQL_SUPPLIER_BALANCE_BY_REGION = """
-SELECT r_name, count(*)::BIGINT AS n_suppliers,
-       sum(floor(s_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS balance_cents
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def q_brand_revenue(sf_dir: str):
-    """Q14-flavored big-big join on the part key: lineitem revenue
-    pre-aggregated per partkey inside the scan (keys+cents through the
-    shuffle), one hash exchange against part, then a keys-only brand
-    rollup. Covers the one base table (part) no other query touches."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(1.0, b.column("l_discount")),
-        )
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
-        )
-        return pa.table({"p_partkey": b.column("l_partkey"), "cents": c})
-
-    per_part = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_partkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("p_partkey")
-        .aggregate(Sum("cents", alias_name="cents"), Count())
-        .rename_columns({"count()": "n_lines"})
-    )
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    )
-    joined = hash_join(
-        per_part, part, on="p_partkey",
-        left_schema=pa.schema([
-            ("p_partkey", pa.int64()), ("cents", pa.int64()),
-            ("n_lines", pa.int64()),
-        ]),
-        right_schema=pa.schema(
-            [("p_partkey", pa.int64()), ("p_brand", pa.string())]
-        ),
-    )
-    return (
-        joined.groupby("p_brand")
-        .aggregate(
-            Sum("cents", alias_name="revenue_cents"),
-            Sum("n_lines", alias_name="n_lines"),
-        )
-    )
-
-
-_SQL_BRAND_REVENUE = """
-SELECT p_brand,
-       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
-                 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
-       count(*)::BIGINT AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-"""
-
-
-def q_vocab_by_lang(sf_dir: str):
-    """COUNT(DISTINCT word) per language — vocabulary size, the Heaps'-
-    law corpus profile. Per-doc word dedup map-side, then TWO keys-only
-    shuffles: distinct on (lang, word), count per lang. No payload ever
-    moves."""
-    from ray.data.aggregate import Count
-
-    def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            for w in set(t.split(" ")):
-                langs.append(lg)
-                words.append(w)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
-        })
-
-    return (
-        _docs(sf_dir, ["lang", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["lang", "word"])
-        .aggregate(Count())
-        .groupby("lang")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_words"})
-    )
-
-
-_SQL_VOCAB_BY_LANG = """
-WITH e AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
-)
-SELECT lang, count(DISTINCT word)::BIGINT AS n_words
-FROM e GROUP BY lang
-"""
-
-
-def q_lang_metrics_unpivot(sf_dir: str):
-    """UNPIVOT/melt: the per-language wide aggregate row folded into
-    (lang, metric, value) long form — the inverse of
-    `lang_source_pivot`. The melt is a map-side row explode AFTER the
-    keys-only aggregate, so it costs nothing extra at scale."""
-    from ray.data.aggregate import Count, Max, Sum
-
-    wide = (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(
-            Count(),
-            Sum("n_chars", alias_name="total_chars"),
-            Max("n_chars", alias_name="max_chars"),
-        )
-        .rename_columns({"count()": "n_docs"})
-    )
-
-    def melt(b: pa.Table) -> pa.Table:
-        langs: list = []
-        metrics: list = []
-        values: list = []
-        for i in range(b.num_rows):
-            lg = b.column("lang")[i].as_py()
-            for m in ("n_docs", "total_chars", "max_chars"):
-                langs.append(lg)
-                metrics.append(m)
-                values.append(int(b.column(m)[i].as_py()))
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "metric": pa.array(metrics, type=pa.string()),
-            "value": pa.array(values, type=pa.int64()),
-        })
-
-    return wide.map_batches(melt, batch_format="pyarrow")
-
-
-_SQL_LANG_METRICS_UNPIVOT = """
-WITH w AS (
-  SELECT lang, count(*)::BIGINT AS n_docs,
-         sum(n_chars)::BIGINT AS total_chars,
-         max(n_chars)::BIGINT AS max_chars
-  FROM documents GROUP BY lang
-)
-SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
-UNION ALL
-SELECT lang, 'total_chars' AS metric, total_chars AS value FROM w
-UNION ALL
-SELECT lang, 'max_chars' AS metric, max_chars AS value FROM w
-"""
-
-
-def q_events_conditional_agg(sf_dir: str):
-    """SQL FILTER-clause aggregates: per user, counts of two event
-    types plus purchase value summed as exact integer cents — the
-    conditional columns become 0/1 (or cents/0) map-side, so ONE
-    keys-only groupby carries all three aggregates (no per-condition
-    scans)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def flags(b: pa.Table) -> pa.Table:
-        et = b.column("event_type")
-        is_click = pc.cast(pc.equal(et, "click"), pa.int64())
-        is_view = pc.cast(pc.equal(et, "view"), pa.int64())
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        pur = pc.if_else(pc.equal(et, "purchase"), cents,
-                         pa.scalar(0, type=pa.int64()))
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "is_click": is_click,
-            "is_view": is_view,
-            "purchase_cents": pur,
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "event_type", "value"],
-    )
-    return (
-        ev.map_batches(flags, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Count(),
-            Sum("is_click", alias_name="n_clicks"),
-            Sum("is_view", alias_name="n_views"),
-            Sum("purchase_cents", alias_name="purchase_cents"),
-        )
-        .rename_columns({"count()": "n_events"})
-    )
-
-
-_SQL_EVENTS_CONDITIONAL_AGG = """
-SELECT user_id, count(*)::BIGINT AS n_events,
-       count(*) FILTER (event_type = 'click')::BIGINT AS n_clicks,
-       count(*) FILTER (event_type = 'view')::BIGINT AS n_views,
-       coalesce(sum(floor(value * 100.0 + 0.5)::BIGINT)
-                FILTER (event_type = 'purchase'), 0)::BIGINT
-         AS purchase_cents
-FROM events GROUP BY user_id
-"""
-
-
-def q_docs_mad_per_lang(sf_dir: str):
-    """Robust spread: per-language median + median-absolute-deviation
-    of doc length. ONE distinct-value histogram crosses the shuffle
-    (the group_quantiles contract); the driver derives BOTH medians
-    from that histogram with exact integer math — the |x - med|
-    histogram is a fold of the original, never a second scan.
-    quantile_disc convention: rank ceil(q*n)-1."""
-    import math
-
-    from ray.data.aggregate import Count
-
-    hist = (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .groupby(["lang", "n_chars"])
-        .aggregate(Count())
-        .take_all()
-    )
-    groups: dict = {}
-    for r in hist:
-        groups.setdefault(r["lang"], []).append(
-            (int(r["n_chars"]), int(r["count()"]))
-        )
-
-    def disc_median(pairs):
-        total = sum(n for _, n in pairs)
-        target = max(0, math.ceil(0.5 * total) - 1)
-        cum = 0
-        for v, n in sorted(pairs):
-            if cum + n > target:
-                return v
-            cum += n
-        return sorted(pairs)[-1][0]
-
-    langs, meds, mads = [], [], []
-    for lg in sorted(groups):
-        pairs = groups[lg]
-        med = disc_median(pairs)
-        folded: dict = {}
-        for v, n in pairs:
-            d = abs(v - med)
-            folded[d] = folded.get(d, 0) + n
-        langs.append(lg)
-        meds.append(med)
-        mads.append(disc_median(list(folded.items())))
-    return pa.table({
-        "lang": pa.array(langs, type=pa.string()),
-        "median_chars": pa.array(meds, type=pa.int64()),
-        "mad_chars": pa.array(mads, type=pa.int64()),
-    })
-
-
-_SQL_DOCS_MAD_PER_LANG = """
-WITH m AS (
-  SELECT lang, quantile_disc(n_chars, 0.5) AS med
-  FROM documents GROUP BY lang
-)
-SELECT d.lang, any_value(m.med)::BIGINT AS median_chars,
-       quantile_disc(abs(d.n_chars - m.med), 0.5)::BIGINT AS mad_chars
-FROM documents d JOIN m ON d.lang = m.lang
-GROUP BY d.lang
-"""
-
-
-def q_user_span(sf_dir: str):
-    """Per-user activity span in whole seconds: timestamps cast to
-    int64 microseconds MAP-SIDE (sidestepping Ray's groupby
-    timestamp-unit downcast), Min/Max in one keys-only groupby, exact
-    integer subtraction after."""
-    import ray.data
-    from ray.data.aggregate import Count, Max, Min
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
-    agg = (
-        ev.map_batches(us, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Count(),
-            Min("ts_us", alias_name="t0"),
-            Max("ts_us", alias_name="t1"),
-        )
-        .rename_columns({"count()": "n_events"})
-    )
-
-    def span(b: pa.Table) -> pa.Table:
-        s = pc.divide(
-            pc.subtract(b.column("t1"), b.column("t0")),
-            pa.scalar(1_000_000, type=pa.int64()),
-        )
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "n_events": b.column("n_events"),
-            "span_s": pc.cast(s, pa.int64()),
-        })
-
-    return agg.map_batches(span, batch_format="pyarrow")
-
-
-_SQL_USER_SPAN = """
-SELECT user_id, count(*)::BIGINT AS n_events,
-       (date_diff('microsecond', min(ts), max(ts)) // 1000000)::BIGINT
-         AS span_s
-FROM events GROUP BY user_id
-"""
-
-
-def q_promo_share_monthly(sf_dir: str):
-    """TPC-H Q14 analog: monthly promo revenue share. Lineitem cents are
-    pre-aggregated per (partkey, month) in-scan, ONE hash exchange joins
-    the part type, the month rollup is keys-only, and the share is a
-    single IEEE division of two exact int64 sums (cast to double, both
-    exactly representable) — bit-identical to the SQL mirror."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from webextract.functions.joins import hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(1.0, b.column("l_discount")),
-        )
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
-        )
-        return pa.table({
-            "p_partkey": b.column("l_partkey"),
-            "month": pc.strftime(b.column("l_shipdate"), format="%Y-%m"),
-            "cents": c,
-        })
-
-    per_pm = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_partkey", "l_shipdate", "l_extendedprice",
-                     "l_discount"],
-        )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby(["p_partkey", "month"])
-        .aggregate(Sum("cents", alias_name="cents"))
-    )
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    joined = hash_join(
-        per_pm, part, on="p_partkey",
-        left_schema=pa.schema([
-            ("p_partkey", pa.int64()), ("month", pa.string()),
-            ("cents", pa.int64()),
-        ]),
-        right_schema=pa.schema(
-            [("p_partkey", pa.int64()), ("p_type", pa.string())]
-        ),
-    )
-
-    def split(b: pa.Table) -> pa.Table:
-        promo = pc.if_else(
-            pc.equal(b.column("p_type"), "PROMO"),
-            b.column("cents"), pa.scalar(0, type=pa.int64()),
-        )
-        return pa.table({
-            "month": b.column("month"),
-            "promo_cents": promo,
-            "cents": b.column("cents"),
-        })
-
-    monthly = (
-        joined.map_batches(split, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Sum("promo_cents", alias_name="promo_cents"),
-            Sum("cents", alias_name="total_cents"),
-        )
-    )
-
-    def share(b: pa.Table) -> pa.Table:
-        s = pc.divide(
-            pc.cast(b.column("promo_cents"), pa.float64()),
-            pc.cast(b.column("total_cents"), pa.float64()),
-        )
-        return b.append_column("promo_share", s)
-
-    return monthly.map_batches(share, batch_format="pyarrow")
-
-
-_SQL_PROMO_SHARE_MONTHLY = """
-WITH m AS (
-  SELECT strftime(l_shipdate, '%Y-%m') AS month,
-         sum(CASE WHEN p_type = 'PROMO'
-                  THEN floor(l_extendedprice * (1 - l_discount) * 100.0
-                             + 0.5)::BIGINT ELSE 0 END)::BIGINT
-           AS promo_cents,
-         sum(floor(l_extendedprice * (1 - l_discount) * 100.0
-                   + 0.5)::BIGINT)::BIGINT AS total_cents
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  GROUP BY month
-)
-SELECT month, promo_cents, total_cents,
-       promo_cents::DOUBLE / total_cents::DOUBLE AS promo_share
-FROM m
-"""
-
-
-def q_new_users_cohort(sf_dir: str):
-    """Cohort arrival curve: users by FIRST-SEEN hour plus the
-    cumulative user count. First-seen is a keys-only Min groupby; the
-    hourly counts fold on the driver (bounded by the calendar) into
-    the running total — the accumulating-snapshot shape."""
-    import ray.data
-    from ray.data.aggregate import Count, Min
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-        })
-
-    first = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-        )
-        .map_batches(us, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("ts_us", alias_name="t0"))
-    )
-
-    def hour(b: pa.Table) -> pa.Table:
-        h = pc.strftime(
-            pc.cast(b.column("t0"), pa.timestamp("us")), format="%Y-%m-%d %H"
-        )
-        return pa.table({"hour": h})
-
-    counts = (
-        first.map_batches(hour, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Count())
-        .take_all()
-    )
-    counts.sort(key=lambda r: r["hour"])
-    hours, news, cums = [], [], []
-    cum = 0
-    for r in counts:
-        cum += int(r["count()"])
-        hours.append(r["hour"])
-        news.append(int(r["count()"]))
-        cums.append(cum)
-    return pa.table({
-        "hour": pa.array(hours, type=pa.string()),
-        "n_new": pa.array(news, type=pa.int64()),
-        "cum_users": pa.array(cums, type=pa.int64()),
-    })
-
-
-_SQL_NEW_USERS_COHORT = """
-WITH f AS (
-  SELECT user_id, strftime(min(ts), '%Y-%m-%d %H') AS hour
-  FROM events GROUP BY user_id
-),
-c AS (SELECT hour, count(*)::BIGINT AS n_new FROM f GROUP BY hour)
-SELECT hour, n_new,
-       (sum(n_new) OVER (ORDER BY hour))::BIGINT AS cum_users
-FROM c
-"""
-
-
-def q_vocab_fuzzy_pairs(sf_dir: str):
-    """Fuzzy string join over the corpus vocabulary: all word pairs
-    within 2 edits (functions/fuzzy.fuzzy_vocab_pairs — FastSS deletion
-    neighborhoods, keys-only candidate buckets, DP verify only on
-    candidates; never an O(|V|^2) cross product)."""
-    from webextract.functions.fuzzy import fuzzy_vocab_pairs
-
-    return fuzzy_vocab_pairs(_docs(sf_dir, ["text"]), max_dist=2)
-
-
-_SQL_VOCAB_FUZZY_PAIRS = """
-WITH v AS (
-  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
-)
-SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS d
-FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
-"""
-
-
-def q_span_corruption(sf_dir: str):
-    """T5-style span-corruption prep: deterministically mask every
-    token at position (i + doc_id) % 7 == 0 with the sentinel '<X>',
-    emitting the corrupted text and the comma-joined mask targets in
-    order. Pure map-side row rewrite (the denoising-objective analog
-    of chunk_documents); the mask rule is key-derived, so re-runs and
-    the SQL mirror agree token-for-token."""
-
-    def corrupt(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        corrupted: list = []
-        targets: list = []
-        for did, t in zip(ids, texts):
-            words = t.split(" ")
-            out: list = []
-            tgt: list = []
-            for i, w in enumerate(words):
-                if (i + did) % 7 == 0:
-                    out.append("<X>")
-                    tgt.append(w)
-                else:
-                    out.append(w)
-            corrupted.append(" ".join(out))
-            targets.append(",".join(tgt))
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "corrupted": pa.array(corrupted, type=pa.string()),
-            "targets": pa.array(targets, type=pa.string()),
-        })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        corrupt, batch_format="pyarrow"
-    )
-
-
-_SQL_SPAN_CORRUPTION = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-SELECT doc_id,
-  array_to_string(
-    list_transform(range(1, len(words) + 1), i ->
-      CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN '<X>' ELSE words[i] END),
-    ' ') AS corrupted,
-  coalesce(array_to_string(
-    list_filter(
-      list_transform(range(1, len(words) + 1), i ->
-        CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN words[i] END),
-      x -> x IS NOT NULL),
-    ','), '') AS targets
-FROM w
-"""
-
-
-def q_length_histogram(sf_dir: str):
-    """Equi-width histogram of document lengths (bin 100 chars) with
-    per-bin exact mean: bin assignment map-side, ONE keys-only groupby,
-    mean = single IEEE division of exact int sums."""
-    from ray.data.aggregate import Count, Sum
-
-    def bins(b: pa.Table) -> pa.Table:
-        lo = pc.multiply(
-            pc.divide(b.column("n_chars"), pa.scalar(100, type=pa.int64())),
-            pa.scalar(100, type=pa.int64()),
-        )
-        return pa.table({
-            "bin_lo": pc.cast(lo, pa.int64()),
-            "n_chars": b.column("n_chars"),
-        })
-
-    agg = (
-        _docs(sf_dir, ["n_chars"])
-        .map_batches(bins, batch_format="pyarrow")
-        .groupby("bin_lo")
-        .aggregate(Count(), Sum("n_chars", alias_name="sum_chars"))
-        .rename_columns({"count()": "n_docs"})
-    )
-
-    def mean(b: pa.Table) -> pa.Table:
-        m = pc.divide(
-            pc.cast(b.column("sum_chars"), pa.float64()),
-            pc.cast(b.column("n_docs"), pa.float64()),
-        )
-        return b.append_column("mean_chars", m)
-
-    return agg.map_batches(mean, batch_format="pyarrow")
-
-
-_SQL_LENGTH_HISTOGRAM = """
-SELECT (n_chars // 100 * 100)::BIGINT AS bin_lo,
-       count(*)::BIGINT AS n_docs,
-       sum(n_chars)::BIGINT AS sum_chars,
-       sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars
-FROM documents GROUP BY bin_lo
-"""
-
-
-def q_knn_label_accuracy(sf_dir: str):
-    """1-NN classifier evaluation over the labeled embeddings
-    (functions/similarity.knn_label_stats): reference matrix broadcast
-    once, one float64 matmul per batch, integer-count output only —
-    rank gaps (>=5e-6 at this sf) dwarf cross-engine float noise, ties
-    break on the smaller neighbor id on both sides."""
-    import ray.data
-
-    from webextract.functions.similarity import knn_label_stats
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding", "label"],
-    )
-    return knn_label_stats(ds)
-
-
-_SQL_KNN_LABEL_ACCURACY = """
-WITH nn AS (
-  SELECT a.vec_id, a.label AS lab,
-         (SELECT b.label FROM embeddings b WHERE b.vec_id <> a.vec_id
-          ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
-                                          a.embedding::DOUBLE[]) DESC,
-                   b.vec_id
-          LIMIT 1) AS nn_label
-  FROM embeddings a
-)
-SELECT lab AS label, count(*)::BIGINT AS n_vecs,
-       sum(CASE WHEN nn_label = lab THEN 1 ELSE 0 END)::BIGINT AS n_correct
-FROM nn GROUP BY lab
-"""
-
-
-def q_event_gap_histogram(sf_dir: str):
-    """Inter-event-gap distribution: per-user LAG gaps
-    (functions/temporal.key_lag — one keys-only shuffle, vectorized
-    lexsort+diff per group), bucketed to whole minutes map-side, one
-    tiny keys-only histogram groupby."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from webextract.functions.temporal import key_lag
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-            "eid": b.column("event_id"),
-        })
-
-    ev = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
-        )
-        .map_batches(us, batch_format="pyarrow")
-    )
-    lagged = key_lag(ev, by="user_id", ts="ts_us", payload="eid")
-
-    def bucket(b: pa.Table) -> pa.Table:
-        mins = pc.divide(b.column("gap"), pa.scalar(60_000_000,
-                                                    type=pa.int64()))
-        return pa.table({"gap_min": pc.cast(mins, pa.int64())})
-
-    return (
-        lagged.map_batches(bucket, batch_format="pyarrow")
-        .groupby("gap_min")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_gaps"})
-    )
-
-
-_SQL_EVENT_GAP_HISTOGRAM = """
-WITH l AS (
-  SELECT user_id, ts,
-         lag(ts) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id) AS prev_ts
-  FROM events
-)
-SELECT (date_diff('microsecond', prev_ts, ts) // 60000000)::BIGINT
-         AS gap_min,
-       count(*)::BIGINT AS n_gaps
-FROM l WHERE prev_ts IS NOT NULL
-GROUP BY gap_min
-"""
-
-
-def q_order_status_monthly(sf_dir: str):
-    """Month x status snapshot: conditional status flags map-side, one
-    keys-only month groupby — the wide (pivoted) form of a two-key
-    rollup."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def flags(b: pa.Table) -> pa.Table:
-        st = b.column("o_orderstatus")
-        return pa.table({
-            "month": pc.strftime(b.column("o_orderdate"), format="%Y-%m"),
-            "n_open": pc.cast(pc.equal(st, "O"), pa.int64()),
-            "n_filled": pc.cast(pc.equal(st, "F"), pa.int64()),
-            "n_pending": pc.cast(pc.equal(st, "P"), pa.int64()),
-        })
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
-    )
-    return (
-        ds.map_batches(flags, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(
-            Count(),
-            Sum("n_open", alias_name="n_open"),
-            Sum("n_filled", alias_name="n_filled"),
-            Sum("n_pending", alias_name="n_pending"),
-        )
-        .rename_columns({"count()": "n_orders"})
-    )
-
-
-_SQL_ORDER_STATUS_MONTHLY = """
-SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       count(*)::BIGINT AS n_orders,
-       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_open,
-       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_filled,
-       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_pending
-FROM orders GROUP BY month
-"""
-
-
-def q_top_event_per_user_day(sf_dir: str):
-    """Per-(user, day) ARGMAX: the highest-value event in each user-day,
-    tie-broken by event_id — the composite-key window-rank shape
-    (QUALIFY row_number() = 1). One keys-only groupby on the packed
-    (user, day) key; ordering uses the RAW stored doubles (identical
-    bits on both engines), the emitted value is exact integer cents."""
-    import ray.data
-
-    def keyed(b: pa.Table) -> pa.Table:
-        ts_us = pc.cast(b.column("ts"), pa.int64())
-        day = pc.divide(ts_us, pa.scalar(86_400_000_000, type=pa.int64()))
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "day": pc.cast(day, pa.int64()),
-            "event_id": b.column("event_id"),
-            "value": b.column("value"),
-        })
-
-    ev = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "ts", "event_id", "value"],
-        )
-        .map_batches(keyed, batch_format="pyarrow")
-    )
-
-    out_schema = pa.schema([
-        ("user_id", pa.int64()), ("day", pa.int64()),
-        ("event_id", pa.int64()), ("value_cents", pa.int64()),
-    ])
-
-    def argmax(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        vals = group.column("value").to_numpy(zero_copy_only=False)
-        eids = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eids, -vals))
-        i = int(order[0])
-        cents = int(np.floor(vals[i] * 100.0 + 0.5))
-        return pa.table({
-            "user_id": group.column("user_id").slice(i, 1),
-            "day": group.column("day").slice(i, 1),
-            "event_id": pa.array([int(eids[i])], type=pa.int64()),
-            "value_cents": pa.array([cents], type=pa.int64()),
-        }, schema=out_schema)
-
-    return ev.groupby(["user_id", "day"]).map_groups(
-        argmax, batch_format="pyarrow"
-    )
-
-
-_SQL_TOP_EVENT_PER_USER_DAY = """
-SELECT user_id,
-       (epoch_us(ts) // 86400000000)::BIGINT AS day,
-       event_id,
-       floor(value * 100.0 + 0.5)::BIGINT AS value_cents
-FROM events
-QUALIFY row_number() OVER (
-  PARTITION BY user_id, (epoch_us(ts) // 86400000000)
-  ORDER BY value DESC, event_id) = 1
-"""
-
-
-def q_dq_audit(sf_dir: str):
-    """Data-quality audit: per-constraint violation counts across two
-    base tables — the contract-check stage a production pipeline runs
-    before training prep. Flags are vectorized map-side; each table
-    contributes ONE global sum fold (no shuffle); results union to a
-    fixed (check, n_violations, n_rows) report."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def order_flags(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "nonpos_price": pc.cast(
-                pc.less_equal(b.column("o_totalprice"), 0.0), pa.int64()),
-            "null_status": pc.cast(
-                pc.is_null(b.column("o_orderstatus")), pa.int64()),
-        })
-
-    def line_flags(b: pa.Table) -> pa.Table:
-        d = b.column("l_discount")
-        return pa.table({
-            "bad_discount": pc.cast(
-                pc.or_(pc.less(d, 0.0), pc.greater(d, 1.0)), pa.int64()),
-            "qty_nonpos": pc.cast(
-                pc.less_equal(b.column("l_quantity"), 0.0), pa.int64()),
-        })
-
-    o = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_totalprice", "o_orderstatus"],
-        )
-        .map_batches(order_flags, batch_format="pyarrow")
-        .aggregate(Count(), Sum("nonpos_price"), Sum("null_status"))
-    )
-    li = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_discount", "l_quantity"],
-        )
-        .map_batches(line_flags, batch_format="pyarrow")
-        .aggregate(Count(), Sum("bad_discount"), Sum("qty_nonpos"))
-    )
-    rows = [
-        ("orders.nonpos_price", int(o["sum(nonpos_price)"] or 0),
-         int(o["count()"])),
-        ("orders.null_status", int(o["sum(null_status)"] or 0),
-         int(o["count()"])),
-        ("lineitem.bad_discount", int(li["sum(bad_discount)"] or 0),
-         int(li["count()"])),
-        ("lineitem.qty_nonpos", int(li["sum(qty_nonpos)"] or 0),
-         int(li["count()"])),
-    ]
-    return pa.table({
-        "check_name": pa.array([r[0] for r in rows], type=pa.string()),
-        "n_violations": pa.array([r[1] for r in rows], type=pa.int64()),
-        "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
-    })
-
-
-_SQL_DQ_AUDIT = """
-SELECT 'orders.nonpos_price' AS check_name,
-       count(*) FILTER (o_totalprice <= 0)::BIGINT AS n_violations,
-       count(*)::BIGINT AS n_rows FROM orders
-UNION ALL
-SELECT 'orders.null_status',
-       count(*) FILTER (o_orderstatus IS NULL)::BIGINT,
-       count(*)::BIGINT FROM orders
-UNION ALL
-SELECT 'lineitem.bad_discount',
-       count(*) FILTER (l_discount < 0 OR l_discount > 1)::BIGINT,
-       count(*)::BIGINT FROM lineitem
-UNION ALL
-SELECT 'lineitem.qty_nonpos',
-       count(*) FILTER (l_quantity <= 0)::BIGINT,
-       count(*)::BIGINT FROM lineitem
-"""
-
-
-def q_source_share(sf_dir: str):
-    """Per-source document share: keys-only count groupby, tiny driver
-    fold for the global total, share = one IEEE division of exact
-    int64s (bit-identical both sides)."""
-    from ray.data.aggregate import Count
-
-    counts = (
-        _docs(sf_dir, ["source"])
-        .groupby("source")
-        .aggregate(Count())
-        .take_all()
-    )
-    total = sum(int(r["count()"]) for r in counts)
-    counts.sort(key=lambda r: r["source"])
-    return pa.table({
-        "source": pa.array([r["source"] for r in counts], type=pa.string()),
-        "n_docs": pa.array([int(r["count()"]) for r in counts],
-                           type=pa.int64()),
-        "share": pa.array(
-            [float(int(r["count()"]) ) / float(total) for r in counts],
-            type=pa.float64()),
-    })
-
-
-_SQL_SOURCE_SHARE = """
-SELECT source, count(*)::BIGINT AS n_docs,
-       count(*)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS share
-FROM documents GROUP BY source
-"""
-
-
-def q_events_dau(sf_dir: str):
-    """Daily active users: COUNT(DISTINCT user) per day — the two-stage
-    distinct (groupby (day, user) then count per day), both stages
-    keys-only."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    def keyed(b: pa.Table) -> pa.Table:
-        d = pc.strftime(b.column("ts"), format="%Y-%m-%d")
-        return pa.table({"day": d, "user_id": b.column("user_id")})
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
-    return (
-        ev.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Count())
-        .groupby("day")
-        .aggregate(Count())
-        .rename_columns({"count()": "dau"})
-    )
-
-
-_SQL_EVENTS_DAU = """
-SELECT strftime(ts, '%Y-%m-%d') AS day,
-       count(DISTINCT user_id)::BIGINT AS dau
-FROM events GROUP BY day
-"""
-
-
-def q_events_hour_profile(sf_dir: str):
-    """Hour-of-day x event-type activity profile (the 24-bucket
-    seasonality histogram): hour extraction map-side, one keys-only
-    groupby over <=24x|types| keys."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    def keyed(b: pa.Table) -> pa.Table:
-        h = pc.cast(pc.hour(b.column("ts")), pa.int64())
-        return pa.table({"hour": h, "event_type": b.column("event_type")})
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
-    )
-    return (
-        ev.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n_events"})
-    )
-
-
-_SQL_EVENTS_HOUR_PROFILE = """
-SELECT hour(ts)::BIGINT AS hour, event_type,
-       count(*)::BIGINT AS n_events
-FROM events GROUP BY hour, event_type
-"""
-
-
-def q_embedding_dim_stats(sf_dir: str):
-    """Per-dimension value range over the embedding column: each block
-    emits one (dim, min, max) row set (vectorized numpy fold), the
-    groupby reduces 64 keys — feature-scaling statistics without any
-    order-dependent float arithmetic (min/max only, exact)."""
-    import ray.data
-    from ray.data.aggregate import Max, Min
-
-    from webextract.functions.similarity import _batch_matrix
-
-    def fold(b: pa.Table) -> pa.Table:
-        m = _batch_matrix(b, "embedding")
-        if not m.size:
-            return pa.table({
-                "dim": pa.array([], type=pa.int64()),
-                "lo": pa.array([], type=pa.float64()),
-                "hi": pa.array([], type=pa.float64()),
-            })
-        return pa.table({
-            "dim": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
-            "lo": pa.array(m.min(axis=0), type=pa.float64()),
-            "hi": pa.array(m.max(axis=0), type=pa.float64()),
-        })
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )
-    return (
-        ds.map_batches(fold, batch_format="pyarrow")
-        .groupby("dim")
-        .aggregate(Min("lo", alias_name="min_v"),
-                   Max("hi", alias_name="max_v"))
-    )
-
-
-_SQL_EMBEDDING_DIM_STATS = """
-SELECT i::BIGINT AS dim,
-       min(embedding[i]::DOUBLE) AS min_v,
-       max(embedding[i]::DOUBLE) AS max_v
-FROM embeddings, unnest(range(1, 65)) AS t(i)
-GROUP BY i
-"""
-
-
-def q_merge_upsert(sf_dir: str):
-    """MERGE INTO / upsert (the CDC-apply step): a deterministic change
-    set — updates for doc_id%11==0 (n_chars+1000), inserts keyed
-    doc_id+10^7 for doc_id%13==0 — applied to the base table via ONE
-    full-outer hash join on the key; the action column falls out of
-    the null pattern (both→updated, right-only→inserted,
-    left-only→unchanged). Output is the per-action row count + final
-    char total, so the whole merged table is verified without shipping
-    it."""
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import hash_join
-
-    base = _docs(sf_dir, ["doc_id", "n_chars"])
-
-    def changes(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        ch = b.column("n_chars").to_numpy(zero_copy_only=False)
-        upd = ids % 11 == 0
-        ins = ids % 13 == 0
-        out_ids = np.concatenate([ids[upd], ids[ins] + 10_000_000])
-        out_ch = np.concatenate([ch[upd] + 1000, ids[ins] % 500])
-        return pa.table({
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "new_chars": pa.array(out_ch, type=pa.int64()),
-        })
-
-    upd = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
-        changes, batch_format="pyarrow"
-    )
-    merged = hash_join(
-        base, upd, on="doc_id", how="full",
-        left_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_chars", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("doc_id", pa.int64()), ("new_chars", pa.int64())]
-        ),
-    )
-
-    def act(b: pa.Table) -> pa.Table:
-        has_old = pc.is_valid(b.column("n_chars"))
-        has_new = pc.is_valid(b.column("new_chars"))
-        action = pc.if_else(
-            pc.and_(has_old, has_new), "updated",
-            pc.if_else(has_new, "inserted", "unchanged"),
-        )
-        final = pc.coalesce(b.column("new_chars"), b.column("n_chars"))
-        return pa.table({
-            "action": action,
-            "final_chars": pc.cast(final, pa.int64()),
-        })
-
-    return (
-        merged.map_batches(act, batch_format="pyarrow")
-        .groupby("action")
-        .aggregate(Count(), Sum("final_chars", alias_name="total_chars"))
-        .rename_columns({"count()": "n_rows"})
-    )
-
-
-_SQL_MERGE_UPSERT = """
-WITH chg AS (
-  SELECT doc_id, n_chars + 1000 AS new_chars
-  FROM documents WHERE doc_id % 11 = 0
-  UNION ALL
-  SELECT doc_id + 10000000, doc_id % 500
-  FROM documents WHERE doc_id % 13 = 0
-),
-m AS (
-  SELECT CASE WHEN d.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
-              THEN 'updated'
-              WHEN c.doc_id IS NOT NULL THEN 'inserted'
-              ELSE 'unchanged' END AS action,
-         coalesce(c.new_chars, d.n_chars)::BIGINT AS final_chars
-  FROM documents d FULL OUTER JOIN chg c USING (doc_id)
-)
-SELECT action, count(*)::BIGINT AS n_rows,
-       sum(final_chars)::BIGINT AS total_chars
-FROM m GROUP BY action
-"""
-
-
-def q_latest_event_per_user(sf_dir: str):
-    """CDC keep-latest: each user's most recent event (ARGMAX by ts,
-    event_id tie-break) — one keys-only groupby, the compaction step of
-    every log-structured ingest."""
-    import ray.data
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-            "event_id": b.column("event_id"),
-            "event_type": b.column("event_type"),
-        })
-
-    ev = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "ts", "event_id", "event_type"],
-        )
-        .map_batches(us, batch_format="pyarrow")
-    )
-    out_schema = pa.schema([
-        ("user_id", pa.int64()), ("ts_us", pa.int64()),
-        ("event_id", pa.int64()), ("event_type", pa.string()),
-    ])
-
-    def latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((-eid, -ts))[0])
-        return group.slice(i, 1).select(
-            ["user_id", "ts_us", "event_id", "event_type"]
-        ).cast(out_schema)
-
-    return ev.groupby("user_id").map_groups(latest, batch_format="pyarrow")
-
-
-_SQL_LATEST_EVENT_PER_USER = """
-SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type
-FROM events
-QUALIFY row_number() OVER (
-  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-"""
-
-
-def q_orders_per_customer_hist(sf_dir: str):
-    """Degree-distribution shape: histogram of orders-per-customer —
-    two keys-only groupbys (count per customer, then count per
-    count)."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    per_cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-        )
-        .groupby("o_custkey")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_orders"})
-    )
-    return (
-        per_cust.groupby("n_orders")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_customers"})
-    )
-
-
-_SQL_ORDERS_PER_CUSTOMER_HIST = """
-WITH c AS (
-  SELECT o_custkey, count(*)::BIGINT AS n_orders
-  FROM orders GROUP BY o_custkey
-)
-SELECT n_orders, count(*)::BIGINT AS n_customers
-FROM c GROUP BY n_orders
-"""
-
-
-def q_top_anchor_per_target(sf_dir: str):
-    """Grouped MODE: the most common anchor term per link target
-    (count DESC, anchor ASC tie-break). Stage 1 counts (href, anchor)
-    keys-only; stage 2 is a per-href ARGMAX over its tiny term
-    histogram — the web-index "canonical anchor" aggregation."""
-    from ray.data.aggregate import Count
-
-    links = _links_ds(sf_dir)
-    counts = (
-        links.groupby(["href", "anchor"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n"})
-    )
-    out_schema = pa.schema([
-        ("href", pa.string()), ("anchor", pa.string()), ("n", pa.int64()),
-    ])
-
-    def argmax(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ns = group.column("n").to_numpy(zero_copy_only=False)
-        anchors = np.asarray(group.column("anchor").to_pylist(),
-                             dtype=object)
-        order = np.lexsort((anchors, -ns))
-        return group.slice(int(order[0]), 1).select(
-            ["href", "anchor", "n"]).cast(out_schema)
-
-    return counts.groupby("href").map_groups(argmax, batch_format="pyarrow")
-
-
-_SQL_TOP_ANCHOR_PER_TARGET = """
-WITH ok AS (
-  SELECT doc_id FROM documents WHERE doc_id % 50 <> 7 AND doc_id % 25 <> 3
-),
-nav AS (SELECT doc_id, unnest(range(3 + doc_id % 5)) AS i FROM ok),
-ads AS (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i FROM ok),
-links AS (
-  SELECT doc_id, '/p' || i AS href,
-    (['Home','About','Products','Blog','Contact','Careers','Support','News'])
-      [((doc_id + i) % 8) + 1] AS anchor
-  FROM nav
-  UNION ALL
-  SELECT doc_id, '/ad' || i AS href,
-    (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
-      [((doc_id * 3 + i) % 8) + 1] AS anchor
-  FROM ads
-),
-c AS (
-  SELECT href, anchor, count(*)::BIGINT AS n
-  FROM links GROUP BY href, anchor
-)
-SELECT href, anchor, n FROM c
-QUALIFY row_number() OVER (PARTITION BY href ORDER BY n DESC, anchor) = 1
-"""
-
-
-def q_docs_above_lang_mean(sf_dir: str):
-    """Above-average filter with EXACT integer math: docs longer than
-    their language's mean length, compared as n_chars * lang_count >
-    lang_sum (cross-multiplication — no float mean, no rounding
-    ambiguity). Per-lang sums fold once (5 keys, broadcast literal),
-    the filter is map-side."""
-    import ray
-
-    from ray.data.aggregate import Count, Sum
-
-    stats = (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(Count(), Sum("n_chars", alias_name="s"))
-        .take_all()
-    )
-    table = {r["lang"]: (int(r["count()"]), int(r["s"])) for r in stats}
-    ref = ray.put(table)
-
-    from ray.data.aggregate import Count as Count2
-
-    def flag(b: pa.Table) -> pa.Table:
-        t = ray.get(ref)
-        langs = b.column("lang").to_pylist()
-        ch = b.column("n_chars").to_numpy(zero_copy_only=False)
-        keep = np.array(
-            [c * t[lg][0] > t[lg][1] for lg, c in zip(langs, ch)],
-            dtype=bool,
-        )
-        return b.filter(pa.array(keep))
-
-    return (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .map_batches(flag, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Count2())
-        .rename_columns({"count()": "n_above"})
-    )
-
-
-_SQL_DOCS_ABOVE_LANG_MEAN = """
-WITH m AS (
-  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
-  FROM documents GROUP BY lang
-)
-SELECT d.lang, count(*)::BIGINT AS n_above
-FROM documents d JOIN m ON d.lang = m.lang
-WHERE d.n_chars * m.n > m.s
-GROUP BY d.lang
-"""
-
-
-def q_doc_top_word(sf_dir: str):
-    """Per-document MODE: each doc's most frequent word (count DESC,
-    word ASC) — a pure map-side row analytic, no shuffle at all."""
-
-    def top(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids = b.column("doc_id").to_pylist()
-        words: list = []
-        ns: list = []
-        for t in b.column("text").to_pylist():
-            c = Counter(t.split(" "))
-            w = min(c, key=lambda k: (-c[k], k))
-            words.append(w)
-            ns.append(c[w])
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "word": pa.array(words, type=pa.string()),
-            "n": pa.array(ns, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        top, batch_format="pyarrow"
-    )
-
-
-_SQL_DOC_TOP_WORD = """
-WITH e AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-),
-c AS (
-  SELECT doc_id, word, count(*)::BIGINT AS n
-  FROM e GROUP BY doc_id, word
-)
-SELECT doc_id, word, n FROM c
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) = 1
-"""
-
-
-def q_lineitem_quantity_mode(sf_dir: str):
-    """Global MODE of a high-volume column: keys-only value histogram
-    (one row per distinct quantity crosses the shuffle), tiny driver
-    argmax (count DESC, value ASC)."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    hist = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
-        )
-        .groupby("l_quantity")
-        .aggregate(Count())
-        .take_all()
-    )
-    best = min(hist, key=lambda r: (-int(r["count()"]), float(r["l_quantity"])))
-    return pa.table({
-        "quantity": pa.array([int(best["l_quantity"])], type=pa.int64()),
-        "n": pa.array([int(best["count()"])], type=pa.int64()),
-    })
-
-
-_SQL_LINEITEM_QUANTITY_MODE = """
-SELECT l_quantity::BIGINT AS quantity, count(*)::BIGINT AS n
-FROM lineitem GROUP BY l_quantity
-ORDER BY n DESC, quantity LIMIT 1
-"""
-
-
-def q_orders_above_cust_mean(sf_dir: str):
-    """Per-customer above-average join filter with EXACT integer math:
-    orders pricier than their own customer's mean order value
-    (cents * n_orders > sum_cents cross-multiplication), rolled up per
-    market segment. Round-4 rewrite (judge task 2): the per-customer
-    (n, sum) side and the segment dim are joined back via keyed
-    exchanges (functions/joins.hash_join) — c_custkey is customer-grade
-    cardinality, so the old take_all() driver dict was an OOM shape at
-    10^9 customers."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
-                            0.5)),
-            pa.int64(),
-        )
-        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
-
-    def orders():
-        return ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_totalprice"],
-        ).map_batches(cents, batch_format="pyarrow")
-
-    stats = (
-        orders().groupby("c_custkey")
-        .aggregate(Count(), Sum("cents", alias_name="s"))
-        .rename_columns({"count()": "n"})
-    )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"])
-    stats_seg = hash_join(
-        stats, cust, on="c_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("n", pa.int64()), ("s", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_mktsegment", pa.string())]),
-    )
-    joined = hash_join(
-        orders(), stats_seg, on="c_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("cents", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("n", pa.int64()), ("s", pa.int64()),
-                                ("c_mktsegment", pa.string())]),
-    )
-
-    def flag(b: pa.Table) -> pa.Table:
-        cs = b.column("cents").to_numpy(zero_copy_only=False)
-        n = b.column("n").to_numpy(zero_copy_only=False)
-        s = b.column("s").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "c_mktsegment": b.column("c_mktsegment"),
-        }).filter(pa.array(cs * n > s))
-
-    return (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_above"})
-    )
-
-
-_SQL_ORDERS_ABOVE_CUST_MEAN = """
-WITH o AS (
-  SELECT o_custkey, floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
-  FROM orders
-),
-m AS (
-  SELECT o_custkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
-  FROM o GROUP BY o_custkey
-)
-SELECT c_mktsegment, count(*)::BIGINT AS n_above
-FROM o JOIN m USING (o_custkey)
-JOIN customer ON o.o_custkey = c_custkey
-WHERE o.cents * m.n > m.s
-GROUP BY c_mktsegment
-"""
-
-
-def q_rare_words_by_lang(sf_dir: str):
-    """Low-frequency vocabulary per language (the min-count-cutoff
-    statistic tokenizer builds use): words with corpus frequency <= 10
-    within their language — (lang, word) keys-only count, HAVING
-    filter, per-lang count."""
-    from ray.data.aggregate import Count
-
-    def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            ws = t.split(" ")
-            langs.extend([lg] * len(ws))
-            words.extend(ws)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
-        })
-
-    return (
-        _docs(sf_dir, ["lang", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["lang", "word"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n"})
-        .filter(expr="n <= 10")
-        .groupby("lang")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_rare"})
-    )
-
-
-_SQL_RARE_WORDS_BY_LANG = """
-WITH e AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
-),
-c AS (
-  SELECT lang, word, count(*)::BIGINT AS n
-  FROM e GROUP BY lang, word HAVING count(*) <= 10
-)
-SELECT lang, count(*)::BIGINT AS n_rare FROM c GROUP BY lang
-"""
-
-
-def q_priority_share_by_status(sf_dir: str):
-    """Within-group shares: order-priority mix inside each order
-    status. One keys-only (status, priority) count; the status totals
-    fold driver-side (<=3 keys) and each share is a single IEEE
-    division of exact int64s."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    counts = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderstatus", "o_orderpriority"],
-        )
-        .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count())
-        .take_all()
-    )
-    totals: dict = {}
-    for r in counts:
-        totals[r["o_orderstatus"]] = totals.get(r["o_orderstatus"], 0) + int(
-            r["count()"]
-        )
-    counts.sort(key=lambda r: (r["o_orderstatus"], r["o_orderpriority"]))
-    return pa.table({
-        "o_orderstatus": pa.array(
-            [r["o_orderstatus"] for r in counts], type=pa.string()),
-        "o_orderpriority": pa.array(
-            [r["o_orderpriority"] for r in counts], type=pa.string()),
-        "n": pa.array([int(r["count()"]) for r in counts], type=pa.int64()),
-        "share": pa.array(
-            [float(int(r["count()"])) / float(totals[r["o_orderstatus"]])
-             for r in counts], type=pa.float64()),
-    })
-
-
-_SQL_PRIORITY_SHARE_BY_STATUS = """
-WITH c AS (
-  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
-  FROM orders GROUP BY o_orderstatus, o_orderpriority
-)
-SELECT o_orderstatus, o_orderpriority, n,
-       n::DOUBLE / (sum(n) OVER (PARTITION BY o_orderstatus))::DOUBLE
-         AS share
-FROM c
-"""
-
-
-def q_chars_per_token_hist(sf_dir: str):
-    """Characters-per-token ratio histogram in EXACT integer math:
-    bucket = (10 * n_chars) // n_tokens (no float division anywhere) —
-    the tokenizer-fertility profile used to sanity-check a tokenizer
-    against a corpus. Map-side bucket, one keys-only groupby."""
-    from ray.data.aggregate import Count
-
-    def bucket(b: pa.Table) -> pa.Table:
-        text = b.column("text")
-        n_tok = pc.cast(
-            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
-        )
-        ratio10 = pc.divide(
-            pc.multiply(b.column("n_chars"), pa.scalar(10, type=pa.int64())),
-            n_tok,
-        )
-        return pa.table({"ratio10": pc.cast(ratio10, pa.int64())})
-
-    return (
-        _docs(sf_dir, ["n_chars", "text"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("ratio10")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_CHARS_PER_TOKEN_HIST = """
-SELECT (10 * n_chars) // len(string_split(text, ' ')) AS ratio10,
-       count(*)::BIGINT AS n_docs
-FROM documents GROUP BY ratio10
-"""
-
-
-def q_near_event_pairs(sf_dir: str):
-    """Banded temporal SELF-join: per user, how many ordered event
-    pairs land within 60 s of each other (0 < t2-t1 <= 60s) — the
-    burst-detection primitive. One keys-only groupby; each group is
-    sorted once and counted with a vectorized two-pointer
-    (searchsorted), so the group cost is O(n log n), never the O(n^2)
-    pair materialization the SQL mirror spells."""
-    import ray.data
-    from ray.data.aggregate import Count  # noqa: F401  (schema parity)
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    ).map_batches(us, batch_format="pyarrow")
-
-    out_schema = pa.schema([("user_id", pa.int64()),
-                            ("n_pairs", pa.int64())])
-    BAND = 60_000_000
-
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        hi = np.searchsorted(ts, ts + BAND, side="right")
-        lo = np.searchsorted(ts, ts, side="right")
-        n = int((hi - lo).sum())
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_pairs": pa.array([n], type=pa.int64()),
-        }, schema=out_schema)
-
-    # the SQL mirror's INNER self-join drops pair-less users; match it
-    return ev.groupby("user_id").map_groups(
-        pairs, batch_format="pyarrow"
-    ).filter(expr="n_pairs > 0")
-
-
-_SQL_NEAR_EVENT_PAIRS = """
-SELECT a.user_id, count(*)::BIGINT AS n_pairs
-FROM events a JOIN events b
-  ON a.user_id = b.user_id
- AND b.ts > a.ts
- AND b.ts <= a.ts + INTERVAL 60 SECOND
-GROUP BY a.user_id
-"""
-
-
-def q_sources_in_all_langs(sf_dir: str):
-    """Relational DIVISION: sources with documents in EVERY language.
-    Distinct (source, lang) is keys-only; the divisor (total language
-    count) folds to one driver literal; the HAVING filter is a tiny
-    second groupby."""
-    from ray.data.aggregate import Count
-
-    pairs = (
-        _docs(sf_dir, ["source", "lang"])
-        .groupby(["source", "lang"])
-        .aggregate(Count())
-        .select_columns(["source", "lang"])
-    )
-    n_langs = (
-        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count()).count()
-    )
-    return (
-        pairs.groupby("source")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_langs"})
-        .filter(expr=f"n_langs == {int(n_langs)}")
-    )
-
-
-_SQL_SOURCES_IN_ALL_LANGS = """
-SELECT source, count(DISTINCT lang)::BIGINT AS n_langs
-FROM documents GROUP BY source
-HAVING count(DISTINCT lang) = (SELECT count(DISTINCT lang) FROM documents)
-"""
-
-
-def q_top_supplier_per_nation(sf_dir: str):
-    """Per-nation ARGMAX over suppliers (highest account balance, tie
-    on s_suppkey): integer-cents conversion map-side, keys-only
-    (nationkey) groupby, one-row-per-group argmax."""
-    import ray.data
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({
-            "s_nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
-            "s_suppkey": b.column("s_suppkey"),
-            "balance_cents": c,
-        })
-
-    sup = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_nationkey", "s_suppkey", "s_acctbal"],
-    ).map_batches(cents, batch_format="pyarrow")
-
-    out_schema = pa.schema([
-        ("s_nationkey", pa.int64()), ("s_suppkey", pa.int64()),
-        ("balance_cents", pa.int64()),
-    ])
-
-    def argmax(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        bal = group.column("balance_cents").to_numpy(zero_copy_only=False)
-        keys = group.column("s_suppkey").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((keys, -bal))[0])
-        return group.slice(i, 1).select(
-            ["s_nationkey", "s_suppkey", "balance_cents"]).cast(out_schema)
-
-    return sup.groupby("s_nationkey").map_groups(
-        argmax, batch_format="pyarrow"
-    )
-
-
-_SQL_TOP_SUPPLIER_PER_NATION = """
-SELECT s_nationkey::BIGINT AS s_nationkey, s_suppkey,
-       floor(s_acctbal * 100.0 + 0.5)::BIGINT AS balance_cents
-FROM supplier
-QUALIFY row_number() OVER (
-  PARTITION BY s_nationkey
-  ORDER BY floor(s_acctbal * 100.0 + 0.5) DESC, s_suppkey) = 1
-"""
-
-
-def q_host_khop(sf_dir: str):
-    """BFS shortest-path distances within 3 hops of host 0 over the
-    DISTINCT host graph (functions/graph.khop_distances — per-round
-    semi/anti keys-only joins, frontier materialized per round). The
-    oracle is a bounded recursive CTE with min(dist)."""
-    from ray.data.aggregate import Count
-
-    from webextract.functions.graph import khop_distances
-
-    edges = (
-        _host_edges_ds(sf_dir)
-        .groupby(["src", "dst"])
-        .aggregate(Count())
-        .select_columns(["src", "dst"])
-    )
-    return khop_distances(edges, source=0, k=3)
-
-
-_SQL_HOST_KHOP = """
-WITH RECURSIVE e AS (
-  SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
-  FROM documents
-),
-r AS (
-  SELECT 0::BIGINT AS node, 0::BIGINT AS dist
-  UNION ALL
-  SELECT e.dst::BIGINT, r.dist + 1 FROM r JOIN e ON e.src = r.node
-  WHERE r.dist < 3
-)
-SELECT node, min(dist)::BIGINT AS dist FROM r GROUP BY node
-"""
-
-
-def q_docs_longest_run(sf_dir: str):
-    """Gaps-and-islands: each document's longest run of identical
-    consecutive words — pure map-side numpy run-length (diff on
-    equality), while the SQL mirror spells the classic
-    lag->break->running-sum->count island construction."""
-
-    def runs(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        out: list = []
-        for t in b.column("text").to_pylist():
-            words = np.asarray(t.split(" "), dtype=object)
-            if len(words) <= 1:
-                out.append(len(words))
-                continue
-            brk = np.nonzero(words[1:] != words[:-1])[0]
-            edges = np.concatenate(([-1], brk, [len(words) - 1]))
-            out.append(int(np.diff(edges).max()))
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "longest_run": pa.array(out, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        runs, batch_format="pyarrow"
-    )
-
-
-_SQL_DOCS_LONGEST_RUN = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-e AS (
-  SELECT doc_id, i, words[i] AS wd
-  FROM w, unnest(range(1, len(words) + 1)) AS t(i)
-),
-f AS (
-  SELECT doc_id, i, wd,
-    CASE WHEN lag(wd) OVER (PARTITION BY doc_id ORDER BY i) = wd
-         THEN 0 ELSE 1 END AS brk
-  FROM e
-),
-g AS (
-  SELECT doc_id, i,
-    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
-  FROM f
-),
-r AS (SELECT doc_id, grp, count(*)::BIGINT AS run FROM g GROUP BY doc_id, grp)
-SELECT doc_id, max(run)::BIGINT AS longest_run FROM r GROUP BY doc_id
-"""
-
-
-def q_revenue_mom(sf_dir: str):
-    """Month-over-month revenue deltas: the monthly keys-only rollup
-    (exact integer cents) followed by a driver-side LAG fold over the
-    bounded calendar — time-series deltas with pure integer
-    subtraction. First month is dropped (no predecessor), matching the
-    SQL mirror's QUALIFY."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    def bucket(b: pa.Table) -> pa.Table:
-        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
-        c = pc.cast(
-            pc.floor(
-                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
-            ),
-            pa.int64(),
-        )
-        return pa.table({"month": m, "cents": c})
-
-    rows = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderdate", "o_totalprice"],
-        )
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["month"])
-    months, revs, prevs, deltas = [], [], [], []
-    for prev, cur in zip(rows, rows[1:]):
-        months.append(cur["month"])
-        revs.append(int(cur["revenue_cents"]))
-        prevs.append(int(prev["revenue_cents"]))
-        deltas.append(int(cur["revenue_cents"]) - int(prev["revenue_cents"]))
-    return pa.table({
-        "month": pa.array(months, type=pa.string()),
-        "revenue_cents": pa.array(revs, type=pa.int64()),
-        "prev_cents": pa.array(prevs, type=pa.int64()),
-        "delta_cents": pa.array(deltas, type=pa.int64()),
-    })
-
-
-_SQL_REVENUE_MOM = """
-WITH m AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
-           AS revenue_cents
-  FROM orders GROUP BY month
-)
-SELECT month, revenue_cents,
-       lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
-       (revenue_cents - lag(revenue_cents) OVER (ORDER BY month))::BIGINT
-         AS delta_cents
-FROM m
-QUALIFY prev_cents IS NOT NULL
-"""
-
-
-def q_lang_flags(sf_dir: str):
-    """Boolean aggregates (bool_and / bool_or) per language as Min/Max
-    over 0/1 flags — every doc >=100 chars? any doc >=5000 chars? —
-    one keys-only groupby."""
-    from ray.data.aggregate import Count, Max, Min
-
-    def flags(b: pa.Table) -> pa.Table:
-        ch = b.column("n_chars")
-        return pa.table({
-            "lang": b.column("lang"),
-            "ge100": pc.cast(pc.greater_equal(ch, 100), pa.int64()),
-            "ge5000": pc.cast(pc.greater_equal(ch, 5000), pa.int64()),
-        })
-
-    return (
-        _docs(sf_dir, ["lang", "n_chars"])
-        .map_batches(flags, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Count(),
-            Min("ge100", alias_name="all_ge100"),
-            Max("ge5000", alias_name="any_ge5000"),
-        )
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_LANG_FLAGS = """
-SELECT lang, count(*)::BIGINT AS n_docs,
-       bool_and(n_chars >= 100)::BIGINT AS all_ge100,
-       bool_or(n_chars >= 5000)::BIGINT AS any_ge5000
-FROM documents GROUP BY lang
-"""
-
-
-def _extract_text_strategy(sf_dir: str, strategy: str):
-    """Byte-identity extraction through an ALTERNATIVE segmentation
-    strategy (stages/segment_pse.py kernel-growing or
-    stages/segment_east.py dense-proposal + lanms), run as the STAGED
-    registry pipeline (segment -> extract -> assemble actor pools — the
-    reference's deploy-pipeline topology). Restricted to linear
-    (single-column) docs, where all three strategies are pinned
-    byte-identical; the multi-column reading-order rules are the DB
-    strategy's contract only."""
-    from webextract.pipelines.registry import build_pipeline
-    from webextract.sources.pages import pages_from_documents
-
-    out = build_pipeline(pages_from_documents(sf_dir), [
-        {"op": "segment", "strategy": strategy,
-         "concurrency": _conc()},
-        {"op": "extract", "concurrency": _conc()},
-        {"op": "assemble"},
-        {"op": "filter", "expr": "status == 'ok'"},
-    ])
-
-    def linear(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = (ids % 17 != 5) & (ids % 19 != 11)
-        return b.filter(pa.array(keep))
-
-    return out.map_batches(linear, batch_format="pyarrow").select_columns(
-        ["doc_id", "text"]
-    )
-
-
-def q_extract_text_pse(sf_dir: str):
-    """PSE-strategy extraction, byte-identical on linear docs."""
-    return _extract_text_strategy(sf_dir, "pse")
-
-
-def q_extract_text_east(sf_dir: str):
-    """EAST-strategy extraction (dense proposals + locality-aware NMS
-    weighted merge), byte-identical on linear docs."""
-    return _extract_text_strategy(sf_dir, "east")
-
-
-_SQL_GOLD_TEXT_LINEAR = r"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words,
-         (doc_id % 3 + 1)::INT AS k
-  FROM documents
-  WHERE doc_id % 17 <> 5 AND doc_id % 19 <> 11
-)
-SELECT doc_id,
-  array_to_string(
-    list_filter(
-      list_transform(range(0, k), i ->
-        array_to_string(words[(i*len(words))//k + 1
-                              : ((i+1)*len(words))//k], ' ')
-      ), c -> c <> ''), chr(10)) AS text
-FROM w
-WHERE doc_id % 50 <> 7
-"""
-
-
-def q_extract_text_staged(sf_dir: str):
-    """The STAGED (fused=False) extraction topology — separate
-    segment / extract / assemble actor pools with object-store hops
-    between them (the reference's deploy pipeline_manager shape) —
-    against the same full byte-identity oracle as the fused default.
-    Proves the two topologies are row-identical at the driver gate,
-    not just in pytest."""
-    from webextract.pipelines.extract_pipeline import extract_pages
-    from webextract.sources.pages import pages_from_documents
-
-    ds = extract_pages(
-        pages_from_documents(sf_dir), fused=False, concurrency=_conc()
-    ).filter(expr="status == 'ok'")
-    return ds.select_columns(["doc_id", "text"])
-
-
-def q_extract_text_tiered(sf_dir: str):
-    """The skew-hardened TIERED topology (extract_pages_tiered):
-    payload-size routing splits giant pages into a tiny-batch pool and
-    unions the sub-pipelines. giant_bytes is set low enough here that
-    BOTH branches execute on real rows; the full gold oracle verifies
-    the union is byte-identical to the untiered run."""
-    from webextract.pipelines.extract_pipeline import extract_pages_tiered
-    from webextract.sources.pages import pages_from_documents
-
-    ds = extract_pages_tiered(
-        pages_from_documents(sf_dir), giant_bytes=4000,
-        concurrency=_conc(),
-    ).filter(expr="status == 'ok'")
-    return ds.select_columns(["doc_id", "text"])
-
-
-def q_image_decode_stats(sf_dir: str):
-    """Multimodal image path under the oracle gate: a deterministic PPM
-    payload per doc (w = 4+id%5, h = 3+id%4, pixel i = (id*7+i)%256)
-    round-trips through the REAL codec (stages/imagecodec.encode_ppm ->
-    decode_image) inside map_batches; the query emits integer
-    dimensions + pixel sums and the oracle recomputes them from the
-    synthesis rule in pure SQL. Binary payloads never leave the task —
-    the decode-stage shape for a 100 TB media column."""
-    from webextract.stages.imagecodec import decode_image, encode_ppm
-
-    def stats(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        ws, hs, sums = [], [], []
-        for did in ids:
-            w = 4 + did % 5
-            h = 3 + did % 4
-            px = ((did * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256
-                  ).astype(np.uint8).reshape(h, w, 3)
-            img = decode_image(encode_ppm(px))
-            assert img.shape == (h, w, 3)
-            ws.append(img.shape[1])
-            hs.append(img.shape[0])
-            sums.append(int(img.astype(np.int64).sum()))
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "width": pa.array(ws, type=pa.int64()),
-            "height": pa.array(hs, type=pa.int64()),
-            "pixel_sum": pa.array(sums, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id"]).map_batches(
-        stats, batch_format="pyarrow"
-    )
-
-
-_SQL_IMAGE_DECODE_STATS = """
-WITH p AS (
-  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
-)
-SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
-       (SELECT sum((doc_id * 7 + i) % 256)
-        FROM unnest(range(0, w * h * 3)) AS t(i))::BIGINT AS pixel_sum
-FROM p
-"""
-
-
-def q_audio_decode_stats(sf_dir: str):
-    """Multimodal audio path under the oracle gate: a deterministic
-    16-bit PCM RIFF payload per doc (n = 100+id%50 samples, sample i =
-    (id*13 + i*77) % 2001 - 1000) decoded by the REAL parser
-    (stages/imagecodec.decode_wav); k/2^15 samples are exact dyadic
-    floats, so the recovered integer sum is bit-exact against the SQL
-    recomputation."""
-    import struct
-
-    from webextract.stages.imagecodec import decode_wav
-
-    def stats(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        ns, sums, rates = [], [], []
-        for did in ids:
-            n = 100 + did % 50
-            k = ((did * 13 + 77 * np.arange(n, dtype=np.int64)) % 2001
-                 ) - 1000
-            pcm = k.astype("<i2").tobytes()
-            hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
-            hdr += b"fmt " + struct.pack(
-                "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
-            hdr += b"data" + struct.pack("<I", len(pcm))
-            samples, rate = decode_wav(hdr + pcm)
-            rec = np.round(samples * 32768.0).astype(np.int64)
-            ns.append(len(samples))
-            sums.append(int(rec.sum()))
-            rates.append(rate)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "n_samples": pa.array(ns, type=pa.int64()),
-            "sample_sum": pa.array(sums, type=pa.int64()),
-            "rate": pa.array(rates, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id"]).map_batches(
-        stats, batch_format="pyarrow"
-    )
-
-
-_SQL_AUDIO_DECODE_STATS = """
-WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents)
-SELECT doc_id, n::BIGINT AS n_samples,
-       (SELECT sum((doc_id * 13 + i * 77) % 2001 - 1000)
-        FROM unnest(range(0, n)) AS t(i))::BIGINT AS sample_sum,
-       16000::BIGINT AS rate
-FROM p
-"""
-
-
-def q_events_range_frame(sf_dir: str):
-    """RANGE-frame window (value-range, not row-count): for every
-    event, the count and exact-cents sum of the same user's events in
-    the trailing 5-minute window (inclusive of self). One keys-only
-    groupby; each group sorts once and answers every frame with two
-    searchsorted cuts over int64 prefix sums — O(n log n) per group vs
-    the SQL mirror's per-row RANGE scan."""
-    import ray.data
-
-    def us(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-            "event_id": b.column("event_id"),
-            "cents": c,
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_id", "value"],
-    ).map_batches(us, batch_format="pyarrow")
-
-    out_schema = pa.schema([
-        ("user_id", pa.int64()), ("event_id", pa.int64()),
-        ("n_5min", pa.int64()), ("cents_5min", pa.int64()),
-    ])
-    BAND = 5 * 60 * 1_000_000
-
-    def frames(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        cents = group.column("cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, eid, cents = ts[order], eid[order], cents[order]
-        pref = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.searchsorted(ts, ts - BAND, side="left")
-        uid = group.column("user_id")[0].as_py()
-        return pa.table({
-            "user_id": pa.array([uid] * len(ts), type=pa.int64()),
-            "event_id": pa.array(eid, type=pa.int64()),
-            "n_5min": pa.array((hi - lo).astype(np.int64)),
-            "cents_5min": pa.array(pref[hi] - pref[lo], type=pa.int64()),
-        }, schema=out_schema)
-
-    return ev.groupby("user_id").map_groups(frames, batch_format="pyarrow")
-
-
-_SQL_EVENTS_RANGE_FRAME = """
-SELECT user_id, event_id,
-       (count(*) OVER w)::BIGINT AS n_5min,
-       (sum(floor(value * 100.0 + 0.5)::BIGINT) OVER w)::BIGINT
-         AS cents_5min
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
-"""
-
-
-def q_customer_rfm(sf_dir: str):
-    """RFM segmentation table: Recency (whole days between each
-    customer's last order and the corpus max date — two keys-only Max
-    folds + exact integer date math), Frequency (order count), Monetary
-    (exact integer cents)."""
-    import ray.data
-    from ray.data.aggregate import Count, Max, Sum
-
-    def prep(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
-                            0.5)),
-            pa.int64(),
-        )
-        return pa.table({
-            "c_custkey": b.column("o_custkey"),
-            "ts_us": pc.cast(b.column("o_orderdate"), pa.int64()),
-            "cents": c,
-        })
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderdate", "o_totalprice"],
-    ).map_batches(prep, batch_format="pyarrow")
-    global_max = int(ds.max("ts_us"))
-    agg = (
-        ds.groupby("c_custkey")
-        .aggregate(
-            Count(),
-            Max("ts_us", alias_name="last_us"),
-            Sum("cents", alias_name="monetary_cents"),
-        )
-        .rename_columns({"count()": "frequency"})
-    )
-
-    def rec(b: pa.Table) -> pa.Table:
-        days = pc.divide(
-            pc.subtract(pa.scalar(global_max, type=pa.int64()),
-                        b.column("last_us")),
-            pa.scalar(86_400_000_000, type=pa.int64()),
-        )
-        return pa.table({
-            "c_custkey": b.column("c_custkey"),
-            "recency_days": pc.cast(days, pa.int64()),
-            "frequency": b.column("frequency"),
-            "monetary_cents": b.column("monetary_cents"),
-        })
-
-    return agg.map_batches(rec, batch_format="pyarrow")
-
-
-_SQL_CUSTOMER_RFM = """
-WITH g AS (SELECT max(o_orderdate) AS mx FROM orders)
-SELECT o_custkey AS c_custkey,
-       (date_diff('microsecond', max(o_orderdate), any_value(g.mx))
-        // 86400000000)::BIGINT AS recency_days,
-       count(*)::BIGINT AS frequency,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
-         AS monetary_cents
-FROM orders, g
-GROUP BY o_custkey
-"""
-
-
-def q_docs_pushdown_stats(sf_dir: str):
-    """Predicate pushdown AT THE READ: the row filter (lang = 'en')
-    ships into the parquet scan via `read_parquet(filter=...)`, so
-    non-matching row groups never leave storage — paired with the
-    column prune, this is the 'prune at the read' discipline the 100 TB
-    tier depends on. One keys-only source rollup after."""
-    import pyarrow.dataset as pds
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["source", "lang", "n_chars"],
-        filter=(pds.field("lang") == "en"),
-    )
-    return (
-        ds.groupby("source")
-        .aggregate(Count(), Sum("n_chars", alias_name="total_chars"))
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_DOCS_PUSHDOWN_STATS = """
-SELECT source, count(*)::BIGINT AS n_docs,
-       sum(n_chars)::BIGINT AS total_chars
-FROM documents WHERE lang = 'en' GROUP BY source
-"""
-
-
-def q_session_length_hist(sf_dir: str):
-    """Composition: gap-sessionization -> session-length distribution
-    (how many sessions have k events) — the engagement histogram,
-    one extra keys-only groupby over the session summaries."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from webextract.functions.sessions import sessionize
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
-    )
-    return (
-        sessionize(ds, gap_minutes=30)
-        .groupby("n_events")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_sessions"})
-    )
-
-
-_SQL_SESSION_LENGTH_HIST = r"""
-WITH o AS (
-  SELECT user_id, event_id, ts,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, event_id,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
-  FROM o
-),
-g AS (
-  SELECT user_id, session_idx, count(*)::BIGINT AS n_events
-  FROM s GROUP BY user_id, session_idx
-)
-SELECT n_events, count(*)::BIGINT AS n_sessions FROM g GROUP BY n_events
-"""
-
-
-def q_fk_orphans(sf_dir: str):
-    """Referential-integrity audit across the schema: orphan counts for
-    two foreign keys (orders.o_custkey -> customer, lineitem.l_orderkey
-    -> orders) via ANTI hash joins — keys-only distinct on the child
-    side first, so the exchange carries one row per distinct key, and
-    the orphan count weights back by child multiplicity (here: distinct
-    orphan keys + orphan child rows)."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import hash_join
-
-    def orphan_counts(child_path, child_key, parent_path, parent_key,
-                      out_key):
-        child = (
-            ray.data.read_parquet(child_path, columns=[child_key])
-            .rename_columns({child_key: out_key})
-            .groupby(out_key)
-            .aggregate(Count())
-            .rename_columns({"count()": "n_child"})
-        )
-        parent = ray.data.read_parquet(
-            parent_path, columns=[parent_key]
-        ).rename_columns({parent_key: out_key})
-        ks = pa.schema([(out_key, pa.int64()), ("n_child", pa.int64())])
-        ps = pa.schema([(out_key, pa.int64())])
-        orphans = hash_join(child, parent, on=out_key, how="anti",
-                            left_schema=ks, right_schema=ps)
-        agg = orphans.aggregate(Count(), Sum("n_child"))
-        if not agg:  # Ray returns None/{} when the input is empty
-            return (0, 0)
-        return (int(agg["count()"] or 0), int(agg["sum(n_child)"] or 0))
-
-    o_keys, o_rows = orphan_counts(
-        f"{sf_dir}/orders.parquet", "o_custkey",
-        f"{sf_dir}/customer.parquet", "c_custkey", "k")
-    l_keys, l_rows = orphan_counts(
-        f"{sf_dir}/lineitem.parquet", "l_orderkey",
-        f"{sf_dir}/orders.parquet", "o_orderkey", "k")
-    return pa.table({
-        "fk": pa.array(["orders.o_custkey", "lineitem.l_orderkey"],
-                       type=pa.string()),
-        "orphan_keys": pa.array([o_keys, l_keys], type=pa.int64()),
-        "orphan_rows": pa.array([o_rows, l_rows], type=pa.int64()),
-    })
-
-
-_SQL_FK_ORPHANS = """
-SELECT 'orders.o_custkey' AS fk,
-       count(DISTINCT o_custkey)::BIGINT AS orphan_keys,
-       count(*)::BIGINT AS orphan_rows
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-UNION ALL
-SELECT 'lineitem.l_orderkey',
-       count(DISTINCT l_orderkey)::BIGINT,
-       count(*)::BIGINT
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-"""
-
-
-def q_consistent_sample(sf_dir: str):
-    """Consistent (hash-ordered) fixed-k sample: the 50 docs with the
-    smallest md5(doc_id) — stable under appends except at the boundary,
-    the dataset-fingerprint sampling trick (MinHash over the id set).
-    Per-block partial bottom-k on the hash, then a 50-row global
-    finish — k rows per block through the exchange, never the table."""
-    import hashlib
-
-    K = 50
-
-    def hashed(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        t = pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "h": pa.array(hs, type=pa.string()),
-        })
-        order = pc.sort_indices(t, sort_keys=[("h", "ascending"),
-                                              ("doc_id", "ascending")])
-        return t.take(order[:K])
-
-    return (
-        _docs(sf_dir, ["doc_id"])
-        .map_batches(hashed, batch_format="pyarrow")
-        .sort(["h", "doc_id"])
-        .limit(K)
-    )
-
-
-_SQL_CONSISTENT_SAMPLE = """
-SELECT doc_id, md5(doc_id::VARCHAR) AS h
-FROM documents ORDER BY h, doc_id LIMIT 50
-"""
-
-
-def q_segment_avg_order(sf_dir: str):
-    """Grouped weighted average KPI: mean order value per market
-    segment — broadcast customer->segment probe inside the orders
-    scan, one keys-only groupby, the mean a single IEEE division of
-    exact int64 sums."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import broadcast_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
-                            0.5)),
-            pa.int64(),
-        )
-        return pa.table({"c_custkey": b.column("o_custkey"), "cents": c})
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).map_batches(cents, batch_format="pyarrow")
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg = broadcast_join(orders, cust, key="c_custkey",
-                         concurrency=_conc())
-    agg = (
-        seg.groupby("c_mktsegment")
-        .aggregate(Count(), Sum("cents", alias_name="total_cents"))
-        .rename_columns({"count()": "n_orders"})
-    )
-
-    def mean(b: pa.Table) -> pa.Table:
-        m = pc.divide(
-            pc.cast(b.column("total_cents"), pa.float64()),
-            pc.cast(b.column("n_orders"), pa.float64()),
-        )
-        return b.append_column("avg_cents", m)
-
-    return agg.map_batches(mean, batch_format="pyarrow")
-
-
-_SQL_SEGMENT_AVG_ORDER = """
-SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
-         AS total_cents,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE
-         / count(*)::DOUBLE AS avg_cents
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-def q_embedding_quantize_checksum(sf_dir: str):
-    """Int8 symmetric quantization of the embedding column, verified by
-    checksum: q_i = floor(x_i / scale * 127 + 0.5) with scale =
-    max|x| per vector — the identical left-to-right IEEE expression on
-    both engines, so the per-vector quantized sums are exact. The
-    vector-compression prep step (e.g. for an int8 ANN index), pure
-    map-side."""
-    import ray.data
-
-    from webextract.functions.similarity import _batch_matrix
-
-    def quant(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id")
-        m = _batch_matrix(b, "embedding")
-        if not m.size:
-            return pa.table({
-                "vec_id": pa.array([], type=pa.int64()),
-                "q_sum": pa.array([], type=pa.int64()),
-                "n_dims": pa.array([], type=pa.int64()),
-            })
-        scale = np.abs(m).max(axis=1, keepdims=True)
-        safe = np.where(scale == 0.0, 1.0, scale)
-        q = np.floor(m / safe * 127.0 + 0.5)
-        q = np.where(scale == 0.0, 0.0, q).astype(np.int64)
-        return pa.table({
-            "vec_id": ids,
-            "q_sum": pa.array(q.sum(axis=1), type=pa.int64()),
-            "n_dims": pa.array(
-                np.full(m.shape[0], m.shape[1], dtype=np.int64)),
-        })
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    return ds.map_batches(quant, batch_format="pyarrow")
-
-
-_SQL_EMBEDDING_QUANTIZE_CHECKSUM = """
-WITH s AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS sc
-  FROM embeddings
-)
-SELECT vec_id,
-       CASE WHEN sc = 0 THEN 0
-            ELSE list_sum(list_transform(e,
-                   x -> floor(x / sc * 127.0 + 0.5)))::BIGINT
-       END::BIGINT AS q_sum,
-       len(e)::BIGINT AS n_dims
-FROM s
-"""
-
-
-def q_docs_grouping_sets(sf_dir: str):
-    """GROUP BY GROUPING SETS ((lang), (source), (lang, source)) with
-    the GROUPING() bit pattern — one shuffle to the finest grain, the
-    single-column grains folded from the bounded finest aggregate
-    (functions/window.grouping_sets_counts)."""
-    from webextract.functions.window import grouping_sets_counts
-
-    return grouping_sets_counts(
-        _docs(sf_dir, ["lang", "source", "n_chars"]),
-        a="lang", b="source", val="n_chars",
-    )
-
-
-_SQL_DOCS_GROUPING_SETS = """
-SELECT lang, source, GROUPING(lang, source)::BIGINT AS gid,
-       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
-FROM documents
-GROUP BY GROUPING SETS ((lang, source), (lang), (source))
-"""
-
-
-def q_orders_priority_except_all(sf_dir: str):
-    """Bag-semantics EXCEPT ALL: the multiset of priorities among
-    open ('O') orders minus the multiset among filled ('F') orders —
-    surviving multiplicity = greatest(n_open - n_filled, 0), computed
-    from ONE conditional-count groupby (never materializing either
-    multiset)."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    def flags(b: pa.Table) -> pa.Table:
-        st = b.column("o_orderstatus")
-        return pa.table({
-            "o_orderpriority": b.column("o_orderpriority"),
-            "n_o": pc.cast(pc.equal(st, "O"), pa.int64()),
-            "n_f": pc.cast(pc.equal(st, "F"), pa.int64()),
-        })
-
-    agg = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderstatus", "o_orderpriority"],
-        )
-        .map_batches(flags, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_o", alias_name="n_o"),
-                   Sum("n_f", alias_name="n_f"))
-    )
-
-    def excess(b: pa.Table) -> pa.Table:
-        d = pc.subtract(b.column("n_o"), b.column("n_f"))
-        e = pc.max_element_wise(d, pa.scalar(0, type=pa.int64()))
-        t = pa.table({
-            "o_orderpriority": b.column("o_orderpriority"),
-            "n_excess": pc.cast(e, pa.int64()),
-        })
-        return t.filter(pc.greater(t.column("n_excess"), 0))
-
-    return agg.map_batches(excess, batch_format="pyarrow")
-
-
-_SQL_ORDERS_PRIORITY_EXCEPT_ALL = """
-WITH d AS (
-  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
-  EXCEPT ALL
-  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-)
-SELECT o_orderpriority, count(*)::BIGINT AS n_excess
-FROM d GROUP BY o_orderpriority
+here (or in webextract.queries) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
-
-def q_region_segment_matrix(sf_dir: str):
-    """Wide pivot over JOINED dimensions: customers per market segment
-    (rows) x region (columns). The nation->region dim chain broadcasts
-    into the customer scan; the pivot itself is conditional 0/1
-    columns + one keys-only groupby — no per-category scans."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    )
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    by_rk = dict(zip(region.column("r_regionkey").to_pylist(),
-                     region.column("r_name").to_pylist()))
-    r_of_nation = {
-        int(nk): by_rk[rk]
-        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
-                          nation.column("n_regionkey").to_pylist())
-    }
-    cats = sorted(by_rk.values())
-    import ray
-    ref = ray.put(r_of_nation)
-
-    def flags(b: pa.Table) -> pa.Table:
-        rn = ray.get(ref)
-        regions = [rn[int(k)] for k in
-                   b.column("c_nationkey").to_pylist()]
-        cols = {"c_mktsegment": b.column("c_mktsegment")}
-        for c in cats:
-            cols["n_" + c.lower()] = pa.array(
-                [1 if r == c else 0 for r in regions], type=pa.int64())
-        return pa.table(cols)
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_mktsegment", "c_nationkey"],
-    )
-    aggs = [Sum("n_" + c.lower(), alias_name="n_" + c.lower())
-            for c in cats]
-    return (
-        ds.map_batches(flags, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(), *aggs)
-        .rename_columns({"count()": "n_total"})
-    )
-
-
-_SQL_REGION_SEGMENT_MATRIX = """
-SELECT c_mktsegment, count(*)::BIGINT AS n_total,
-       count(*) FILTER (r_name = 'AFRICA')::BIGINT AS n_africa,
-       count(*) FILTER (r_name = 'AMERICA')::BIGINT AS n_america,
-       count(*) FILTER (r_name = 'ASIA')::BIGINT AS n_asia,
-       count(*) FILTER (r_name = 'EUROPE')::BIGINT AS n_europe,
-       count(*) FILTER (r_name = 'MIDDLE EAST')::BIGINT AS "n_middle east"
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY c_mktsegment
-"""
-
-
-def q_event_value_share(sf_dir: str):
-    """Per-row share of a window total: each event's exact-cents value
-    divided by its user's total. Round-4 rewrite (judge task 2): the
-    per-user totals are joined back onto the rows with ONE keyed
-    exchange (functions/joins.hash_join) instead of a take_all() driver
-    dict — user_id is USER-GRADE cardinality, so a driver fold is an
-    OOM at 10^9 users; the share stays one IEEE division of exact
-    int64s per row."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from webextract.functions.joins import hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "event_id": b.column("event_id"),
-            "cents": c,
-        })
-
-    def ev():
-        return ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "event_id", "value"],
-        ).map_batches(cents, batch_format="pyarrow")
-
-    totals = (ev().groupby("user_id")
-              .aggregate(Sum("cents", alias_name="tot")))
-    joined = hash_join(
-        ev(), totals, on="user_id",
-        left_schema=pa.schema([("user_id", pa.int64()),
-                               ("event_id", pa.int64()),
-                               ("cents", pa.int64())]),
-        right_schema=pa.schema([("user_id", pa.int64()),
-                                ("tot", pa.int64())]),
-    )
-
-    def share(b: pa.Table) -> pa.Table:
-        cs = b.column("cents").to_numpy(zero_copy_only=False)
-        tot = b.column("tot").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "event_id": b.column("event_id"),
-            "cents": b.column("cents"),
-            "share": pa.array(cs.astype(np.float64)
-                              / tot.astype(np.float64),
-                              type=pa.float64()),
-        })
-
-    return joined.map_batches(share, batch_format="pyarrow")
-
-
-_SQL_EVENT_VALUE_SHARE = """
-SELECT user_id, event_id,
-       floor(value * 100.0 + 0.5)::BIGINT AS cents,
-       floor(value * 100.0 + 0.5)::BIGINT::DOUBLE
-         / (sum(floor(value * 100.0 + 0.5)::BIGINT)
-            OVER (PARTITION BY user_id))::DOUBLE AS share
-FROM events
-"""
-
-
-def q_customers_all_filled(sf_dir: str):
-    """Universal quantification (FOR ALL): customers whose EVERY order
-    has status 'F' — one conditional-count groupby, the HAVING
-    count(*) = count(*) FILTER (...) equality; no per-row existence
-    probes."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def flags(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "c_custkey": b.column("o_custkey"),
-            "n_f": pc.cast(pc.equal(b.column("o_orderstatus"), "F"),
-                           pa.int64()),
-        })
-
-    agg = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_orderstatus"],
-        )
-        .map_batches(flags, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Count(), Sum("n_f", alias_name="n_f"))
-        .rename_columns({"count()": "n_orders"})
-    )
-
-    def keep(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b.column("n_orders"), b.column("n_f")))
-        return t.select(["c_custkey", "n_orders"])
-
-    return agg.map_batches(keep, batch_format="pyarrow")
-
-
-_SQL_CUSTOMERS_ALL_FILLED = """
-SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
-FROM orders GROUP BY o_custkey
-HAVING count(*) = count(*) FILTER (o_orderstatus = 'F')
-"""
-
-
-def q_revenue_ma3(sf_dir: str):
-    """Trailing 3-month moving window over an aggregate series: monthly
-    integer-cents revenue plus the 3-month trailing sum (pure integer
-    arithmetic, no division) — the keys-only monthly rollup folds to
-    the bounded calendar on the driver, where the ROWS-frame window is
-    a three-term sum."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    def bucket(b: pa.Table) -> pa.Table:
-        m = pc.strftime(b.column("o_orderdate"), format="%Y-%m")
-        c = pc.cast(
-            pc.floor(
-                pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)
-            ),
-            pa.int64(),
-        )
-        return pa.table({"month": m, "cents": c})
-
-    rows = (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderdate", "o_totalprice"],
-        )
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["month"])
-    months, revs, ma = [], [], []
-    for i, r in enumerate(rows):
-        months.append(r["month"])
-        revs.append(int(r["revenue_cents"]))
-        lo = max(0, i - 2)
-        ma.append(sum(int(x["revenue_cents"]) for x in rows[lo:i + 1]))
-    return pa.table({
-        "month": pa.array(months, type=pa.string()),
-        "revenue_cents": pa.array(revs, type=pa.int64()),
-        "ma3_cents": pa.array(ma, type=pa.int64()),
-    })
-
-
-_SQL_REVENUE_MA3 = """
-WITH m AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT
-           AS revenue_cents
-  FROM orders GROUP BY month
-)
-SELECT month, revenue_cents,
-       (sum(revenue_cents) OVER (ORDER BY month
-          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS ma3_cents
-FROM m
-"""
-
-
-def q_revenue_by_region(sf_dir: str):
-    """Five-table join span (lineitem -> orders -> customer -> nation
-    -> region): per-order revenue pre-aggregated in the lineitem scan,
-    ONE hash exchange to orders for the custkey, ONE to customer for
-    the nationkey, then the 25-row nation x region chain broadcasts —
-    revenue per region in exact integer cents."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from webextract.functions.joins import broadcast_join, hash_join
-
-    def cents(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(1.0, b.column("l_discount")),
-        )
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
-        )
-        return pa.table({"o_orderkey": b.column("l_orderkey"), "cents": c})
-
-    per_order = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("cents", alias_name="cents"))
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    j1 = hash_join(
-        per_order, orders, on="o_orderkey",
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("cents", pa.int64())]),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
-    ).rename_columns({"o_custkey": "c_custkey"})
-    # pre-fold per customer before the second exchange: keys+cents only
-    per_cust = j1.groupby("c_custkey").aggregate(
-        Sum("cents", alias_name="cents"))
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    j2 = hash_join(
-        per_cust, cust, on="c_custkey",
-        left_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("cents", pa.int64())]),
-        right_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
-    ).rename_columns({"c_nationkey": "n_nationkey"})
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    )
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    by_rk = dict(zip(region.column("r_regionkey").to_pylist(),
-                     region.column("r_name").to_pylist()))
-    dim = pa.table({
-        "n_nationkey": nation.column("n_nationkey"),
-        "r_name": pa.array(
-            [by_rk[k] for k in nation.column("n_regionkey").to_pylist()],
-            type=pa.string()),
-    })
-    named = broadcast_join(j2, dim, key="n_nationkey", concurrency=_conc())
-    return (
-        named.groupby("r_name")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-    )
-
-
-_SQL_REVENUE_BY_REGION = """
-SELECT r_name,
-       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
-                 + 0.5)::BIGINT)::BIGINT AS revenue_cents
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def q_suppliers_above_nation_mean(sf_dir: str):
-    """Cross-ENTITY above-average comparison: suppliers whose balance
-    beats the MEAN customer balance of their own nation — the
-    per-nation (count, sum) folds keys-only (25 rows, broadcast
-    literal), the supplier filter is map-side integer
-    cross-multiplication (cents * n > sum; no float mean anywhere)."""
-    import ray
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def ccents(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("c_acctbal"), 100.0), 0.5)),
-            pa.int64(),
-        )
-        return pa.table({
-            "nk": pc.cast(b.column("c_nationkey"), pa.int64()),
-            "cents": c,
-        })
-
-    stats = {
-        int(r["nk"]): (int(r["count()"]), int(r["s"]))
-        for r in ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_nationkey", "c_acctbal"],
-        )
-        .map_batches(ccents, batch_format="pyarrow")
-        .groupby("nk")
-        .aggregate(Count(), Sum("cents", alias_name="s"))
-        .take_all()
-    }
-    ref = ray.put(stats)
-
-    def keep(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        nk = b.column("s_nationkey").to_pylist()
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("s_acctbal"), 100.0), 0.5)),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        keep_mask = []
-        for k, ci in zip(nk, c):
-            n, s = m.get(int(k), (0, 0))
-            keep_mask.append(n > 0 and int(ci) * n > s)
-        t = pa.table({
-            "s_suppkey": b.column("s_suppkey"),
-            "s_nationkey": pa.array([int(k) for k in nk], type=pa.int64()),
-            "balance_cents": pa.array(c, type=pa.int64()),
-        }).filter(pa.array(keep_mask))
-        return t
-
-    return ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
-    ).map_batches(keep, batch_format="pyarrow")
-
-
-_SQL_SUPPLIERS_ABOVE_NATION_MEAN = """
-WITH m AS (
-  SELECT c_nationkey AS nk, count(*)::BIGINT AS n,
-         sum(floor(c_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS s
-  FROM customer GROUP BY c_nationkey
-)
-SELECT s_suppkey, s_nationkey::BIGINT AS s_nationkey,
-       floor(s_acctbal * 100.0 + 0.5)::BIGINT AS balance_cents
-FROM supplier JOIN m ON s_nationkey = m.nk
-WHERE floor(s_acctbal * 100.0 + 0.5)::BIGINT * m.n > m.s
-"""
-
-
-def q_events_asof_fwd(sf_dir: str):
-    """FORWARD as-of join: each click matched to the earliest view at or
-    after it by the same user (functions/temporal.asof_join
-    direction="forward" — same one-shuffle searchsorted merge, the
-    other boundary)."""
-    import ray.data
-
-    from webextract.functions.temporal import asof_join
-
-    def load(event_type: str, id_name: str, ts_name: str):
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "ts", "user_id", "event_type"],
-        ).filter(expr=f"event_type == '{event_type}'")
-
-        def conv(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "user_id": b.column("user_id"),
-                ts_name: b.column("ts").cast(pa.int64()),
-                id_name: b.column("event_id"),
-            })
-
-        schema = pa.schema([("user_id", pa.int64()), (ts_name, pa.int64()),
-                            (id_name, pa.int64())])
-        return ds.map_batches(conv, batch_format="pyarrow"), schema
-
-    clicks, lschema = load("click", "event_id", "ts_us")
-    views, rschema = load("view", "view_event_id", "view_ts_us")
-    return asof_join(
-        clicks, views, by="user_id", left_ts="ts_us",
-        right_ts="view_ts_us", left_schema=lschema, right_schema=rschema,
-        how="inner", direction="forward",
-    )
-
-
-_SQL_EVENTS_ASOF_FWD = """
-WITH c AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id
-  FROM events WHERE event_type = 'click'
-), v AS (
-  SELECT user_id, epoch_us(ts) AS view_ts_us, min(event_id) AS view_event_id
-  FROM events WHERE event_type = 'view' GROUP BY 1, 2
-)
-SELECT c.user_id, c.ts_us, c.event_id, v.view_ts_us, v.view_event_id
-FROM c ASOF JOIN v
-  ON c.user_id = v.user_id AND c.ts_us <= v.view_ts_us
-"""
-
-
-def _splitmix_cte_sql() -> str:
-    """SQL prelude mirroring corpus.mix(doc_id, 1) exactly: SplitMix64
-    in chained CTEs over HUGEINT, with the 64x64-bit modular multiply
-    split into 32-bit halves (int128-safe). Validated equal to the
-    Python mixer over 3000 ids. The stream-constant _mix(1 + GOLDEN2)
-    is folded to a literal here."""
-    from webextract.corpus import _mix
-
-    M = 18446744073709551616  # 2^64
-    C0 = 11400714819323198485  # 0x9E3779B97F4A7C15
-    M1 = 13787848793156543929  # 0xBF58476D1CE4E5B9
-    M2 = 10723151780598845931  # 0x94D049BB133111EB
-    SC = _mix(1 + 0xD1B54A32D192ED03)  # _mix(stream=1 + golden2)
-
-    def mulm(v: str, b: int) -> str:
-        bl, bh = b % (1 << 32), b >> (32)
-        return (f"((({v}) * {bl}) % {M} "
-                f"+ ((({v}) * {bh}) % 4294967296) * 4294967296) % {M}")
-
-    def xs(v: str, s: int) -> str:
-        return f"xor({v}, ({v}) // {1 << s})"
-
-    return f"""
-mx0 AS (SELECT doc_id, ((doc_id::HUGEINT + {C0}) % {M}) AS v FROM documents),
-mx1 AS (SELECT doc_id, {mulm(xs('v', 30), M1)} AS v FROM mx0),
-mx2 AS (SELECT doc_id, {mulm(xs('v', 27), M2)} AS v FROM mx1),
-mx3 AS (SELECT doc_id, xor(xor(v, v // 2147483648), {SC}::HUGEINT) AS v
-        FROM mx2),
-mx4 AS (SELECT doc_id, ((v + {C0}) % {M}) AS v FROM mx3),
-mx5 AS (SELECT doc_id, {mulm(xs('v', 30), M1)} AS v FROM mx4),
-mx6 AS (SELECT doc_id, {mulm(xs('v', 27), M2)} AS v FROM mx5),
-mixed AS (SELECT doc_id, xor(v, v // 2147483648) AS mixv FROM mx6),
-hosts AS (
-  SELECT doc_id,
-         (CASE WHEN doc_id % 10 < 3 THEN 0
-               ELSE 1 + mixv % 96 END)::BIGINT AS host
-  FROM mixed
-)"""
-
-
-def q_host_doc_stats(sf_dir: str):
-    """Host-level crawl rollup WITH A FULL ORACLE: the host is parsed
-    from the URL string in the pages table (the real web-pipeline
-    string op), counted per host with a doc_id checksum — and the
-    oracle recomputes the skewed host assignment by running the
-    SplitMix64 mixer itself in SQL (hosts: one hot host holding ~30% of
-    rows — the skew driver salted_repartition defends against). The
-    bench-only host_stats aggregation, now driver-gated."""
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.sources.pages import pages_from_documents
-
-    def host(b: pa.Table) -> pa.Table:
-        urls = b.column("url").to_pylist()
-        ids = b.column("doc_id").to_pylist()
-        hs = []
-        for u in urls:
-            # https://host{N}.example/doc/{id}
-            hs.append(int(u.split("//", 1)[1].split(".", 1)[0][4:]))
-        return pa.table({
-            "host": pa.array(hs, type=pa.int64()),
-            "doc_id": pa.array(ids, type=pa.int64()),
-        })
-
-    return (
-        pages_from_documents(sf_dir)
-        .map_batches(host, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Count(), Sum("doc_id", alias_name="id_sum"))
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_HOST_DOC_STATS = (
-    "WITH " + _splitmix_cte_sql() + """
-SELECT host, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
-FROM hosts GROUP BY host
-"""
-)
-
-
-def q_host_freshness(sf_dir: str):
-    """Crawl freshness per host: newest and oldest snapshot timestamps
-    + doc count, from the pages table's real (url, warc_ts) columns —
-    the recrawl-scheduling statistic. Host parsed from the URL string
-    engine-side; the oracle recomputes both the host assignment (the
-    SQL SplitMix64 mixer) and the timestamp rule (warc_ts = 2024-01-01
-    + doc_id seconds) from first principles."""
-    from ray.data.aggregate import Count, Max, Min
-
-    from webextract.sources.pages import pages_from_documents
-
-    def host(b: pa.Table) -> pa.Table:
-        urls = b.column("url").to_pylist()
-        hs = [int(u.split("//", 1)[1].split(".", 1)[0][4:]) for u in urls]
-        return pa.table({
-            "host": pa.array(hs, type=pa.int64()),
-            "ts_us": pc.cast(b.column("warc_ts"), pa.int64()),
-        })
-
-    return (
-        pages_from_documents(sf_dir)
-        .map_batches(host, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(
-            Count(),
-            Min("ts_us", alias_name="oldest_us"),
-            Max("ts_us", alias_name="newest_us"),
-        )
-        .rename_columns({"count()": "n_docs"})
-    )
-
-
-_SQL_HOST_FRESHNESS = (
-    "WITH " + _splitmix_cte_sql() + """
-SELECT host, count(*)::BIGINT AS n_docs,
-       min(1704067200000000 + doc_id * 1000000)::BIGINT AS oldest_us,
-       max(1704067200000000 + doc_id * 1000000)::BIGINT AS newest_us
-FROM hosts GROUP BY host
-"""
-)
-
-
-def q_bpe_merges(sf_dir: str):
-    """Distributed BPE tokenizer training (functions/bpe.bpe_train): 5
-    merge steps learned over the corpus vocabulary. The corpus-wide
-    word-frequency fold is one keys-only groupby; every iteration then
-    runs on the Zipf-bounded VOCAB table (pair explode map-side,
-    keys-only pair-count groupby, 1-row global argmax, broadcast-merge
-    map). The merge applies the identical left-to-right textual
-    replace on the space-joined symbol representation in both engines,
-    so the oracle (5 unrolled CTE steps) is exact; the canonical
-    pair-merge equivalence on this corpus is pinned by pytest."""
-    from webextract.functions.bpe import bpe_train
-
-    return bpe_train(_docs(sf_dir, ["text"]), n_merges=5)
-
-
-def _bpe_ctes(n_merges: int = 5) -> str:
-    """The shared CTE chain (w, r0, per-step s/t/m/k/b/r) both BPE
-    oracles build on. Each step is an EXACT symbol-scan merge (see
-    `_bpe_merge_step`); pair counts fold the exploded symbol table."""
-    parts = ["""
-w AS MATERIALIZED (
-  SELECT word, count(*)::BIGINT AS freq FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-  ) GROUP BY word
-),
-r0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY word) AS wid,
-         array_to_string(
-           list_transform(range(1, len(word) + 1), i ->
-             word[i:i]), ' ') AS rep, freq
-  FROM w
-)"""]
-    for k in range(1, n_merges + 1):
-        parts.append(f""",
-xs{k} AS MATERIALIZED (
-  SELECT wid, freq, t.i::BIGINT AS i, q.syms[t.i] AS sym
-  FROM (SELECT wid, freq, string_split(rep, ' ') AS syms FROM r{k-1}) q,
-       unnest(range(1, len(q.syms) + 1)) AS t(i)
-),
-xt{k} AS MATERIALIZED (
-  SELECT wid, freq, i, sym,
-         lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
-  FROM xs{k}
-),
-p{k} AS MATERIALIZED (
-  SELECT sym || ' ' || nxt AS pair, sum(freq)::BIGINT AS n
-  FROM xt{k} WHERE nxt IS NOT NULL GROUP BY 1
-),
-b{k} AS MATERIALIZED (
-  SELECT pair, string_split(pair, ' ')[1] AS l,
-         string_split(pair, ' ')[2] AS r,
-         replace(pair, ' ', '') AS m, n
-  FROM p{k} ORDER BY n DESC, pair LIMIT 1
-),
-xm{k} AS MATERIALIZED (
-  SELECT wid, i FROM xt{k}
-  WHERE sym = (SELECT l FROM b{k}) AND nxt = (SELECT r FROM b{k})
-),
-xk{k} AS MATERIALIZED (
-  SELECT wid, i FROM (
-    SELECT wid, i, min(i) OVER (PARTITION BY wid, grp) AS gmin
-    FROM (SELECT wid, i,
-                 i - row_number() OVER (PARTITION BY wid ORDER BY i) AS grp
-          FROM xm{k})
-  ) WHERE (i - gmin) % 2 = 0
-),
-r{k} AS MATERIALIZED (
-  SELECT s.wid, any_value(s.freq) AS freq,
-         coalesce(string_agg(
-           CASE WHEN kk.i IS NOT NULL THEN (SELECT m FROM b{k})
-                ELSE s.sym END, ' ' ORDER BY s.i), '') AS rep
-  FROM xt{k} s
-  LEFT JOIN xk{k} kk ON kk.wid = s.wid AND kk.i = s.i
-  WHERE NOT EXISTS (SELECT 1 FROM xk{k} kp
-                    WHERE kp.wid = s.wid AND kp.i = s.i - 1)
-  GROUP BY s.wid
-)""")
-    return "".join(parts)
-
-
-def _bpe_sql(n_merges: int = 5) -> str:
-    """Unrolled SQL mirror of bpe_train: per step, bigram pair counts
-    over the exploded symbol table, argmax (n DESC, pair ASC), exact
-    left-to-right symbol-scan merge (islands-parity; see _bpe_ctes)."""
-    finals = [
-        f"SELECT {k}::BIGINT AS step, l AS l_sym, r AS r_sym, n FROM b{k}"
-        for k in range(1, n_merges + 1)
-    ]
-    return ("WITH " + _bpe_ctes(n_merges) + "\n"
-            + "\nUNION ALL\n".join(finals))
-
-
-def _bpe_apply_sql(n_merges: int = 5) -> str:
-    """Oracle for bpe_apply_counts: re-derive the merges (shared CTEs),
-    then chain the SAME exact symbol-scan merges over every word of
-    every doc and count subword symbols. Each a{k} step mirrors
-    functions/bpe.merge_rep via the islands-parity rule (greedy
-    left-to-right = keep even offsets within runs of consecutive match
-    positions; a skipped match is exactly one that overlaps the
-    previous kept one)."""
-    steps = []
-    for k in range(1, n_merges + 1):
-        steps.append(f""",
-ds{k} AS MATERIALIZED (
-  SELECT doc_id, wid, t.i::BIGINT AS i, q.syms[t.i] AS sym
-  FROM (SELECT doc_id, wid, string_split(rep, ' ') AS syms
-        FROM a{k-1}) q,
-       unnest(range(1, len(q.syms) + 1)) AS t(i)
-),
-dt{k} AS MATERIALIZED (
-  SELECT doc_id, wid, i, sym,
-         lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY i) AS nxt
-  FROM ds{k}
-),
-dm{k} AS MATERIALIZED (
-  SELECT doc_id, wid, i FROM dt{k}
-  WHERE sym = (SELECT l FROM b{k}) AND nxt = (SELECT r FROM b{k})
-),
-dk{k} AS MATERIALIZED (
-  SELECT doc_id, wid, i FROM (
-    SELECT doc_id, wid, i,
-           min(i) OVER (PARTITION BY doc_id, wid, grp) AS gmin
-    FROM (SELECT doc_id, wid, i,
-                 i - row_number() OVER (PARTITION BY doc_id, wid
-                                        ORDER BY i) AS grp
-          FROM dm{k})
-  ) WHERE (i - gmin) % 2 = 0
-),
-a{k} AS MATERIALIZED (
-  SELECT s.doc_id, s.wid,
-         coalesce(string_agg(
-           CASE WHEN kk.i IS NOT NULL THEN (SELECT m FROM b{k})
-                ELSE s.sym END, ' ' ORDER BY s.i), '') AS rep
-  FROM dt{k} s
-  LEFT JOIN dk{k} kk
-    ON kk.doc_id = s.doc_id AND kk.wid = s.wid AND kk.i = s.i
-  WHERE NOT EXISTS (SELECT 1 FROM dk{k} kp
-                    WHERE kp.doc_id = s.doc_id AND kp.wid = s.wid
-                      AND kp.i = s.i - 1)
-  GROUP BY s.doc_id, s.wid
-)""")
-    return ("WITH " + _bpe_ctes(n_merges) + """,
-d0 AS MATERIALIZED (
-  SELECT doc_id, q.ws[t.wid] AS word, t.wid::BIGINT AS wid FROM (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents) q,
-    unnest(range(1, len(q.ws) + 1)) AS t(wid)
-),
-a0 AS MATERIALIZED (
-  SELECT doc_id, wid, array_to_string(
-    list_transform(range(1, len(word) + 1), i -> word[i:i]), ' ') AS rep
-  FROM d0
-)""" + "".join(steps) + f"""
-SELECT doc_id, sum(len(string_split(rep, ' ')))::BIGINT AS n_subwords
-FROM a{n_merges} GROUP BY doc_id
-""")
-
-
-_SQL_BPE_MERGES = _bpe_sql(5)
-_SQL_BPE_APPLY = _bpe_apply_sql(5)
-
-
-def q_bpe_apply_counts(sf_dir: str):
-    """Tokenizer train -> apply loop closure: learn 5 merges
-    (functions/bpe.bpe_train), broadcast them into a pure map-side
-    apply, count subword tokens per document
-    (functions/bpe.bpe_apply_counts). The oracle re-derives the merges
-    and chains the identical replaces in SQL."""
-    from webextract.functions.bpe import bpe_apply_counts, bpe_train
-
-    merges_tbl = bpe_train(_docs(sf_dir, ["text"]), n_merges=5)
-    merges = list(zip(merges_tbl.column("l_sym").to_pylist(),
-                      merges_tbl.column("r_sym").to_pylist()))
-    return bpe_apply_counts(_docs(sf_dir, ["doc_id", "text"]), merges)
-
-
-def q_lang_word_simpson(sf_dir: str):
-    """Simpson concentration index per language in EXACT integer
-    arithmetic: numerator sum_w n_w*(n_w-1), denominator N*(N-1) — the
-    repeated-draw collision probability, the corpus-diversity
-    profile. (lang, word) counts keys-only, the quadratic terms fold
-    per lang; no division emitted, so no float anywhere."""
-    from ray.data.aggregate import Count, Sum
-
-    def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            ws = t.split(" ")
-            langs.extend([lg] * len(ws))
-            words.extend(ws)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
-        })
-
-    counts = (
-        _docs(sf_dir, ["lang", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["lang", "word"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n"})
-    )
-
-    def quad(b: pa.Table) -> pa.Table:
-        n = b.column("n")
-        return pa.table({
-            "lang": b.column("lang"),
-            "q": pc.multiply(n, pc.subtract(n, 1)),
-            "n": n,
-        })
-
-    return (
-        counts.map_batches(quad, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Sum("q", alias_name="simpson_num"),
-            Sum("n", alias_name="n_tokens"),
-        )
-    )
-
-
-_SQL_LANG_WORD_SIMPSON = """
-WITH c AS (
-  SELECT lang, word, count(*)::BIGINT AS n FROM (
-    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
-  ) GROUP BY lang, word
-)
-SELECT lang, sum(n * (n - 1))::BIGINT AS simpson_num,
-       sum(n)::BIGINT AS n_tokens
-FROM c GROUP BY lang
-"""
-
-
-def q_host_doc_gini(sf_dir: str):
-    """Gini concentration of documents across hosts — THE skew metric
-    the salted repartition defends against — in exact integer
-    arithmetic: with per-host counts x_1<=...<=x_n (ties broken by
-    host), G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)); numerator
-    and denominator are emitted as BIGINTs. Host counts fold keys-only
-    (bounded by |hosts|); the rank formula runs on that 95-row table."""
-    from ray.data.aggregate import Count
-
-    from webextract.sources.pages import pages_from_documents
-
-    def host(b: pa.Table) -> pa.Table:
-        urls = b.column("url").to_pylist()
-        hs = [int(u.split("//", 1)[1].split(".", 1)[0][4:]) for u in urls]
-        return pa.table({"host": pa.array(hs, type=pa.int64())})
-
-    counts = (
-        pages_from_documents(sf_dir)
-        .map_batches(host, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Count())
-        .take_all()
-    )
-    xs = sorted((int(r["count()"]), int(r["host"])) for r in counts)
-    n = len(xs)
-    total = sum(x for x, _ in xs)
-    num = 2 * sum(i * x for i, (x, _) in enumerate(xs, 1)) \
-        - (n + 1) * total
-    return pa.table({
-        "n_hosts": pa.array([n], type=pa.int64()),
-        "gini_num": pa.array([num], type=pa.int64()),
-        "gini_den": pa.array([n * total], type=pa.int64()),
-    })
-
-
-_SQL_HOST_DOC_GINI = (
-    "WITH " + _splitmix_cte_sql() + """,
-c AS (SELECT host, count(*)::BIGINT AS x FROM hosts GROUP BY host),
-r AS (SELECT x, row_number() OVER (ORDER BY x, host) AS i FROM c),
-t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
-             sum(i * x)::BIGINT AS ix FROM r)
-SELECT n AS n_hosts, (2 * ix - (n + 1) * s)::BIGINT AS gini_num,
-       (n * s)::BIGINT AS gini_den
-FROM t
-"""
-)
-
-
-def q_doc_dup_ngram_share(sf_dir: str):
-    """Per-document duplication exposure: how many of a doc's distinct
-    5-grams also appear in at least one OTHER document — the
-    exact-substring contamination score dedup pipelines threshold on.
-    Shape: distinct (ngram, doc) explode map-side; ngram doc-frequency
-    keys-only; dup flag joins back by ngram (keys + doc_id only); per-
-    doc counts. Integer outputs only."""
-    from ray.data.aggregate import Count, Sum
-
-    from webextract.functions.joins import hash_join
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids: list = []
-        grams: list = []
-        for did, t in zip(b.column("doc_id").to_pylist(),
-                          b.column("text").to_pylist()):
-            words = t.split(" ")
-            seen = set()
-            for i in range(max(0, len(words) - 4)):
-                seen.add(" ".join(words[i:i + 5]))
-            ids.extend([did] * len(seen))
-            grams.extend(seen)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "ngram": pa.array(grams, type=pa.string()),
-        })
-
-    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow")
-    df = (
-        pairs.groupby("ngram")
-        .aggregate(Count())
-        .rename_columns({"count()": "df"})
-        .filter(expr="df >= 2")
-        .select_columns(["ngram"])
-    )
-    ps = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
-    ns = pa.schema([("ngram", pa.string())])
-    dup = hash_join(pairs, df, on="ngram", how="semi",
-                    left_schema=ps, right_schema=ns)
-    dup_counts = (
-        dup.groupby("doc_id")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_dup"})
-    )
-    totals = (
-        pairs.groupby("doc_id")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_ngrams"})
-    )
-    return hash_join(
-        totals, dup_counts, on="doc_id", how="left",
-        left_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_ngrams", pa.int64())]),
-        right_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_dup", pa.int64())]),
-    ).map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("n_dup"), "n_dup",
-            pc.coalesce(b.column("n_dup"), pa.scalar(0, type=pa.int64()))),
-        batch_format="pyarrow",
-    )
-
-
-_SQL_DOC_DUP_NGRAM_SHARE = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-g AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i+1:i+5], ' ') AS ngram
-  FROM w, unnest(range(0, greatest(len(words)-4, 0))) AS t(i)
-),
-d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) >= 2)
-SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
-       count(*) FILTER (g.ngram IN (SELECT ngram FROM d))::BIGINT AS n_dup
-FROM g GROUP BY g.doc_id
-"""
-
-
-def q_nation_region_cross(sf_dir: str):
-    """CROSS join (bounded small side): every nation x region pair with
-    an is_home flag — the enumeration shape for calendar/category
-    scaffolds. The 5-row region side is broadcast by value into the
-    nation scan; each input row fans out |regions| output rows
-    map-side, no shuffle."""
-    import ray.data
-
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    rks = region.column("r_regionkey").to_pylist()
-    rns = region.column("r_name").to_pylist()
-
-    def cross(b: pa.Table) -> pa.Table:
-        nk = b.column("n_nationkey").to_pylist()
-        nrk = b.column("n_regionkey").to_pylist()
-        out_nk: list = []
-        out_rn: list = []
-        flags: list = []
-        for k, hr in zip(nk, nrk):
-            for rk, rn in zip(rks, rns):
-                out_nk.append(int(k))
-                out_rn.append(rn)
-                flags.append(1 if rk == hr else 0)
-        return pa.table({
-            "n_nationkey": pa.array(out_nk, type=pa.int64()),
-            "r_name": pa.array(out_rn, type=pa.string()),
-            "is_home": pa.array(flags, type=pa.int64()),
-        })
-
-    return ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    ).map_batches(cross, batch_format="pyarrow")
-
-
-_SQL_NATION_REGION_CROSS = """
-SELECT n_nationkey::BIGINT AS n_nationkey, r_name,
-       (n_regionkey = r_regionkey)::BIGINT AS is_home
-FROM nation CROSS JOIN region
-"""
-
-
-def q_key_overlap_profile(sf_dir: str):
-    """Set-membership profile of two key universes (customer vs
-    supplier keys): counts in both / customer-only / supplier-only —
-    a FULL-OUTER key classification folded to three rows; distinct
-    keys only ever cross the exchange."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from webextract.functions.joins import hash_join
-
-    cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-        )
-        .rename_columns({"c_custkey": "k"})
-        .groupby("k").aggregate(Count()).select_columns(["k"])
-    )
-    supp = (
-        ray.data.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
-        )
-        .rename_columns({"s_suppkey": "k"})
-        .groupby("k").aggregate(Count()).select_columns(["k"])
-    )
-    ks = pa.schema([("k", pa.int64())])
-    both = hash_join(cust, supp, on="k", how="semi",
-                     left_schema=ks, right_schema=ks).count()
-    conly = hash_join(cust, supp, on="k", how="anti",
-                      left_schema=ks, right_schema=ks).count()
-    sonly = hash_join(supp, cust, on="k", how="anti",
-                      left_schema=ks, right_schema=ks).count()
-    return pa.table({
-        "membership": pa.array(["both", "customer_only", "supplier_only"],
-                               type=pa.string()),
-        "n_keys": pa.array([int(both), int(conly), int(sonly)],
-                           type=pa.int64()),
-    })
-
-
-_SQL_KEY_OVERLAP_PROFILE = """
-WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
-s AS (SELECT DISTINCT s_suppkey AS k FROM supplier)
-SELECT 'both' AS membership,
-       (SELECT count(*) FROM c WHERE k IN (SELECT k FROM s))::BIGINT
-         AS n_keys
-UNION ALL
-SELECT 'customer_only',
-       (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM s))::BIGINT
-UNION ALL
-SELECT 'supplier_only',
-       (SELECT count(*) FROM s WHERE k NOT IN (SELECT k FROM c))::BIGINT
-"""
-
-
-def q_interleave_positions(sf_dir: str):
-    """Fair training-mix interleave: round-robin positions across
-    languages (pos = per-lang rank * n_langs + lang index) — every
-    language appears once per cycle regardless of size, the data-mixing
-    schedule multi-source LLM training uses. Per-lang ranks come from
-    the bucketed distributed prefix sum (functions/window.running_agg —
-    hot-key safe); the 5-entry lang index broadcasts as a literal."""
-    import ray
-    from ray.data.aggregate import Count
-
-    from webextract.functions.window import running_agg
-
-    langs = sorted(
-        r["lang"]
-        for r in _docs(sf_dir, ["lang"]).groupby("lang")
-        .aggregate(Count()).take_all()
-    )
-    idx = {lg: i for i, lg in enumerate(langs)}
-    k = len(langs)
-    ref = ray.put(idx)
-
-    ra = running_agg(
-        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
-        by="lang", order="doc_id", val="n_chars",
-    )
-
-    def pos(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        lgs = b.column("lang").to_pylist()
-        rn = b.column("rn").to_numpy(zero_copy_only=False)
-        p = (rn - 1) * k + np.array([m[lg] for lg in lgs], dtype=np.int64)
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "lang": b.column("lang"),
-            "pos": pa.array(p, type=pa.int64()),
-        })
-
-    return ra.map_batches(pos, batch_format="pyarrow")
-
-
-_SQL_INTERLEAVE_POSITIONS = """
-WITH n AS (SELECT count(DISTINCT lang)::BIGINT AS k FROM documents)
-SELECT doc_id, lang,
-       ((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) * n.k
-        + (dense_rank() OVER (ORDER BY lang) - 1))::BIGINT AS pos
-FROM documents, n
-"""
-
-
-def q_top_docs_page2(sf_dir: str):
-    """LIMIT/OFFSET pagination: ranks 21-40 by length (n_chars DESC,
-    doc_id ASC — total order). The engine fetches the bounded top-40
-    (k rows per block through the exchange, the partial-top-k shape)
-    and slices the page driver-side; OFFSET never needs more than
-    offset+limit rows to materialize."""
-    top = (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(40)
-        .take_all()
-    )
-    page = top[20:40]
-    return pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in page], type=pa.int64()),
-        "n_chars": pa.array([r["n_chars"] for r in page], type=pa.int64()),
-    })
-
-
-_SQL_TOP_DOCS_PAGE2 = """
-SELECT doc_id, n_chars FROM documents
-ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20
-"""
-
-
-def q_corpus_report(sf_dir: str):
-    """One-stop corpus health report (the run-summary a 100 TB job
-    prints): row-class counts (corrupt / pdf / multi-column layouts),
-    char totals, and distinct-language/source/vocabulary cardinalities
-    — one flag-fold scan plus three keys-only distinct counts, folded
-    to a fixed (metric, value) table."""
-    from ray.data.aggregate import Count, Sum
-
-    def flags(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        corrupt = (ids % 50 == 7)
-        pdf = (ids % 25 == 3) & ~corrupt
-        two = (ids % 17 == 5) & ~(ids % 25 == 3)
-        three = (ids % 19 == 11) & ~(ids % 25 == 3) & ~(ids % 17 == 5)
-        return pa.table({
-            "corrupt": pa.array(corrupt.astype("int64")),
-            "pdf": pa.array(pdf.astype("int64")),
-            "twocol": pa.array(two.astype("int64")),
-            "threecol": pa.array(three.astype("int64")),
-            "n_chars": b.column("n_chars"),
-        })
-
-    agg = (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .map_batches(flags, batch_format="pyarrow")
-        .aggregate(Count(), Sum("corrupt"), Sum("pdf"), Sum("twocol"),
-                   Sum("threecol"), Sum("n_chars"))
-    )
-
-    def distinct(col):
-        from ray.data.aggregate import Count as C
-
-        return int(
-            _docs(sf_dir, [col]).groupby(col).aggregate(C()).count()
-        )
-
-    from webextract.functions.ngrams import word_doc_pairs_batch
-
-    vocab = int(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(word_doc_pairs_batch, batch_format="pyarrow")
-        .groupby("word").aggregate(Count()).count()
-    )
-    rows = [
-        ("n_docs", int(agg["count()"])),
-        ("n_corrupt", int(agg["sum(corrupt)"])),
-        ("n_pdf", int(agg["sum(pdf)"])),
-        ("n_twocol", int(agg["sum(twocol)"])),
-        ("n_threecol", int(agg["sum(threecol)"])),
-        ("total_chars", int(agg["sum(n_chars)"])),
-        ("n_langs", distinct("lang")),
-        ("n_sources", distinct("source")),
-        ("vocab_size", vocab),
-    ]
-    return pa.table({
-        "metric": pa.array([r[0] for r in rows], type=pa.string()),
-        "value": pa.array([r[1] for r in rows], type=pa.int64()),
-    })
-
-
-_SQL_CORPUS_REPORT = """
-SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
-UNION ALL
-SELECT 'n_corrupt', count(*) FILTER (doc_id % 50 = 7)::BIGINT
-FROM documents
-UNION ALL
-SELECT 'n_pdf',
-       count(*) FILTER (doc_id % 25 = 3 AND doc_id % 50 <> 7)::BIGINT
-FROM documents
-UNION ALL
-SELECT 'n_twocol',
-       count(*) FILTER (doc_id % 17 = 5 AND doc_id % 25 <> 3)::BIGINT
-FROM documents
-UNION ALL
-SELECT 'n_threecol',
-       count(*) FILTER (doc_id % 19 = 11 AND doc_id % 25 <> 3
-                        AND doc_id % 17 <> 5)::BIGINT
-FROM documents
-UNION ALL
-SELECT 'total_chars', sum(n_chars)::BIGINT FROM documents
-UNION ALL
-SELECT 'n_langs', count(DISTINCT lang)::BIGINT FROM documents
-UNION ALL
-SELECT 'n_sources', count(DISTINCT source)::BIGINT FROM documents
-UNION ALL
-SELECT 'vocab_size', count(DISTINCT word)::BIGINT FROM (
-  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-)
-"""
-
-
-def q_user_median_gap(sf_dir: str):
-    """Per-user MEDIAN inter-event gap in whole seconds (quantile_disc
-    convention, rank ceil(n/2)-1): gaps computed by one vectorized
-    sort+diff per group — group size bounded by per-key activity, the
-    sessionize contract. Users with a single event drop (no gap),
-    matching the SQL lag filter."""
-    import ray.data
-
-    def us(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "ts_us": pc.cast(b.column("ts"), pa.int64()),
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    ).map_batches(us, batch_format="pyarrow")
-
-    out_schema = pa.schema([("user_id", pa.int64()),
-                            ("median_gap_s", pa.int64()),
-                            ("n_gaps", pa.int64())])
-
-    def med(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
-            return out_schema.empty_table()
-        import math
-
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        gaps = np.sort(np.diff(ts) // 1_000_000)
-        k = max(0, math.ceil(0.5 * len(gaps)) - 1)
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "median_gap_s": pa.array([int(gaps[k])], type=pa.int64()),
-            "n_gaps": pa.array([len(gaps)], type=pa.int64()),
-        }, schema=out_schema)
-
-    return ev.groupby("user_id").map_groups(med, batch_format="pyarrow")
-
-
-_SQL_USER_MEDIAN_GAP = """
-WITH l AS (
-  SELECT user_id,
-         date_diff('microsecond',
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                   ts) // 1000000 AS gap_s
-  FROM events
-)
-SELECT user_id, quantile_disc(gap_s, 0.5)::BIGINT AS median_gap_s,
-       count(*)::BIGINT AS n_gaps
-FROM l WHERE gap_s IS NOT NULL GROUP BY user_id
-"""
-
-
-def q_types_per_user_hist(sf_dir: str):
-    """Behavioral-diversity distribution: how many users touch k
-    distinct event types — two keys-only groupbys (distinct pairs,
-    per-user count, count-of-counts)."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
-    )
-    return (
-        ev.groupby(["user_id", "event_type"])
-        .aggregate(Count())
-        .groupby("user_id")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_types"})
-        .groupby("n_types")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_users"})
-    )
-
-
-_SQL_TYPES_PER_USER_HIST = """
-WITH u AS (
-  SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types
-  FROM events GROUP BY user_id
-)
-SELECT n_types, count(*)::BIGINT AS n_users FROM u GROUP BY n_types
-"""
-
-
-def q_doc_type_token(sf_dir: str):
-    """Type-token counts per document (the lexical-richness / TTR
-    inputs, kept as exact integers — the ratio is the caller's single
-    division): pure map-side, no shuffle."""
-
-    def tt(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        types: list = []
-        tokens: list = []
-        for t in b.column("text").to_pylist():
-            ws = t.split(" ")
-            tokens.append(len(ws))
-            types.append(len(set(ws)))
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "n_types": pa.array(types, type=pa.int64()),
-            "n_tokens": pa.array(tokens, type=pa.int64()),
-        })
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tt, batch_format="pyarrow"
-    )
-
-
-_SQL_DOC_TYPE_TOKEN = """
-SELECT doc_id,
-       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_types,
-       len(string_split(text, ' '))::BIGINT AS n_tokens
-FROM documents
-"""
-
-
-def q_cents_log2_hist(sf_dir: str):
-    """Log2-bucketed value histogram — the heavy-tail binning for money
-    / size columns, in EXACT integer arithmetic: bucket = bit_length(x)
-    - 1 (engine int.bit_length, oracle len(bin(x)) — no float log
-    anywhere). Map-side bucket, one keys-only groupby."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def bucket(b: pa.Table) -> pa.Table:
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        buckets = np.array([int(x).bit_length() - 1 if x > 0 else -1
-                            for x in c], dtype=np.int64)
-        return pa.table({
-            "log2_bucket": pa.array(buckets, type=pa.int64()),
-            "cents": pa.array(c, type=pa.int64()),
-        })
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["value"]
-    )
-    return (
-        ev.map_batches(bucket, batch_format="pyarrow")
-        .groupby("log2_bucket")
-        .aggregate(Count(), Sum("cents", alias_name="total_cents"))
-        .rename_columns({"count()": "n_events"})
-    )
-
-
-_SQL_CENTS_LOG2_HIST = """
-WITH c AS (
-  SELECT floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events
-)
-SELECT (CASE WHEN cents > 0 THEN len(bin(cents)) - 1
-             ELSE -1 END)::BIGINT AS log2_bucket,
-       count(*)::BIGINT AS n_events,
-       sum(cents)::BIGINT AS total_cents
-FROM c GROUP BY log2_bucket
-"""
-
-
-def q_disc_band_revenue(sf_dir: str):
-    """Revenue by discount band (5% buckets): band = floor(d * 20) —
-    identical IEEE multiply+floor both sides — with exact integer-cents
-    revenue per band."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def bands(b: pa.Table) -> pa.Table:
-        band = pc.cast(
-            pc.floor(pc.multiply(b.column("l_discount"), 20.0)), pa.int64()
-        )
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(1.0, b.column("l_discount")),
-        )
-        c = pc.cast(
-            pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
-        )
-        return pa.table({"band": band, "cents": c})
-
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_discount", "l_extendedprice"],
-    )
-    return (
-        li.map_batches(bands, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(Count(), Sum("cents", alias_name="revenue_cents"))
-        .rename_columns({"count()": "n_lines"})
-    )
-
-
-_SQL_DISC_BAND_REVENUE = """
-SELECT floor(l_discount * 20.0)::BIGINT AS band,
-       count(*)::BIGINT AS n_lines,
-       sum(floor(l_extendedprice * (1 - l_discount) * 100.0
-                 + 0.5)::BIGINT)::BIGINT AS revenue_cents
-FROM lineitem GROUP BY band
-"""
-
-
-def q_user_daily_dispersion(sf_dir: str):
-    """Burstiness inputs per user: over their active days, the count of
-    days plus sum and sum-of-squares of daily event counts — exact
-    integers (variance-to-mean is the caller's division). Two keys-only
-    groupbys: (user, day) counts, then per-user quadratic fold."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    def keyed(b: pa.Table) -> pa.Table:
-        ts_us = pc.cast(b.column("ts"), pa.int64())
-        day = pc.cast(
-            pc.divide(ts_us, pa.scalar(86_400_000_000, type=pa.int64())),
-            pa.int64(),
-        )
-        return pa.table({"user_id": b.column("user_id"), "day": day})
-
-    daily = (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-        )
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count())
-        .rename_columns({"count()": "c"})
-    )
-
-    def quad(b: pa.Table) -> pa.Table:
-        c = b.column("c")
-        return pa.table({
-            "user_id": b.column("user_id"),
-            "c": c,
-            "c2": pc.multiply(c, c),
-        })
-
-    return (
-        daily.map_batches(quad, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Count(),
-            Sum("c", alias_name="sum_c"),
-            Sum("c2", alias_name="sum_c2"),
-        )
-        .rename_columns({"count()": "n_days"})
-    )
-
-
-_SQL_USER_DAILY_DISPERSION = """
-WITH d AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         count(*)::BIGINT AS c
-  FROM events GROUP BY user_id, day
-)
-SELECT user_id, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS sum_c,
-       sum(c * c)::BIGINT AS sum_c2
-FROM d GROUP BY user_id
-"""
-
-
-def q_tax_disc_hist2d(sf_dir: str):
-    """Two-dimensional histogram: (tax band, discount band) cell counts
-    over lineitem — both bands exact floor(x*20) integer buckets,
-    one keys-only pair groupby."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    def bands(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "tax_band": pc.cast(
-                pc.floor(pc.multiply(b.column("l_tax"), 20.0)), pa.int64()),
-            "disc_band": pc.cast(
-                pc.floor(pc.multiply(b.column("l_discount"), 20.0)),
-                pa.int64()),
-        })
-
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_tax", "l_discount"]
-    )
-    return (
-        li.map_batches(bands, batch_format="pyarrow")
-        .groupby(["tax_band", "disc_band"])
-        .aggregate(Count())
-        .rename_columns({"count()": "n_lines"})
-    )
-
-
-_SQL_TAX_DISC_HIST2D = """
-SELECT floor(l_tax * 20.0)::BIGINT AS tax_band,
-       floor(l_discount * 20.0)::BIGINT AS disc_band,
-       count(*)::BIGINT AS n_lines
-FROM lineitem GROUP BY tax_band, disc_band
-"""
-
-
-def q_word_length_hist(sf_dir: str):
-    """Corpus-wide word-length distribution: explode map-side, one
-    keys-only groupby over ~a dozen length keys."""
-    from ray.data.aggregate import Count
-
-    def explode(b: pa.Table) -> pa.Table:
-        lens: list = []
-        for t in b.column("text").to_pylist():
-            lens.extend(len(w) for w in t.split(" "))
-        return pa.table({"wlen": pa.array(lens, type=pa.int64())})
-
-    return (
-        _docs(sf_dir, ["text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("wlen")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_words"})
-    )
-
-
-_SQL_WORD_LENGTH_HIST = """
-SELECT length(word)::BIGINT AS wlen, count(*)::BIGINT AS n_words
-FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-GROUP BY wlen
-"""
-
-
-def q_lang_xor_checksum(sf_dir: str):
-    """Per-group XOR checksum — a CUSTOM aggregate Ray doesn't ship:
-    per-batch partial XOR of 60-bit md5(text) prefixes per language
-    (the combiner), then a per-lang map_groups XOR of the partials.
-    Order-invariant by construction, so layout never matters; the
-    audit-grade drift detector per partition key."""
-    import hashlib
-
-    def partial(b: pa.Table) -> pa.Table:
-        acc: dict = {}
-        for lg, t in zip(b.column("lang").to_pylist(),
-                         b.column("text").to_pylist()):
-            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-            acc[lg] = acc.get(lg, 0) ^ h
-        langs = sorted(acc)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "x": pa.array([acc[lg] for lg in langs], type=pa.int64()),
-        })
-
-    out_schema = pa.schema([("lang", pa.string()),
-                            ("checksum", pa.int64())])
-
-    def fold(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        x = 0
-        for v in group.column("x").to_pylist():
-            x ^= int(v)
-        return pa.table({
-            "lang": group.column("lang").slice(0, 1),
-            "checksum": pa.array([x], type=pa.int64()),
-        }, schema=out_schema)
-
-    return (
-        _docs(sf_dir, ["lang", "text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(fold, batch_format="pyarrow")
-    )
-
-
-_SQL_LANG_XOR_CHECKSUM = """
-SELECT lang,
-       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)::BIGINT
-         AS checksum
-FROM documents GROUP BY lang
-"""
-
-
-def q_lines_per_order_hist(sf_dir: str):
-    """Lineitem fan-out distribution: histogram of lines per order —
-    two keys-only groupbys over the biggest table."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    per_order = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
-        )
-        .groupby("l_orderkey")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_lines"})
-    )
-    return (
-        per_order.groupby("n_lines")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_orders"})
-    )
-
-
-_SQL_LINES_PER_ORDER_HIST = """
-WITH o AS (
-  SELECT l_orderkey, count(*)::BIGINT AS n_lines
-  FROM lineitem GROUP BY l_orderkey
+from webextract.queries import *  # noqa: F401,F403
+from webextract.queries import (  # noqa: F401
+    entry,
+    oracle_sql,
+    queries,
 )
-SELECT n_lines, count(*)::BIGINT AS n_orders FROM o GROUP BY n_lines
-"""
-
-
-# --------------------------------------------------------------------------
-# Contract surface
-# --------------------------------------------------------------------------
-
-
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001 (Ray pre-initialised)."""
-    return q_extract_text("/root/testdata/sf0.001")
-
-
-def queries() -> dict[str, Callable[[str], Any]]:
-    return {
-        "extract_text": q_extract_text,
-        "extract_block_counts": q_extract_block_counts,
-        "training_prep": q_training_prep,
-        "verify_pass": q_verify_pass,
-        "doc_fingerprint": q_doc_fingerprint,
-        "quality_stats": q_quality_stats,
-        "token_stats_by_lang": q_token_stats_by_lang,
-        "lang_id": q_lang_id,
-        "bpe_token_counts": q_bpe_token_counts,
-        "quality_scores": q_quality_scores,
-        "pii_scan": q_pii_scan,
-        "dedup_exact": q_dedup_exact,
-        "dedup_events": q_dedup_events,
-        "minhash_signatures": q_minhash_signatures,
-        "neardup_pairs": q_neardup_pairs,
-        "neardup_pairs_exact": q_neardup_pairs_exact_cached,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_docs_rows": q_dedup_docs_rows,
-        "normalize_text": q_normalize_text,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "simhash": q_simhash,
-        "pricing_summary": q_pricing_summary,
-        "orders_by_segment": q_orders_by_segment,
-        "orders_customers_join": q_orders_customers_join,
-        "top_docs_by_len": q_top_docs_by_len,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "customers_no_orders": q_customers_no_orders,
-        "customers_with_orders": q_customers_with_orders,
-        "distinct_langs": q_distinct_langs,
-        "top_words": q_top_words,
-        "approx_distinct_users": q_approx_distinct_users,
-        "events_window": q_events_window,
-        "events_sliding_window": q_events_sliding_window,
-        "pii_recall": q_pii_recall,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "chunk_documents": q_chunk_documents,
-        "sessionize": q_sessionize,
-        "entity_spans": q_entity_spans,
-        "entity_relations": q_entity_relations,
-        "seq_decode": q_seq_decode,
-        "repetition_stats": q_repetition_stats,
-        "paragraph_dedup": q_paragraph_dedup,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "host_quota": q_host_quota,
-        "events_asof": q_events_asof,
-        "events_interval": q_events_interval,
-        "tfidf_topk": q_tfidf_topk,
-        "table_extract": q_table_extract,
-        "table_cell_match": q_table_cell_match,
-        "similarity_topk": q_similarity_topk,
-        "similarity_topk_lsh": q_similarity_topk_lsh,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "url_canonical": q_url_canonical,
-        "url_dedup": q_url_dedup,
-        "lm_scores": q_lm_scores,
-        "events_lag": q_events_lag,
-        "cms_word_counts": q_cms_word_counts,
-        "extract_links": q_extract_links,
-        "host_degree": q_host_degree,
-        "pagerank_hosts": q_pagerank_hosts,
-        "docs_running": q_docs_running,
-        "docs_rollup": q_docs_rollup,
-        "lang_source_pivot": q_lang_source_pivot,
-        "doc_length_quantiles_by_lang": q_doc_length_quantiles_by_lang,
-        "events_funnel": q_events_funnel,
-        "orders_customers_left": q_orders_customers_left,
-        "orders_customers_salted": q_orders_customers_salted,
-        "users_per_type": q_users_per_type,
-        "chars_moments_by_lang": q_chars_moments_by_lang,
-        "docs_collect_per_lang": q_docs_collect_per_lang,
-        "langs_src_intersect": q_langs_src_intersect,
-        "custkeys_except": q_custkeys_except,
-        "docs_sample_per_lang": q_docs_sample_per_lang,
-        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
-        "orders_customers_full": q_orders_customers_full,
-        "docs_cube": q_docs_cube,
-        "doc_length_quantiles_cont": q_doc_length_quantiles_cont,
-        "orders_customers_right": q_orders_customers_right,
-        "docs_rank_per_lang": q_docs_rank_per_lang,
-        "kmeans_clusters": q_kmeans_clusters,
-        "neardup_keep": q_neardup_keep,
-        "pack_docs": q_pack_docs,
-        "top_words_per_lang": q_top_words_per_lang,
-        "training_mix": q_training_mix,
-        "semdedup_pairs": q_semdedup_pairs,
-        "events_lead": q_events_lead,
-        "first_event_per_user": q_first_event_per_user,
-        "chars_words_corr": q_chars_words_corr,
-        "table_checksum": q_table_checksum,
-        "orders_bloom_semi": q_orders_bloom_semi,
-        "host_triangles": q_host_triangles,
-        "events_ffill": q_events_ffill,
-        "pii_extract": q_pii_extract,
-        "docs_pct_rank_per_lang": q_docs_pct_rank_per_lang,
-        "first_event_by_type": q_first_event_by_type,
-        "approx_users_per_type": q_approx_users_per_type,
-        "winsorized_lengths": q_winsorized_lengths,
-        "ssjoin_pairs": q_ssjoin_pairs,
-        "events_rolling": q_events_rolling,
-        "dup_profile": q_dup_profile,
-        "table_profile": q_table_profile,
-        "vocab_ids": q_vocab_ids,
-        "docs_token_ids": q_docs_token_ids,
-        "docs_zscore_per_lang": q_docs_zscore_per_lang,
-        "event_transitions": q_event_transitions,
-        "user_retention": q_user_retention,
-        "cluster_size_profile": q_cluster_size_profile,
-        "host_degree_profile": q_host_degree_profile,
-        "docs_linreg_per_lang": q_docs_linreg_per_lang,
-        "join_size_est": q_join_size_est,
-        "dataset_split": q_dataset_split,
-        "crossdoc_ngrams": q_crossdoc_ngrams,
-        "c4_line_filter": q_c4_line_filter,
-        "revenue_by_nation": q_revenue_by_nation,
-        "word_postings": q_word_postings,
-        "train_shuffle": q_train_shuffle,
-        "anchor_terms": q_anchor_terms,
-        "word_cooccurrence": q_word_cooccurrence,
-        "event_type_pairs": q_event_type_pairs,
-        "length_band_filter": q_length_band_filter,
-        "json_props_stats": q_json_props_stats,
-        "top_orders_by_revenue": q_top_orders_by_revenue,
-        "monthly_revenue": q_monthly_revenue,
-        "supplier_balance_by_region": q_supplier_balance_by_region,
-        "brand_revenue": q_brand_revenue,
-        "vocab_by_lang": q_vocab_by_lang,
-        "lang_metrics_unpivot": q_lang_metrics_unpivot,
-        "events_conditional_agg": q_events_conditional_agg,
-        "docs_mad_per_lang": q_docs_mad_per_lang,
-        "user_span": q_user_span,
-        "promo_share_monthly": q_promo_share_monthly,
-        "new_users_cohort": q_new_users_cohort,
-        "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
-        "span_corruption": q_span_corruption,
-        "length_histogram": q_length_histogram,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "event_gap_histogram": q_event_gap_histogram,
-        "order_status_monthly": q_order_status_monthly,
-        "top_event_per_user_day": q_top_event_per_user_day,
-        "dq_audit": q_dq_audit,
-        "source_share": q_source_share,
-        "events_dau": q_events_dau,
-        "events_hour_profile": q_events_hour_profile,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "merge_upsert": q_merge_upsert,
-        "latest_event_per_user": q_latest_event_per_user,
-        "orders_per_customer_hist": q_orders_per_customer_hist,
-        "top_anchor_per_target": q_top_anchor_per_target,
-        "docs_above_lang_mean": q_docs_above_lang_mean,
-        "doc_top_word": q_doc_top_word,
-        "lineitem_quantity_mode": q_lineitem_quantity_mode,
-        "orders_above_cust_mean": q_orders_above_cust_mean,
-        "rare_words_by_lang": q_rare_words_by_lang,
-        "priority_share_by_status": q_priority_share_by_status,
-        "chars_per_token_hist": q_chars_per_token_hist,
-        "near_event_pairs": q_near_event_pairs,
-        "sources_in_all_langs": q_sources_in_all_langs,
-        "top_supplier_per_nation": q_top_supplier_per_nation,
-        "host_khop": q_host_khop,
-        "docs_longest_run": q_docs_longest_run,
-        "revenue_mom": q_revenue_mom,
-        "lang_flags": q_lang_flags,
-        "extract_text_pse": q_extract_text_pse,
-        "extract_text_east": q_extract_text_east,
-        "extract_text_staged": q_extract_text_staged,
-        "extract_text_tiered": q_extract_text_tiered,
-        "image_decode_stats": q_image_decode_stats,
-        "audio_decode_stats": q_audio_decode_stats,
-        "events_range_frame": q_events_range_frame,
-        "customer_rfm": q_customer_rfm,
-        "docs_pushdown_stats": q_docs_pushdown_stats,
-        "session_length_hist": q_session_length_hist,
-        "fk_orphans": q_fk_orphans,
-        "consistent_sample": q_consistent_sample,
-        "segment_avg_order": q_segment_avg_order,
-        "embedding_quantize_checksum": q_embedding_quantize_checksum,
-        "docs_grouping_sets": q_docs_grouping_sets,
-        "orders_priority_except_all": q_orders_priority_except_all,
-        "region_segment_matrix": q_region_segment_matrix,
-        "event_value_share": q_event_value_share,
-        "customers_all_filled": q_customers_all_filled,
-        "revenue_ma3": q_revenue_ma3,
-        "revenue_by_region": q_revenue_by_region,
-        "suppliers_above_nation_mean": q_suppliers_above_nation_mean,
-        "events_asof_fwd": q_events_asof_fwd,
-        "host_doc_stats": q_host_doc_stats,
-        "host_freshness": q_host_freshness,
-        "bpe_merges": q_bpe_merges,
-        "bpe_apply_counts": q_bpe_apply_counts,
-        "lang_word_simpson": q_lang_word_simpson,
-        "host_doc_gini": q_host_doc_gini,
-        "doc_dup_ngram_share": q_doc_dup_ngram_share,
-        "nation_region_cross": q_nation_region_cross,
-        "key_overlap_profile": q_key_overlap_profile,
-        "interleave_positions": q_interleave_positions,
-        "top_docs_page2": q_top_docs_page2,
-        "corpus_report": q_corpus_report,
-        "user_median_gap": q_user_median_gap,
-        "types_per_user_hist": q_types_per_user_hist,
-        "doc_type_token": q_doc_type_token,
-        "cents_log2_hist": q_cents_log2_hist,
-        "disc_band_revenue": q_disc_band_revenue,
-        "user_daily_dispersion": q_user_daily_dispersion,
-        "tax_disc_hist2d": q_tax_disc_hist2d,
-        "word_length_hist": q_word_length_hist,
-        "lang_xor_checksum": q_lang_xor_checksum,
-        "lines_per_order_hist": q_lines_per_order_hist,
-        "doc_length_quantiles_by_lang_sketch":
-            q_doc_length_quantiles_by_lang_sketch,
-    }
 
+# Single-underscore helpers (e.g. ``_splitmix_cte_sql``, ``q_*`` siblings'
+# shared fixtures) are part of the historical surface too — star-import
+# skips them, so hoist everything the package defines.
+import webextract.queries as _queries_pkg
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "extract_text": _SQL_GOLD_TEXT,
-        "extract_block_counts": _SQL_BLOCK_COUNTS,
-        "training_prep": _SQL_TRAINING_PREP,
-        "verify_pass": _SQL_VERIFY_PASS,
-        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
-        "quality_stats": (
-            "SELECT doc_id, length(text) AS n_chars, "
-            "len(string_split(text, ' ')) AS n_tokens FROM documents"
-        ),
-        "token_stats_by_lang": (
-            "SELECT lang, count(*) AS n_docs, "
-            "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, "
-            "min(length(text)) AS min_chars, max(length(text)) AS max_chars "
-            "FROM documents GROUP BY lang"
-        ),
-        "pii_scan": (
-            "SELECT doc_id, 0::BIGINT AS n_pii FROM documents"
-        ),
-        "quality_scores": _SQL_QUALITY_SCORES,
-        "lang_id": _SQL_LANG_ID,
-        "bpe_token_counts": (
-            r"SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT "
-            "AS n_bpe_tokens FROM documents"
-        ),
-        "dedup_exact": (
-            "SELECT md5(text) AS fp, min(doc_id) AS doc_id "
-            "FROM documents GROUP BY md5(text)"
-        ),
-        "dedup_events": (
-            "SELECT user_id, event_type, min(event_id) AS event_id "
-            "FROM events GROUP BY user_id, event_type"
-        ),
-        "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, "
-            "round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order "
-            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
-        ),
-        "orders_by_segment": (
-            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
-            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
-        ),
-        "orders_customers_join": (
-            "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
-            "FROM orders JOIN customer ON o_custkey = c_custkey"
-        ),
-        "distinct_langs": "SELECT DISTINCT lang FROM documents",
-        "top_docs_per_lang": _SQL_TOP_PER_LANG,
-        "customers_no_orders": (
-            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
-            "(SELECT o_custkey FROM orders WHERE o_orderkey <= 1000)"
-        ),
-        "customers_with_orders": (
-            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
-            "(SELECT o_custkey FROM orders)"
-        ),
-        "events_sliding_window": _SQL_SLIDING,
-        "top_words": _SQL_TOP_WORDS,
-        "pii_recall": _SQL_PII_RECALL,
-        "doc_length_quantiles": _SQL_QUANTILES,
-        "top_docs_by_len": (
-            "SELECT doc_id, n_chars FROM documents "
-            "ORDER BY n_chars DESC, doc_id LIMIT 20"
-        ),
-        "events_window": (
-            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
-            "count(*) AS n_events, min(event_id) AS first_event, "
-            "max(event_id) AS last_event FROM events "
-            "GROUP BY event_type, date_trunc('hour', ts)"
-        ),
-        "neardup_pairs_exact": _SQL_NEARDUP_EXACT,
-        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
-        "dedup_docs_rows": _SQL_DEDUP_ROWS,
-        "normalize_text": _SQL_NORMALIZE,
-        "chunk_documents": _SQL_CHUNKS,
-        "sessionize": _SQL_SESSIONS,
-        "entity_spans": _SQL_ENTITY_SPANS,
-        "entity_relations": _SQL_ENTITY_RELATIONS,
-        "seq_decode": _SQL_SEQ_DECODE,
-        "repetition_stats": _SQL_REPETITION,
-        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
-        "decontaminate": _SQL_DECONTAMINATE,
-        "stratified_sample": _SQL_STRATIFIED,
-        "host_quota": _SQL_HOST_QUOTA,
-        "events_asof": _SQL_EVENTS_ASOF,
-        "events_interval": _SQL_EVENTS_INTERVAL,
-        "tfidf_topk": _SQL_TFIDF,
-        "table_extract": _SQL_TABLE_EXTRACT,
-        "table_cell_match": _SQL_CELL_MATCH,
-        "similarity_topk": (
-            "SELECT vec_id, round(list_cosine_similarity("
-            "embedding::DOUBLE[], "
-            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) "
-            "AS score FROM embeddings "
-            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], "
-            "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) "
-            "DESC, vec_id LIMIT 10"
-        ),
-        "url_canonical": _SQL_URL_CANON,
-        "url_dedup": _SQL_URL_DEDUP,
-        "lm_scores": _SQL_LM_SCORES,
-        "events_lag": _SQL_EVENTS_LAG,
-        "extract_links": _SQL_EXTRACT_LINKS,
-        "host_degree": _SQL_HOST_DEGREE,
-        "docs_running": _SQL_DOCS_RUNNING,
-        "docs_rollup": _SQL_DOCS_ROLLUP,
-        "lang_source_pivot": _SQL_LANG_SOURCE_PIVOT,
-        "doc_length_quantiles_by_lang": _SQL_QUANTILES_BY_LANG,
-        "events_funnel": _SQL_EVENTS_FUNNEL,
-        "orders_customers_left": _SQL_ORDERS_CUSTOMERS_LEFT,
-        "orders_customers_salted": (
-            "SELECT o_custkey AS c_custkey, o_orderkey, c_name "
-            "FROM orders JOIN customer ON o_custkey = c_custkey"
-        ),
-        "users_per_type": _SQL_USERS_PER_TYPE,
-        "chars_moments_by_lang": _SQL_CHARS_MOMENTS,
-        "docs_collect_per_lang": _SQL_COLLECT_PER_LANG,
-        "langs_src_intersect": _SQL_LANGS_INTERSECT,
-        "custkeys_except": _SQL_CUSTKEYS_EXCEPT,
-        "docs_sample_per_lang": _SQL_SAMPLE_PER_LANG,
-        "orders_customers_full": _SQL_ORDERS_CUSTOMERS_FULL,
-        "docs_cube": _SQL_DOCS_CUBE,
-        "doc_length_quantiles_cont": _SQL_QUANTILES_CONT,
-        "orders_customers_right": _SQL_ORDERS_CUSTOMERS_RIGHT,
-        "docs_rank_per_lang": _SQL_DOCS_RANK,
-        "neardup_keep": _SQL_NEARDUP_KEEP,
-        "pack_docs": _SQL_PACK_DOCS,
-        "top_words_per_lang": _SQL_TOP_WORDS_PER_LANG,
-        "training_mix": _SQL_TRAINING_MIX,
-        "events_lead": _SQL_EVENTS_LEAD,
-        "first_event_per_user": _SQL_FIRST_EVENT,
-        "chars_words_corr": _SQL_CHARS_WORDS_CORR,
-        "table_checksum": _SQL_TABLE_CHECKSUM,
-        "orders_bloom_semi": _SQL_ORDERS_BLOOM_SEMI,
-        "host_triangles": _SQL_HOST_TRIANGLES,
-        "events_ffill": _SQL_EVENTS_FFILL,
-        "pii_extract": _SQL_PII_EXTRACT,
-        "docs_pct_rank_per_lang": _SQL_DOCS_PCT_RANK,
-        "first_event_by_type": _SQL_FIRST_EVENT_BY_TYPE,
-        "winsorized_lengths": _SQL_WINSORIZED,
-        "ssjoin_pairs": _SQL_SSJOIN,
-        "events_rolling": _SQL_EVENTS_ROLLING,
-        "dup_profile": _SQL_DUP_PROFILE,
-        "table_profile": _SQL_TABLE_PROFILE,
-        "vocab_ids": _SQL_VOCAB_IDS,
-        "docs_token_ids": _SQL_DOCS_TOKEN_IDS,
-        "docs_zscore_per_lang": _SQL_DOCS_ZSCORE,
-        "event_transitions": _SQL_EVENT_TRANSITIONS,
-        "user_retention": _SQL_USER_RETENTION,
-        "cluster_size_profile": _SQL_CLUSTER_SIZE_PROFILE,
-        "host_degree_profile": _SQL_HOST_DEGREE_PROFILE,
-        "docs_linreg_per_lang": _SQL_DOCS_LINREG,
-        "dataset_split": _SQL_DATASET_SPLIT,
-        "crossdoc_ngrams": _SQL_CROSSDOC_NGRAMS,
-        "c4_line_filter": _SQL_C4_LINE_FILTER,
-        "revenue_by_nation": _SQL_REVENUE_BY_NATION,
-        "word_postings": _SQL_WORD_POSTINGS,
-        "train_shuffle": _SQL_TRAIN_SHUFFLE,
-        "anchor_terms": _SQL_ANCHOR_TERMS,
-        "word_cooccurrence": _SQL_WORD_COOCCURRENCE,
-        "event_type_pairs": _SQL_EVENT_TYPE_PAIRS,
-        "length_band_filter": _SQL_LENGTH_BAND_FILTER,
-        "json_props_stats": _SQL_JSON_PROPS_STATS,
-        "top_orders_by_revenue": _SQL_TOP_ORDERS_BY_REVENUE,
-        "monthly_revenue": _SQL_MONTHLY_REVENUE,
-        "supplier_balance_by_region": _SQL_SUPPLIER_BALANCE_BY_REGION,
-        "brand_revenue": _SQL_BRAND_REVENUE,
-        "vocab_by_lang": _SQL_VOCAB_BY_LANG,
-        "lang_metrics_unpivot": _SQL_LANG_METRICS_UNPIVOT,
-        "events_conditional_agg": _SQL_EVENTS_CONDITIONAL_AGG,
-        "docs_mad_per_lang": _SQL_DOCS_MAD_PER_LANG,
-        "user_span": _SQL_USER_SPAN,
-        "promo_share_monthly": _SQL_PROMO_SHARE_MONTHLY,
-        "new_users_cohort": _SQL_NEW_USERS_COHORT,
-        "vocab_fuzzy_pairs": _SQL_VOCAB_FUZZY_PAIRS,
-        "span_corruption": _SQL_SPAN_CORRUPTION,
-        "length_histogram": _SQL_LENGTH_HISTOGRAM,
-        "knn_label_accuracy": _SQL_KNN_LABEL_ACCURACY,
-        "event_gap_histogram": _SQL_EVENT_GAP_HISTOGRAM,
-        "order_status_monthly": _SQL_ORDER_STATUS_MONTHLY,
-        "top_event_per_user_day": _SQL_TOP_EVENT_PER_USER_DAY,
-        "dq_audit": _SQL_DQ_AUDIT,
-        "source_share": _SQL_SOURCE_SHARE,
-        "events_dau": _SQL_EVENTS_DAU,
-        "events_hour_profile": _SQL_EVENTS_HOUR_PROFILE,
-        "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
-        "merge_upsert": _SQL_MERGE_UPSERT,
-        "latest_event_per_user": _SQL_LATEST_EVENT_PER_USER,
-        "orders_per_customer_hist": _SQL_ORDERS_PER_CUSTOMER_HIST,
-        "top_anchor_per_target": _SQL_TOP_ANCHOR_PER_TARGET,
-        "docs_above_lang_mean": _SQL_DOCS_ABOVE_LANG_MEAN,
-        "doc_top_word": _SQL_DOC_TOP_WORD,
-        "lineitem_quantity_mode": _SQL_LINEITEM_QUANTITY_MODE,
-        "orders_above_cust_mean": _SQL_ORDERS_ABOVE_CUST_MEAN,
-        "rare_words_by_lang": _SQL_RARE_WORDS_BY_LANG,
-        "priority_share_by_status": _SQL_PRIORITY_SHARE_BY_STATUS,
-        "chars_per_token_hist": _SQL_CHARS_PER_TOKEN_HIST,
-        "near_event_pairs": _SQL_NEAR_EVENT_PAIRS,
-        "sources_in_all_langs": _SQL_SOURCES_IN_ALL_LANGS,
-        "top_supplier_per_nation": _SQL_TOP_SUPPLIER_PER_NATION,
-        "host_khop": _SQL_HOST_KHOP,
-        "docs_longest_run": _SQL_DOCS_LONGEST_RUN,
-        "revenue_mom": _SQL_REVENUE_MOM,
-        "lang_flags": _SQL_LANG_FLAGS,
-        "extract_text_pse": _SQL_GOLD_TEXT_LINEAR,
-        "extract_text_east": _SQL_GOLD_TEXT_LINEAR,
-        "extract_text_staged": _SQL_GOLD_TEXT,
-        "extract_text_tiered": _SQL_GOLD_TEXT,
-        "image_decode_stats": _SQL_IMAGE_DECODE_STATS,
-        "audio_decode_stats": _SQL_AUDIO_DECODE_STATS,
-        "events_range_frame": _SQL_EVENTS_RANGE_FRAME,
-        "customer_rfm": _SQL_CUSTOMER_RFM,
-        "docs_pushdown_stats": _SQL_DOCS_PUSHDOWN_STATS,
-        "session_length_hist": _SQL_SESSION_LENGTH_HIST,
-        "fk_orphans": _SQL_FK_ORPHANS,
-        "consistent_sample": _SQL_CONSISTENT_SAMPLE,
-        "segment_avg_order": _SQL_SEGMENT_AVG_ORDER,
-        "embedding_quantize_checksum": _SQL_EMBEDDING_QUANTIZE_CHECKSUM,
-        "docs_grouping_sets": _SQL_DOCS_GROUPING_SETS,
-        "orders_priority_except_all": _SQL_ORDERS_PRIORITY_EXCEPT_ALL,
-        "region_segment_matrix": _SQL_REGION_SEGMENT_MATRIX,
-        "event_value_share": _SQL_EVENT_VALUE_SHARE,
-        "customers_all_filled": _SQL_CUSTOMERS_ALL_FILLED,
-        "revenue_ma3": _SQL_REVENUE_MA3,
-        "revenue_by_region": _SQL_REVENUE_BY_REGION,
-        "suppliers_above_nation_mean": _SQL_SUPPLIERS_ABOVE_NATION_MEAN,
-        "events_asof_fwd": _SQL_EVENTS_ASOF_FWD,
-        "host_doc_stats": _SQL_HOST_DOC_STATS,
-        "host_freshness": _SQL_HOST_FRESHNESS,
-        "bpe_merges": _SQL_BPE_MERGES,
-        "bpe_apply_counts": _SQL_BPE_APPLY,
-        "lang_word_simpson": _SQL_LANG_WORD_SIMPSON,
-        "host_doc_gini": _SQL_HOST_DOC_GINI,
-        "doc_dup_ngram_share": _SQL_DOC_DUP_NGRAM_SHARE,
-        "nation_region_cross": _SQL_NATION_REGION_CROSS,
-        "key_overlap_profile": _SQL_KEY_OVERLAP_PROFILE,
-        "interleave_positions": _SQL_INTERLEAVE_POSITIONS,
-        "top_docs_page2": _SQL_TOP_DOCS_PAGE2,
-        "corpus_report": _SQL_CORPUS_REPORT,
-        "user_median_gap": _SQL_USER_MEDIAN_GAP,
-        "types_per_user_hist": _SQL_TYPES_PER_USER_HIST,
-        "doc_type_token": _SQL_DOC_TYPE_TOKEN,
-        "cents_log2_hist": _SQL_CENTS_LOG2_HIST,
-        "disc_band_revenue": _SQL_DISC_BAND_REVENUE,
-        "user_daily_dispersion": _SQL_USER_DAILY_DISPERSION,
-        "tax_disc_hist2d": _SQL_TAX_DISC_HIST2D,
-        "word_length_hist": _SQL_WORD_LENGTH_HIST,
-        "lang_xor_checksum": _SQL_LANG_XOR_CHECKSUM,
-        "lines_per_order_hist": _SQL_LINES_PER_ORDER_HIST,
-        # approx_users_per_type: HLL estimate — approximate by design,
-        # rows-only (the exact mirror is users_per_type).
-        # minhash_signatures / neardup_pairs / simhash / rolling_fingerprint
-        # / similarity_topk_lsh / similarity_topk_ivf / embedding_neardup /
-        # cms_word_counts / pagerank_hosts / doc_length_quantiles_sketch:
-        # hash-internal or approximate
-        # (order-dependent float-sum) operators — not
-        # SQL-expressible; driver records the weaker rows-only check.
-    }
+for _name in dir(_queries_pkg):
+    if not _name.startswith("__"):
+        globals()[_name] = getattr(_queries_pkg, _name)
+del _name, _queries_pkg

@@ -113,13 +113,17 @@ def test_no_user_grade_driver_folds():
     one keyed exchange. Driver folds are allowed only for keys whose
     cardinality is bounded by construction (dims, langs, hosts, value
     histograms). Static source check: every groupby(...).take_all()
-    chain in __ray_entry__ must group by an allowlisted bounded key.
-    (No Ray involved.)"""
+    chain in the query modules (webextract/queries/, the split successor
+    of the old monolithic __ray_entry__.py) must group by an allowlisted
+    bounded key. (No Ray involved.)"""
     import re
     from pathlib import Path
 
-    src = Path(__file__).resolve().parent.parent / "__ray_entry__.py"
-    text = src.read_text()
+    root = Path(__file__).resolve().parent.parent
+    text = "\n\n".join(
+        p.read_text()
+        for p in sorted((root / "webextract" / "queries").glob("*.py"))
+    ) + "\n\n" + (root / "__ray_entry__.py").read_text()
     # bounded-by-construction keys (documented cardinality contracts)
     bounded = {
         "lang", "source", "month", "hour", "host", "n_chars", "word",

@@ -1,0 +1,1088 @@
+"""RIGHT join, rank windows, k-means, Bloom, corpus profiling (split from __ray_entry__.py).
+
+See webextract/queries/__init__.py for the assembled surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from webextract.queries._shared import _conc, _docs
+from webextract.queries.dedup import (
+    _SQL_NEARDUP_EXACT,
+    _neardup_pairs_exact_mat,
+    q_dedup_events,
+)
+
+
+# --------------------------------------------------------------------------
+# Round-3 batch 10: RIGHT join, rank/ntile windows, full-data k-means
+# --------------------------------------------------------------------------
+
+
+def q_orders_customers_right(sf_dir: str):
+    """RIGHT OUTER hash join (same planted misses as the FULL query):
+    customers with no order inside the o_orderkey <= 1000 cut survive
+    with NULL order payload; orders whose customer is outside the
+    c_custkey <= 500 cut are dropped (functions/joins.hash_join
+    how="right")."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey"])
+        .filter(expr="o_orderkey <= 1000")
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).filter(expr="c_custkey <= 500")
+    return hash_join(orders, cust, on="c_custkey", how="right")
+
+
+_SQL_ORDERS_CUSTOMERS_RIGHT = """
+SELECT c.c_custkey AS c_custkey, o.o_orderkey, c.c_name
+FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey <= 1000) o
+RIGHT JOIN
+     (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_docs_rank_per_lang(sf_dir: str):
+    """Per-language RANK / DENSE_RANK over doc length plus NTILE(4):
+    one-row-per-distinct-(lang, n_chars) histogram shuffle for the rank
+    bases, tie groups (never whole key partitions) for the row numbers
+    (functions/window.rank_agg)."""
+    from webextract.functions.window import rank_agg
+
+    return rank_agg(_docs(sf_dir, ["lang", "doc_id", "n_chars"]),
+                    by="lang", val="n_chars", tiebreak="doc_id", n_tiles=4)
+
+
+_SQL_DOCS_RANK = """
+SELECT lang, doc_id, n_chars,
+       RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS drnk,
+       NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+FROM documents
+"""
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full-data distributed k-means (k=10, 5 fixed Lloyd's passes, every
+    pass one map_batches + distributed Sum fold) over the embeddings
+    table; returns exactly k rows (cluster, n) — empty clusters report 0.
+    Iterative, not SQL-expressible -> rows-only at the driver
+    (functions/clustering.kmeans_fit/assign)."""
+    import ray.data
+
+    from webextract.functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    k = 10
+    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=k, n_iter=5)
+    asn = kmeans_assign(emb, cents, col="embedding", id_col="vec_id")
+    from ray.data.aggregate import Count
+
+    sizes = {int(r["cluster"]): int(r["count()"])
+             for r in asn.groupby("cluster").aggregate(Count()).take_all()}
+    return pa.table({
+        "cluster": pa.array(list(range(k)), type=pa.int64()),
+        "n": pa.array([sizes.get(c, 0) for c in range(k)], type=pa.int64()),
+    })
+
+
+_DOC_COL_TYPES = {"doc_id": pa.int64(), "lang": pa.string(),
+                  "source": pa.string(), "n_chars": pa.int64(),
+                  "text": pa.string()}
+
+
+def _neardup_survivors(sf_dir: str, columns: list):
+    """Docs (projected to `columns`) that survive near-dedup: connected
+    components of the exact-verified pair graph, losers (node !=
+    component) anti-joined out. Only the projected columns cross the
+    anti join's shuffle — at full scale you select keys + tiny metadata,
+    never text."""
+    from webextract.functions.graph import connected_components
+    from webextract.functions.joins import hash_join
+
+    pairs = _neardup_pairs_exact_mat(sf_dir)
+    comp = connected_components(pairs)  # (node, component)
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        keep = pc.not_equal(b.column("node"), b.column("component"))
+        return pa.table({"doc_id": b.column("node").filter(keep)})
+
+    losers = comp.map_batches(losers_only, batch_format="pyarrow")
+    docs = _docs(sf_dir, columns)
+    return hash_join(
+        docs, losers, on="doc_id", how="anti",
+        left_schema=pa.schema([(c, _DOC_COL_TYPES[c]) for c in columns]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
+def q_neardup_keep(sf_dir: str):
+    """END-TO-END near-dedup retention — the workflow a 100 TB dedup run
+    actually executes: LSH candidates -> exact-Jaccard verify -> connected
+    components -> keep the min-doc_id winner per cluster -> anti-join the
+    losers out of the corpus (`_neardup_survivors`)."""
+    return _neardup_survivors(sf_dir, ["doc_id", "lang"])
+
+
+_SQL_NEARDUP_KEEP = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+"""
+)
+
+
+def _assign_packs(ds, cap: int = 8192):
+    """(lang, doc_id, n_chars) -> + pack_id via the bucketed distributed
+    prefix sum: pack_id = (exclusive running char count) // cap per
+    language stream. One stateless map after running_agg."""
+    from webextract.functions.window import running_agg
+
+    ran = running_agg(ds, by="lang", order="doc_id", val="n_chars")
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "pack_id": pa.array([], type=pa.int64()),
+            })
+        run = b.column("running_n_chars")
+        tok = b.column("n_chars")
+        pack = pc.divide(pc.subtract(run, tok), pa.scalar(cap, pa.int64()))
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": b.column("doc_id"),
+            "n_chars": tok,
+            "pack_id": pack.cast(pa.int64()),
+        })
+
+    return ran.map_batches(assign, batch_format="pyarrow")
+
+
+def q_pack_docs(sf_dir: str):
+    """Training-batch LINEAR PACKING: assign each doc (ordered by doc_id
+    within its language stream) to a fixed-capacity pack by its
+    exclusive prefix sum. The prefix sum is the bucketed distributed
+    running_agg (no global sort, no per-key giant groups); the pack
+    assignment is one stateless map afterward. This is the first-pass
+    grouping of sample-packing/concat-and-chunk training prep."""
+    return _assign_packs(_docs(sf_dir, ["lang", "doc_id", "n_chars"]))
+
+
+_SQL_PACK_DOCS = """
+SELECT lang, doc_id, n_chars,
+       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+         - n_chars) // 8192)::BIGINT AS pack_id
+FROM documents
+"""
+
+
+def q_top_words_per_lang(sf_dir: str):
+    """EXACT per-language top-5 words: per-batch (lang, word) combiner
+    pre-aggregation (the shuffle moves one row per distinct pair per
+    block, never one per token), one keys-only groupby, then a per-lang
+    finish whose group size is bounded by the language's distinct
+    vocabulary. Ties break word-ascending (made total)."""
+    from ray.data.aggregate import Sum
+
+    def explode_count(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        langs = b.column("lang").combine_chunks()
+        reps = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat_words = words.flatten()
+        flat_langs = langs.take(
+            pa.array(np.repeat(np.arange(len(reps)), reps)))
+        t = pa.table({"lang": flat_langs, "word": flat_words})
+        return (t.group_by(["lang", "word"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "word", "n"]))
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def top5(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], type=pa.string()),
+                "word": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        cnt = np.asarray(group.column("cnt").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        words = group.column("word").to_pylist()
+        order = sorted(range(len(cnt)), key=lambda i: (-cnt[i], words[i]))[:5]
+        idx = pa.array(order, type=pa.int64())
+        return pa.table({
+            "lang": group.column("lang").take(idx),
+            "word": group.column("word").take(idx),
+            "cnt": group.column("cnt").cast(pa.int64()).take(idx),
+        })
+
+    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
+
+
+_SQL_TOP_WORDS_PER_LANG = """
+WITH c AS (
+  SELECT lang, word, count(*)::BIGINT AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY lang, word
+)
+SELECT lang, word, cnt FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY cnt DESC, word) <= 5
+"""
+
+
+def q_training_mix(sf_dir: str):
+    """HERO COMPOSITION — the dedup-then-pack manifest a training-data
+    run ships to the trainer: near-dedup survivors (`_neardup_survivors`:
+    LSH -> exact-Jaccard -> connected components -> anti-join losers)
+    flow straight into per-language linear packing (`_assign_packs`:
+    bucketed distributed prefix sums). Output: one row per surviving doc
+    with its (lang, pack_id) batch assignment. Every stage is the
+    already-oracle-green primitive; the SQL mirror composes the same
+    CTEs."""
+    survivors = _neardup_survivors(sf_dir, ["doc_id", "lang", "n_chars"])
+    return _assign_packs(survivors)
+
+
+_SQL_TRAINING_MIX = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+),
+survivors AS (
+  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+)
+SELECT lang, doc_id, n_chars,
+       ((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+         - n_chars) // 8192)::BIGINT AS pack_id
+FROM survivors
+"""
+)
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-style near-dup pairs: pairwise cosine computed ONLY
+    inside k-means clusters (candidate generation by semantic bucket —
+    functions/clustering.cluster_neardup). The driver's embeddings are
+    near-orthogonal (max off-diagonal cosine ~0.51, measured), so 0
+    pairs at tau=0.9 is the CORRECT answer — the planted-duplicate
+    pytest (test_clustering) pins the positive case. Iterative k-means
+    upstream -> rows-only at the driver."""
+    import ray.data
+
+    from webextract.functions.clustering import cluster_neardup, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=10, n_iter=3)
+    return cluster_neardup(emb, cents, col="embedding", id_col="vec_id",
+                           threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# Round-3 batch 12: lead/ffill windows, arg-min, bivariate corr, Bloom
+# semi join, triangle count, table checksum, PII extraction, percent_rank
+# --------------------------------------------------------------------------
+
+
+def _events_ts(sf_dir: str, extra_cols=()):
+    """events projected to int64 (user_id, ts_us, event_id [, extra])."""
+    import ray.data
+
+    cols = ["event_id", "ts", "user_id", *extra_cols]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def conv(b: pa.Table) -> pa.Table:
+        out = {
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+        }
+        for c in extra_cols:
+            out[c] = b.column(c)
+        return pa.table(out)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def q_events_lead(sf_dir: str):
+    """Per-user LEAD window (functions/temporal.key_lead): next event id
+    + time gap within each user, ordered (ts, event_id); last event per
+    user dropped so no nullable columns."""
+    from webextract.functions.temporal import key_lead
+
+    return key_lead(_events_ts(sf_dir), by="user_id", ts="ts_us",
+                    payload="event_id")
+
+
+_SQL_EVENTS_LEAD = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT user_id, ts_us, event_id,
+  lead(event_id) OVER w AS next_event_id,
+  lead(ts_us) OVER w - ts_us AS gap
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+QUALIFY next_event_id IS NOT NULL
+"""
+
+
+def q_first_event_per_user(sf_dir: str):
+    """Per-user ARG-MIN (functions/agg.first_by): the lexicographically
+    first (ts, event_id) row per user — SQL min_by / QUALIFY
+    row_number()=1. Combiner-first: one candidate per (key, block)
+    through the shuffle."""
+    from webextract.functions.agg import first_by
+
+    return first_by(_events_ts(sf_dir), by="user_id",
+                    order=["ts_us", "event_id"])
+
+
+_SQL_FIRST_EVENT = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) = 1
+"""
+
+
+def q_chars_words_corr(sf_dir: str):
+    """Per-language Pearson correlation + sample covariance between doc
+    char length and word count (functions/agg.corr_by) — five exact
+    int64 partial sums per group, one final double expression
+    (round-only-at-end; the SQL oracle is the same literal formula)."""
+    from webextract.functions.agg import corr_by
+
+    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def add_words(b: pa.Table) -> pa.Table:
+        nw = pc.add(pc.count_substring(b.column("text"), " "),
+                    1).cast(pa.int64())
+        return pa.table({"lang": b.column("lang"),
+                         "n_chars": b.column("n_chars"),
+                         "n_words": nw})
+
+    return corr_by(docs.map_batches(add_words, batch_format="pyarrow"),
+                   by="lang", x="n_chars", y="n_words")
+
+
+# len(string_split(text,' ')) == count(' ')+1 by the single-space corpus
+# contract; the final expressions are the SAME int64->double formula the
+# engine evaluates, so covar/corr are bit-identical.
+_SQL_CHARS_WORDS_CORR = """
+WITH m AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(string_split(text, ' '))::BIGINT AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+  FROM m GROUP BY lang
+)
+SELECT lang, n,
+  CASE WHEN n >= 2 THEN (n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE
+       END AS covar_samp,
+  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+    (n*sxy - sx*sy)::DOUBLE
+      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+  END AS corr
+FROM s
+"""
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-invariant whole-table fingerprint
+    (functions/checksum.table_checksum): one (count, Σ md5_number_lower
+    mod 2^63) pair over (doc_id, lang, text) — the 16-byte cross-cluster
+    verification handshake. Hash convention measured identical to DuckDB
+    md5_number_lower; see module docstring."""
+    from webextract.functions.checksum import table_checksum
+
+    return table_checksum(_docs(sf_dir, ["doc_id", "lang", "text"]),
+                          ["doc_id", "lang", "text"])
+
+
+_SQL_TABLE_CHECKSUM = """
+SELECT count(*)::BIGINT AS n_rows,
+  CAST(sum(md5_number_lower(concat_ws('|', doc_id, lang, text)))::HUGEINT
+       % 9223372036854775808 AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+def q_orders_bloom_semi(sf_dir: str):
+    """EXACT semi join with a Bloom prefilter
+    (functions/joins.bloom_semi_join): orders placed by BUILDING-segment
+    customers. The bitmap (built distributed from the customer side,
+    broadcast once) drops definite non-matches BEFORE the shuffle — at
+    10^12 left rows the exchange carries ~matches + fp x n instead of
+    every row; the trailing exact semi join removes false positives, so
+    the result is exactly SQL IN (...)."""
+    import ray.data
+
+    from webextract.functions.joins import bloom_semi_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_mktsegment"), "BUILDING")
+        return pa.table({"o_custkey": b.filter(keep).column("c_custkey")
+                        .cast(pa.int64())})
+
+    building = cust.map_batches(keys, batch_format="pyarrow")
+    return bloom_semi_join(
+        orders, building, on="o_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]))
+
+
+_SQL_ORDERS_BLOOM_SEMI = """
+SELECT o_custkey, o_orderkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_host_triangles(sf_dir: str):
+    """Exact triangle count of the synthetic host link graph
+    (functions/graph.triangle_count — canonical-orient dedup, apex wedge
+    self-join, composite-key closure semi join; two keys-only
+    exchanges). The base `_host_edges_ds` functional graph is
+    triangle-free, so this query adds the deterministic ring + chord
+    families (a, a+1) and (a, a+2) — 54 distinct undirected edges, 28
+    triangles at every sf (the SQL oracle mirrors the same synthesis)."""
+    from webextract.functions.graph import triangle_count
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        a = (ids % 20).astype(np.int64)
+        fams = [((ids * 7 + 3) % 20).astype(np.int64),
+                (a + 1) % 20, (a + 2) % 20]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, a, a])),
+            "dst": pa.array(np.concatenate(fams)),
+        })
+
+    return triangle_count(
+        _docs(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow"))
+
+
+_SQL_HOST_TRIANGLES = """
+WITH d AS (
+  SELECT doc_id % 20 AS a, (doc_id * 7 + 3) % 20 AS b FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 1) % 20 FROM documents
+  UNION ALL SELECT doc_id % 20, (doc_id % 20 + 2) % 20 FROM documents
+),
+e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM d WHERE a <> b
+),
+w AS (
+  SELECT e1.v AS v1, e2.v AS v2
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM w JOIN e ON w.v1 = e.u AND w.v2 = e.v
+"""
+
+
+def q_events_ffill(sf_dir: str):
+    """Per-user forward fill (functions/temporal.key_ffill): carry the
+    most recent click's value forward over non-click events, ordered
+    (ts, event_id); rows before a user's first click dropped (SQL
+    last_value IGNORE NULLS + QUALIFY NOT NULL)."""
+    from webextract.functions.temporal import key_ffill
+
+    ds = _events_ts(sf_dir, extra_cols=("event_type", "value"))
+
+    def mask(b: pa.Table) -> pa.Table:
+        clicked = pc.equal(b.column("event_type"), "click")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "event_id": b.column("event_id"),
+            "v": pc.if_else(clicked, b.column("value"),
+                            pa.nulls(b.num_rows, type=pa.float64())),
+        })
+
+    return key_ffill(ds.map_batches(mask, batch_format="pyarrow"),
+                     by="user_id", ts="ts_us", order2="event_id", val="v")
+
+
+_SQL_EVENTS_FFILL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN event_type = 'click' THEN value END AS v
+  FROM events
+)
+SELECT user_id, ts_us, event_id,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM e
+QUALIFY filled IS NOT NULL
+"""
+
+
+def q_pii_extract(sf_dir: str):
+    """PII EXTRACTION (explode): the planted-entity corpus of
+    `pii_recall`, but emitting the matched substring itself per span —
+    the redaction-audit artifact (what exactly left the corpus). Same
+    detectors (functions/pii), same plant schedule (doc_id % 4)."""
+    from webextract.functions.pii import PiiScanner
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 4 == 1:
+                out.append(f"{t} reach me at user{i}@example.com")
+            elif i % 4 == 2:
+                out.append(f"{t} id 123-45-6789")
+            elif i % 4 == 3:
+                out.append(f"{t} from 10.1.2.{i % 250}")
+            else:
+                out.append(t or "")
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(out, type=pa.string()),
+        })
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("kind", pa.string()),
+                            ("match", pa.string())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        spans = b.column("pii_spans").to_pylist()
+        o_id, o_kind, o_match = [], [], []
+        for i, t, ss in zip(ids, texts, spans):
+            for s in ss:
+                o_id.append(i)
+                o_kind.append(s["kind"])
+                o_match.append(t[s["start"]:s["end"]])
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "kind": pa.array(o_kind, type=pa.string()),
+            "match": pa.array(o_match, type=pa.string()),
+        }, schema=out_schema)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(PiiScanner, fn_constructor_kwargs={"redact_col": False},
+                     batch_format="pyarrow", concurrency=_conc())
+        .map_batches(explode, batch_format="pyarrow")
+    )
+
+
+_SQL_PII_EXTRACT = """
+SELECT doc_id, 'email' AS kind,
+       'user' || doc_id || '@example.com' AS match
+FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 'ssn_like', '123-45-6789' FROM documents WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'ipv4', '10.1.2.' || (doc_id % 250)
+FROM documents WHERE doc_id % 4 = 3
+"""
+
+
+def q_docs_pct_rank_per_lang(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per language over doc char length
+    (functions/window.rank_agg pct=True) — each an exact-int IEEE
+    division appended to the rank/ntile histogram pass."""
+    from webextract.functions.window import rank_agg
+
+    return rank_agg(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                    by="lang", val="n_chars", tiebreak="doc_id",
+                    n_tiles=4, pct=True)
+
+
+_SQL_DOCS_PCT_RANK = """
+SELECT lang, doc_id, n_chars,
+  rank() OVER v AS rnk,
+  dense_rank() OVER v AS drnk,
+  ntile(4) OVER w AS tile,
+  percent_rank() OVER v AS prnk,
+  cume_dist() OVER v AS cume
+FROM documents
+WINDOW v AS (PARTITION BY lang ORDER BY n_chars),
+       w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-3 batch 13: composite-key join, per-group HLL, winsorize
+# --------------------------------------------------------------------------
+
+
+def q_first_event_by_type(sf_dir: str):
+    """Composite-key (3-column) hash join
+    (functions/joins.hash_join_on): the keep-first winners per (user,
+    event_type) joined BACK to the events table on (user_id, event_type,
+    event_id) to retrieve the winning row's timestamp — the
+    dedup-decision-then-payload-retrieval shape on a multi-column key.
+    One packed-key hash exchange; key columns ride as left payload."""
+    from webextract.functions.joins import hash_join_on
+
+    winners = q_dedup_events(sf_dir)
+    events = _events_ts(sf_dir, extra_cols=("event_type",))
+    return hash_join_on(
+        winners, events,
+        on=["user_id", "event_type", "event_id"],
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("event_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts_us", pa.int64()),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string())]))
+
+
+_SQL_FIRST_EVENT_BY_TYPE = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY event_id) = 1
+"""
+
+
+def q_approx_users_per_type(sf_dir: str):
+    """Per-group HLL distinct (functions/sketches.approx_distinct_by) —
+    the unbounded-cardinality scale path beside the exact
+    `users_per_type`: one 1-KiB register row per (key, block) through
+    the shuffle instead of one row per distinct pair. Approximate ->
+    rows-only; the ~3% error bound is pytest-pinned against the exact
+    counts."""
+    import ray.data
+
+    from webextract.functions.sketches import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return approx_distinct_by(ds, by="event_type", of="user_id", p=10)
+
+
+def q_winsorized_lengths(sf_dir: str):
+    """Winsorize: clamp doc lengths to the corpus [p05, p95] — the
+    standard outlier-trim before length-based quality scoring. The
+    quantiles come from the bounded groupby(value).count() histogram
+    fold (`doc_length_quantiles` discipline, DuckDB quantile_disc
+    convention v[floor(q*(n-1))]); the clamp itself is one vectorized
+    map_batches."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars").aggregate(Count())
+        .rename_columns({"count()": "n"})
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    total = sum(r["n"] for r in hist)
+    vals = []
+    for q in (0.05, 0.95):
+        t = int(q * (total - 1))
+        cum = 0
+        for row in hist:
+            if cum + row["n"] > t:
+                vals.append(row["n_chars"])
+                break
+            cum += row["n"]
+    lo, hi = vals
+
+    def clamp(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars")
+        w = pc.min_element_wise(pc.max_element_wise(x, lo), hi)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars_w": w.cast(pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        clamp, batch_format="pyarrow")
+
+
+_SQL_WINSORIZED = """
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, least(greatest(n_chars, lo), hi)::BIGINT AS n_chars_w
+FROM documents, q
+"""
+
+
+def q_ssjoin_pairs(sf_dir: str):
+    """EXACT all-pairs set-similarity join (functions/ssjoin.py,
+    prefix-filtered PPJoin-lite): every doc pair with word-3-gram
+    Jaccard >= 0.8, no LSH recall term — the exact counterpart to
+    `neardup_pairs` candidate generation. Threshold compares are integer
+    cross-multiplications (4/5), jac is one IEEE division; the SQL
+    oracle computes the same integer counts."""
+    from webextract.functions.ssjoin import ssjoin_pairs
+
+    return ssjoin_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+_SQL_SSJOIN = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
+      FROM w, unnest(range(0, greatest(len(words) - 2, 1))) AS t(i)),
+s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT id_a, id_b, i, sa.n + sb.n - i AS u
+  FROM inter JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, i::DOUBLE / u AS jac FROM p WHERE i * 5 >= u * 4
+"""
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-user ROWS-frame rolling window (functions/window.key_rolling):
+    SUM/COUNT/AVG of the last 3 events' integer cents, ordered
+    (ts, event_id). The value is floored to cents FIRST so the rolling
+    sum is exact int64 and roll_avg one IEEE division — the SQL mirror
+    uses the same floor + cast + `(sum OVER w)::DOUBLE / count OVER w`."""
+    from webextract.functions.window import key_rolling
+
+    ds = _events_ts(sf_dir, extra_cols=("value",))
+
+    def cents(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts_us"),
+            "event_id": b.column("event_id"),
+            "cents": pa.array(c),
+        })
+
+    return key_rolling(ds.map_batches(cents, batch_format="pyarrow"),
+                       by="user_id", ts="ts_us", order2="event_id",
+                       val="cents", window=3)
+
+
+_SQL_EVENTS_ROLLING = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_us, event_id,
+  (sum(cents) OVER w)::BIGINT AS roll_sum,
+  count(*) OVER w AS roll_n,
+  (sum(cents) OVER w)::DOUBLE / (count(*) OVER w) AS roll_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-3 batch 15: corpus profiling + vocabulary encode
+# --------------------------------------------------------------------------
+
+
+def q_dup_profile(sf_dir: str):
+    """Duplication profile: how many (user, event_type) groups occur
+    exactly k times — the dedup-analysis artifact that sizes a dedup
+    run before paying for it (the documents table is exact-dup-free by
+    construction, so the profile runs on the event log's real
+    multiplicity distribution). Two keys-only shuffles
+    (groupby(keys).count, then groupby(count).count); payload never
+    crosses either."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return (
+        ds.groupby(["user_id", "event_type"]).aggregate(Count())
+        .rename_columns({"count()": "copies"})
+        .groupby("copies").aggregate(Count())
+        .rename_columns({"count()": "n_groups"})
+    )
+
+
+_SQL_DUP_PROFILE = """
+WITH g AS (SELECT user_id, event_type, count(*)::BIGINT AS copies
+           FROM events GROUP BY 1, 2)
+SELECT copies, count(*)::BIGINT AS n_groups FROM g GROUP BY copies
+"""
+
+
+def q_table_profile(sf_dir: str):
+    """Column completeness/cardinality profiler over documents
+    (the data-quality precheck a 100 TB ingest runs first): per column
+    -> row count, null count, exact distinct count. One Count aggregate
+    per column family; distinct via the keys-only groupby(value) path
+    (bounded here; at unbounded cardinality swap in
+    `sketches.approx_distinct_by`)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = ["lang", "source", "n_chars"]
+    ds = _docs(sf_dir, cols)
+
+    def null_counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], type=pa.int64()),
+            **{f"null_{c}": pa.array([b.column(c).null_count],
+                                     type=pa.int64()) for c in cols},
+        })
+
+    import pandas as pd  # tiny partial fold (one row per block)
+
+    nulls = ds.map_batches(null_counts, batch_format="pyarrow",
+                           batch_size=None).to_pandas().sum()
+    n = int(nulls["n"])
+    rows = []
+    for c in cols:
+        nd = ds.groupby(c).aggregate(Count()).count()
+        rows.append((c, n, int(nulls[f"null_{c}"]), nd))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_null": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+_SQL_TABLE_PROFILE = """
+SELECT 'lang' AS column, count(*)::BIGINT AS n_rows,
+  count(*) FILTER (lang IS NULL)::BIGINT AS n_null,
+  count(DISTINCT lang)::BIGINT AS n_distinct FROM documents
+UNION ALL
+SELECT 'source', count(*)::BIGINT,
+  count(*) FILTER (source IS NULL)::BIGINT,
+  count(DISTINCT source)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT,
+  count(*) FILTER (n_chars IS NULL)::BIGINT,
+  count(DISTINCT n_chars)::BIGINT FROM documents
+"""
+
+
+def _vocab_table(sf_dir: str) -> pa.Table:
+    """Deterministic corpus vocabulary: distinct words, lexicographic,
+    contiguous ids from 0 — the tokenizer-dictionary build
+    (`RecCTCLabelEncode` char-dict analog at word granularity,
+    mindocr/data/transforms/rec_transforms.py:26-60). The distinct set
+    comes from a keys-only groupby; the id assignment is a driver-side
+    sort of the BOUNDED vocabulary (31 words here; a 100 TB corpus'
+    word vocab is ~1e7 — still driver-bounded; beyond that,
+    frequency-cut first)."""
+    from ray.data.aggregate import Count
+
+    def words(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend((t or "").split(" "))
+        return pa.table({"word": pa.array(out, type=pa.string())})
+
+    vocab = sorted(r["word"] for r in (
+        _docs(sf_dir, ["text"])
+        .map_batches(words, batch_format="pyarrow")
+        .groupby("word").aggregate(Count())
+        .take_all()
+    ))
+    return pa.table({
+        "word": pa.array(vocab, type=pa.string()),
+        "token_id": pa.array(range(len(vocab)), type=pa.int64()),
+    })
+
+
+def q_vocab_ids(sf_dir: str):
+    """The vocabulary table itself (word -> contiguous token id)."""
+    return _vocab_table(sf_dir)
+
+
+_SQL_VOCAB_IDS = """
+SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
+FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+      FROM documents)
+"""
+
+
+def q_docs_token_ids(sf_dir: str):
+    """Vocabulary ENCODE: every document as (doc_id, pos, token_id)
+    rows — the id-sequence handoff to a training pipeline
+    (`VQATokenLabelEncode` analog: stateful dict applied per batch).
+    The vocab rides to every task once via ray.put; the encode is a
+    vectorized pc.index_in per batch, exploded in place (the chunking
+    row-explosion discipline)."""
+    import ray
+
+    vocab = _vocab_table(sf_dir)
+    ref = ray.put(vocab)
+
+    class Encoder:
+        def __init__(self, ref):
+            import ray as _ray
+
+            v = _ray.get(ref)
+            self.words = v.column("word").combine_chunks()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            o_id, o_pos, o_w = [], [], []
+            for i, t in zip(ids, texts):
+                ws = (t or "").split(" ")
+                o_id.extend([i] * len(ws))
+                o_pos.extend(range(1, len(ws) + 1))
+                o_w.extend(ws)
+            tid = pc.index_in(pa.array(o_w, type=pa.string()),
+                              value_set=self.words)
+            return pa.table({
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "pos": pa.array(o_pos, type=pa.int64()),
+                "token_id": tid.cast(pa.int64()),
+            })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Encoder, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=_conc())
+
+
+_SQL_DOCS_TOKEN_IDS = """
+WITH v AS (
+  SELECT word, row_number() OVER (ORDER BY word) - 1 AS token_id
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents)
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, i AS pos, ws[i] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i))
+SELECT doc_id, pos, token_id FROM tok JOIN v USING (word)
+"""
+
+
+def q_docs_zscore_per_lang(sf_dir: str):
+    """Per-language z-score standardization of doc length — the feature
+    normalization step before quality-model scoring. Group moments from
+    `agg.corr_by`'s exact-integer partials (sample variance), broadcast
+    as (mean-numerator, var) pairs; z = (n*x - sx) / (n*sqrt(var)) —
+    every operand exact int64 until the one division + sqrt, mirrored
+    literally in SQL."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def sq(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").cast(pa.int64())
+        return pa.table({"lang": b.column("lang"), "x": x,
+                         "xx": pc.multiply_checked(x, x)})
+
+    stats = (
+        docs.map_batches(sq, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("x", alias_name="sx"), Sum("xx", alias_name="sxx"),
+                   Count())
+        .take_all()
+    )
+    table = {r["lang"]: (int(r["count()"]), int(r["sx"]), int(r["sxx"]))
+             for r in stats}
+    ref = ray.put(table)
+
+    def z(b: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ns = np.array([st[lg][0] for lg in langs], dtype=np.int64)
+        sxs = np.array([st[lg][1] for lg in langs], dtype=np.int64)
+        sxxs = np.array([st[lg][2] for lg in langs], dtype=np.int64)
+        var = (ns * sxxs - sxs * sxs).astype(np.float64) \
+            / (ns * (ns - 1)).astype(np.float64)
+        out = (ns * x - sxs).astype(np.float64) / (ns * np.sqrt(var))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+            "z": pa.array(out),
+        })
+
+    return docs.map_batches(z, batch_format="pyarrow")
+
+
+_SQL_DOCS_ZSCORE = """
+WITH s AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sxx
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars,
+  (n * n_chars - sx)::DOUBLE
+    / (n * sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE)) AS z
+FROM documents d JOIN s ON d.lang = s.lang
+"""
