@@ -163,3 +163,38 @@ def test_winner_filter_negative_and_random_keys():
                         concurrency=1).take_all()
     assert sorted(r["doc_id"] for r in out) == keep
     assert any(k < 0 for k in keep)
+
+
+def test_winner_filter_hash_mode_uniform_buckets():
+    """mode="hash": SplitMix64 bucketing must (a) keep dump/probe sides
+    consistent for positive AND negative keys, (b) spread a pathologically
+    narrow key range (all keys inside one range-bucket width) across many
+    hash buckets — the skew robustness the mode exists for."""
+    from webextract.functions.dedup import (
+        _hash_bucket_ids,
+        publish_buckets,
+        winner_filter,
+    )
+
+    rng = np.random.default_rng(11)
+    # all keys inside [-40, 60): ONE range bucket at width 2^16, but hash
+    # mode must spread them
+    ids = rng.permutation(np.arange(-40, 60)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]})
+    ).repartition(3)
+    keep = sorted(int(i) for i in ids if i % 4 == 0)
+    winners = ray.data.from_arrow(pa.table({"doc_id": keep}))
+    out = winner_filter(ds, winners, "doc_id", mode="hash", num_buckets=16,
+                        concurrency=1).take_all()
+    assert sorted(r["doc_id"] for r in out) == keep
+    assert any(k < 0 for k in keep)
+    # uniformity: the winner ids hash into >1 bucket (range mode would
+    # put them all into bucket -1/0 at the default width)
+    bids = _hash_bucket_ids(np.array(keep, dtype=np.int64), 16)
+    assert len(np.unique(bids)) > 4
+
+    # index metadata round-trips through publish for probe-side reuse
+    idx = publish_buckets(winners, "doc_id", mode="hash", num_buckets=16)
+    mask = idx.allowed(np.array([keep[0], keep[0] + 1], dtype=np.int64))
+    assert mask.tolist() == [True, (keep[0] + 1) in keep]

@@ -355,19 +355,41 @@ class _BucketStore:
         return list(self.refs.get(bid, ()))
 
 
+def _hash_bucket_ids(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """SplitMix64-mixed bucket id per key (uniform regardless of the key
+    distribution). Shared by publisher and probe sides — both MUST bucket
+    identically."""
+    from webextract.functions.joins import _splitmix64
+
+    return (_splitmix64(keys.astype(np.uint64))
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
 class BucketIndex:
     """Picklable handle to published winner-id buckets. Each consumer
     actor deserializes its own copy, so the per-bucket cache is per-actor
     state (the stateful-setup pattern). ``ids(bid)`` returns the bucket's
     sorted winner-id array — from the object store (default) or from the
-    shared-scratch parquet side files when ``tmp_dir`` was used."""
+    shared-scratch parquet side files when ``tmp_dir`` was used.
+
+    ``mode="range"`` buckets by ``key // bucket_width`` (partition-aligned
+    locality when keys are roughly monotone per input partition);
+    ``mode="hash"`` buckets by SplitMix64(key) % num_buckets — bucket
+    sizes stay uniform for ANY key distribution (random layouts, keys
+    clustered in a narrow range), at the cost of losing range locality:
+    a consumer batch touches every bucket it hashes into, so hash mode
+    suits winner sets small enough that ~all buckets fit a worker heap
+    (it is still strictly better than a payload shuffle)."""
 
     def __init__(self, have: frozenset, stores, tmp_dir,
-                 bucket_width: int):
+                 bucket_width: int, mode: str = "range",
+                 num_buckets: int = 1024):
         self.have = have
         self.stores = stores
         self.tmp_dir = tmp_dir
         self.bucket_width = bucket_width
+        self.mode = mode
+        self.num_buckets = num_buckets
         self.cache: dict = {}
 
     def ids(self, bid: int) -> np.ndarray:
@@ -402,14 +424,18 @@ class BucketIndex:
         """Vectorized membership mask for an int64 key array."""
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
-        parts = [self.ids(int(b))
-                 for b in np.unique(keys // self.bucket_width)]
+        if self.mode == "hash":
+            bids = _hash_bucket_ids(keys, self.num_buckets)
+        else:
+            bids = keys // self.bucket_width
+        parts = [self.ids(int(b)) for b in np.unique(bids)]
         return np.isin(keys, np.concatenate(parts))
 
 
 def publish_buckets(winners, key_col: str, *, tmp_dir: str | None = None,
                     bucket_width: int = 1 << 16,
-                    num_stores: int = 8) -> BucketIndex:
+                    num_stores: int = 8, mode: str = "range",
+                    num_buckets: int = 1024) -> BucketIndex:
     """Publish a keys-only winners Dataset as range buckets readable from
     any node (the dump half of :func:`winner_filter`, reusable by fused
     operators like paragraph dedup). Publishers append bucket FRAGMENTS
@@ -438,7 +464,10 @@ def publish_buckets(winners, key_col: str, *, tmp_dir: str | None = None,
             return pa.table({"bucket": pa.array([], type=ktype),
                              "n": pa.array([], type=ktype)})
         k = np.asarray(b.column(key_col).cast(ktype).combine_chunks())
-        bids = k // bucket_width
+        if mode == "hash":
+            bids = _hash_bucket_ids(k, num_buckets)
+        else:
+            bids = k // bucket_width
         order = np.argsort(bids, kind="stable")
         k, bids = k[order], bids[order]
         starts = np.nonzero(np.r_[True, bids[1:] != bids[:-1]])[0]
@@ -468,12 +497,14 @@ def publish_buckets(winners, key_col: str, *, tmp_dir: str | None = None,
     manifest = winners.map_batches(
         publish, batch_format="pyarrow").materialize()
     have = frozenset(r["bucket"] for r in manifest.take_all())
-    return BucketIndex(have, stores, tmp_dir, bucket_width)
+    return BucketIndex(have, stores, tmp_dir, bucket_width,
+                       mode=mode, num_buckets=num_buckets)
 
 
 def winner_filter(ds, winners, key_col: str, *, tmp_dir: str | None = None,
                   bucket_width: int = 1 << 16, concurrency=None,
-                  num_stores: int = 8):
+                  num_stores: int = 8, mode: str = "range",
+                  num_buckets: int = 1024):
     """Semi-filter `ds` to rows whose `key_col` is in `winners` WITHOUT the
     payload columns ever crossing a shuffle.
 
@@ -506,7 +537,8 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str | None = None,
     """
     index = publish_buckets(winners, key_col, tmp_dir=tmp_dir,
                             bucket_width=bucket_width,
-                            num_stores=num_stores)
+                            num_stores=num_stores, mode=mode,
+                            num_buckets=num_buckets)
 
     class SemiFilter:
         """Stateful filter around a :class:`BucketIndex` (per-actor

@@ -265,6 +265,22 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     semi_shape = how in ("semi", "anti")
     out_names = out_l_names if semi_shape else [on] + payload_l + payload_r
 
+    # Ray's map_groups emits a SCHEMA-LESS empty block for an empty input
+    # partition (it never calls the UDF), and when every group returns 0
+    # rows that naked block poisons downstream schema resolution — an
+    # all-empty join result then loses its columns entirely. Pin the
+    # output schema by retyping empty blocks; non-empty blocks pass
+    # through untouched (zero-copy).
+    def _pin_schema(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=types[c]) for c in out_names],
+                names=out_names,
+            )
+        return batch
+
+    joined = joined.map_batches(_pin_schema, batch_format="pyarrow")
+
     def null_rows(side_payload):
         def fn(batch: pa.Table) -> pa.Table:
             key = batch.column(on)

@@ -144,9 +144,24 @@ def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
     """
     from webextract.functions.dedup import publish_buckets
 
-    decision = docs_fn().map_batches(
-        lambda b: explode_lines(b, with_text=False),
-        batch_format="pyarrow")
+    def decide_partial(b: pa.Table) -> pa.Table:
+        """Explode + per-batch combiner: one (lfp, min okey) row per
+        UNIQUE line in the batch. Repeated lines are the C4 workload's
+        premise, so folding before the exchange cuts the shuffled rows
+        to the batch's distinct-line count (min is associative — the
+        global groupby min over partials equals the min over all rows).
+        """
+        ex = explode_lines(b, id_col="doc_id", text_col="text",
+                           with_text=False)
+        lfps = np.asarray(ex.column("lfp").combine_chunks())
+        okeys = np.asarray(ex.column("okey").combine_chunks())
+        order = np.lexsort((okeys, lfps))
+        lf, ok = lfps[order], okeys[order]
+        first = np.r_[True, lf[1:] != lf[:-1]]
+        return pa.table({"lfp": pa.array(lf[first], type=pa.int64()),
+                         "okey": pa.array(ok[first], type=pa.int64())})
+
+    decision = docs_fn().map_batches(decide_partial, batch_format="pyarrow")
     winners = (decision.groupby("lfp").min("okey")
                .rename_columns({"min(okey)": "okey"})
                .select_columns(["okey"]))

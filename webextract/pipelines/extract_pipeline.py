@@ -102,7 +102,14 @@ class FusedExtractor:
                 doctype_col.append("pdf")
             else:
                 try:
-                    html.decode("utf-8", "strict")
+                    # ASCII fast path: bytes.isascii() is an allocation-free
+                    # C scan, and ASCII is valid UTF-8 by construction — the
+                    # strict decode below otherwise materializes (and
+                    # immediately frees) a payload-sized str per document
+                    # purely for validation, the kind of DRAM churn that
+                    # inflates per-doc CPU at 32-wide (BASELINE.md).
+                    if not html.isascii():
+                        html.decode("utf-8", "strict")
                 except UnicodeDecodeError:
                     if cfg.fallback_encoding:
                         encoding = str(cfg.fallback_encoding)

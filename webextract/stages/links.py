@@ -79,7 +79,9 @@ class LinkExtractor:
             if html is None or html[:5] == _PDF_MAGIC:
                 continue
             try:
-                html.decode("utf-8", "strict")
+                # ASCII fast path (valid UTF-8 by construction, no str alloc)
+                if not html.isascii():
+                    html.decode("utf-8", "strict")
             except UnicodeDecodeError:
                 continue  # quarantine class: corrupt page, no links
             for href, anchor in scan_links(html):

@@ -154,7 +154,10 @@ def _inspect_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]):
     Fetches `class` once and reuses it for both the boiler-hint check and
     the column-layout hint; `id` is only consulted when class gave no
     boiler verdict (profile: get_attr was 3x per tag before)."""
-    cls = get_attr(html, a0, a1, "class")
+    # C-level substring gate before the attr regex: most attr strings have
+    # no class/id at all, and a failed regex search costs ~10x a bytes.find
+    cls = (get_attr(html, a0, a1, "class")
+           if html.find(b"class", a0, a1) >= 0 else None)
     boiler = False
     col = None
     if cls:
@@ -172,7 +175,8 @@ def _inspect_attrs(html: bytes, a0: int, a1: int, hints: Tuple[str, ...]):
         elif b"col-right" in low:
             col = 2
     if not boiler:
-        idv = get_attr(html, a0, a1, "id")
+        idv = (get_attr(html, a0, a1, "id")
+               if html.find(b"id", a0, a1) >= 0 else None)
         if idv:
             low = idv.lower()
             for h in hints:
@@ -202,6 +206,9 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
 
     candidates: List[Tuple[int, int, str, float]] = []  # start, end, kind, score
     stack: List[_Block] = []  # open candidate blocks, innermost last
+    # open-block tag multiset: membership test for close tags without
+    # scanning `stack` (the per-close genexp was measurable at 32-wide)
+    open_block_tags: dict = {}
     boiler_depth = 0
     anchor_depth = 0
     # Full element stack of (tag, is_boiler) for EVERY open non-void tag.
@@ -269,11 +276,11 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
             col_stack.pop()
         if last_group is not None and depth < last_group[0]:
             last_group = None
-        if stack and (stack[-1].tag == tag
-                      or any(b.tag == tag for b in stack)):
+        if open_block_tags.get(tag):
             # close innermost matching block (pop unclosed inner blocks too)
             while stack:
                 blk = stack.pop()
+                open_block_tags[blk.tag] -= 1
                 done = blk.tag == tag
                 end = close_start  # close-tag start = content end
                 if (
@@ -292,10 +299,23 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
     while pos < n and len(candidates) < max_candidates:
         lt = find(b"<", pos)
         if lt < 0:
-            on_text(pos, n)
+            if stack:
+                on_text(pos, n)
             break
-        if lt > pos:
-            on_text(pos, lt)
+        if lt > pos and stack:
+            # guarded + inlined hot path: text outside any open block (head
+            # content, inter-tag whitespace) costs one truth test, and
+            # in-block text skips the function-call overhead entirely
+            t0, t1 = pos, lt
+            while t0 < t1 and html[t0] in ws:
+                t0 += 1
+            while t1 > t0 and html[t1 - 1] in ws:
+                t1 -= 1
+            if t1 > t0:
+                blk = stack[-1]
+                blk.text_len += t1 - t0
+                if anchor_depth > 0:
+                    blk.link_len += t1 - t0
         nxt = html[lt + 1] if lt + 1 < n else 0  # int peek: no slice alloc
         if nxt == 0x21:  # '!'
             # comments / doctype contribute nothing (skip events)
@@ -381,7 +401,11 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                             _Block(tag=tag, start=content_start, okey=okey,
                                    boiler=boiler_depth > 0)
                         )
-                if (tag == "script" or tag == "style") and m.group(3) != b"/":
+                        open_block_tags[tag] = \
+                            open_block_tags.get(tag, 0) + 1
+                # start==end: empty group(3) — the no-alloc self-close test
+                if (tag == "script" or tag == "style") \
+                        and m.start(3) == m.end(3):
                     endre = _SCRIPT_END if tag == "script" else _STYLE_END
                     em = endre.search(html, content_start)
                     if em is None:
@@ -468,7 +492,9 @@ class BlockSegmenter:
             else:
                 encoding = "utf-8"
                 try:
-                    html.decode("utf-8", "strict")
+                    # ASCII fast path (valid UTF-8, no validation str alloc)
+                    if not html.isascii():
+                        html.decode("utf-8", "strict")
                 except UnicodeDecodeError:
                     if cfg.fallback_encoding:
                         encoding = str(cfg.fallback_encoding)
