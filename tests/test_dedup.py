@@ -198,3 +198,21 @@ def test_winner_filter_hash_mode_uniform_buckets():
     idx = publish_buckets(winners, "doc_id", mode="hash", num_buckets=16)
     mask = idx.allowed(np.array([keep[0], keep[0] + 1], dtype=np.int64))
     assert mask.tolist() == [True, (keep[0] + 1) in keep]
+
+
+def test_winner_filter_have_cap_fallback(monkeypatch):
+    """Above _HAVE_CAP manifest rows the driver-side `have` probe-shortcut
+    set is skipped (trillion-doc tiers); membership must still be exact —
+    a missing bucket reads as empty from the store."""
+    import webextract.functions.dedup as dd
+
+    monkeypatch.setattr(dd, "_HAVE_CAP", 0)
+    ids = list(range(200))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]})
+    ).repartition(4)
+    keep = [i for i in ids if i % 7 == 0]
+    winners = ray.data.from_arrow(pa.table({"doc_id": keep}))
+    out = dd.winner_filter(ds, winners, "doc_id", bucket_width=16,
+                           concurrency=1).take_all()
+    assert sorted(r["doc_id"] for r in out) == keep

@@ -355,6 +355,12 @@ class _BucketStore:
         return list(self.refs.get(bid, ()))
 
 
+# Driver-fold bound for the publish manifest: above this many (task,
+# bucket) rows the `have` probe-shortcut set is skipped entirely (see
+# publish_buckets) so driver state stays KB-scale at any corpus size.
+_HAVE_CAP = 1 << 22
+
+
 def _hash_bucket_ids(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     """SplitMix64-mixed bucket id per key (uniform regardless of the key
     distribution). Shared by publisher and probe sides — both MUST bucket
@@ -395,7 +401,7 @@ class BucketIndex:
     def ids(self, bid: int) -> np.ndarray:
         arr = self.cache.get(bid)
         if arr is None:
-            if bid not in self.have:
+            if self.have is not None and bid not in self.have:
                 arr = np.empty(0, dtype=np.int64)
             elif self.tmp_dir is not None:
                 import glob
@@ -496,7 +502,15 @@ def publish_buckets(winners, key_col: str, *, tmp_dir: str | None = None,
     # Barrier: every fragment must be published before consumers read.
     manifest = winners.map_batches(
         publish, batch_format="pyarrow").materialize()
-    have = frozenset(r["bucket"] for r in manifest.take_all())
+    # `have` is a probe shortcut (skip the store round-trip for buckets no
+    # publisher wrote), NOT a correctness requirement — a missing bucket
+    # reads as empty from the store/scratch anyway. Its driver fold is
+    # bounded: above _HAVE_CAP distinct manifest rows (trillion-doc tiers
+    # where bucket count itself is huge) we skip the set and let every
+    # probe ask the store — still keys-only, still O(1) per cached bucket.
+    have = None
+    if manifest.count() <= _HAVE_CAP:
+        have = frozenset(r["bucket"] for r in manifest.take_all())
     return BucketIndex(have, stores, tmp_dir, bucket_width,
                        mode=mode, num_buckets=num_buckets)
 
@@ -586,21 +600,28 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     ).select_columns([id_col, "minhash", "band_key"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, bidx, bkey, sigs = [], [], [], []
-        for i in range(batch.num_rows):
-            did = batch.column(id_col)[i].as_py()
-            sig = batch.column("minhash")[i].as_py()
-            for j, key in enumerate(batch.column("band_key")[i].as_py()):
-                ids.append(did)
-                bidx.append(j)
-                bkey.append(key)
-                sigs.append(sig)
+        """One row per (doc, band) — fully vectorized: numpy repeat for
+        the scalar columns, Arrow ``flatten`` for the band keys, and a
+        C-level ``take`` with repeated row indices to duplicate each
+        signature list per band (no per-row ``as_py``)."""
+        bk = batch.column("band_key").combine_chunks()
+        nb = bk.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(batch.column(id_col).cast(pa.int64())
+                         .combine_chunks())
+        total = int(nb.sum())
+        starts = np.zeros(len(ids), dtype=np.int64)
+        if len(ids) > 1:
+            np.cumsum(nb[:-1], out=starts[1:])
+        bidx = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), nb)
+        sigs = batch.column("minhash").combine_chunks().take(
+            pa.array(row_idx, type=pa.int64()))
         return pa.table(
             {
-                id_col: pa.array(ids, type=pa.int64()),
-                "band_idx": pa.array(bidx, type=pa.int32()),
-                "band_key": pa.array(bkey, type=pa.int64()),
-                "minhash": pa.array(sigs, type=pa.list_(pa.uint64())),
+                id_col: pa.array(np.repeat(ids, nb), type=pa.int64()),
+                "band_idx": pa.array(bidx.astype(np.int32), type=pa.int32()),
+                "band_key": bk.flatten(),
+                "minhash": sigs,
             }
         )
 
