@@ -1,5 +1,7 @@
 """Decode-rule tests — the byte-identity surface (edge cases per FIXTURES.md §3)."""
 
+from html import unescape
+
 from webextract.html.decode import collapse_ws, decode_fragment, strip_tags
 
 
@@ -48,3 +50,26 @@ def test_strip_tags_only():
 def test_collapse_idempotent():
     s = "a b c"
     assert collapse_ws(s) == s
+
+
+def test_ascii_separator_controls_preserved():
+    # 0x1c-0x1f are Python str whitespace but NOT in the canonical
+    # [ \t\r\n\f\v] collapse set: interior occurrences must survive the
+    # ASCII fast path byte-identically (ends still strip, as always).
+    for c in ("\x1c", "\x1d", "\x1e", "\x1f"):
+        assert decode_fragment(f"a{c}b") == f"a{c}b"
+        assert decode_fragment(f"a {c} b") == f"a {c} b"
+    # the plain-ASCII fast path itself still collapses normally
+    assert decode_fragment("a  \v b") == "a b"
+
+
+def test_fast_path_matches_canonical_rule():
+    # fused fast-path output == the documented rule order, char by char
+    frags = [
+        "plain text only",
+        "a<!--c--> <b>x</b> &amp; y \x1c z",
+        "  mixed\t\x1d ws \n ends \x1e  ",
+        "unicode   nbsp stays",
+    ]
+    for f in frags:
+        assert decode_fragment(f) == collapse_ws(unescape(strip_tags(f)))

@@ -46,7 +46,11 @@ def decode_fragment(fragment: str, kind: str = "p") -> str:
     collapse uses C-level ``str.split``/``join`` (identical to the regex
     for ASCII text — same six whitespace chars, same end-strip); non-ASCII
     text keeps the regex so Unicode spaces are NOT collapsed (``str.split``
-    would split on them, changing output)."""
+    would split on them, changing output). ``str.split`` additionally
+    treats the ASCII separator controls 0x1c-0x1f as whitespace while the
+    canonical rule preserves them in the interior, so their (rare)
+    presence also falls back to the regex — four ``in`` memchr probes,
+    no cost on clean text."""
     if "<!--" in fragment:
         fragment = _COMMENT_RE.sub("", fragment)
     if "<" in fragment:
@@ -55,6 +59,9 @@ def decode_fragment(fragment: str, kind: str = "p") -> str:
         fragment = unescape(fragment)
     if kind == "pre":
         return fragment
-    if fragment.isascii():
+    if fragment.isascii() and not (
+        "\x1c" in fragment or "\x1d" in fragment
+        or "\x1e" in fragment or "\x1f" in fragment
+    ):
         return " ".join(fragment.split())
     return _WS_RE.sub(" ", fragment).strip()
