@@ -648,22 +648,35 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             incr("lsh_buckets_skipped")
             incr("lsh_rows_in_skipped_buckets", n)
         if 2 <= n <= max_bucket:
-            ids = group.column(id_col).to_pylist()
-            sigs = [np.asarray(s, dtype=np.uint64)
-                    for s in group.column("minhash").to_pylist()]
-            for x in range(n):
-                for y in range(x + 1, n):
-                    ej = est_jaccard(sigs[x], sigs[y])
-                    if ej >= threshold:
-                        lo, hi = sorted((ids[x], ids[y]))
-                        a_col.append(lo)
-                        b_col.append(hi)
-                        j_col.append(round(ej, 6))
+            # Vectorized all-pairs estimate: stack the bucket's signatures
+            # into an (n, num_perm) matrix and compare with one broadcast
+            # (n <= max_bucket caps the n^2 x num_perm work at a few MB).
+            # est_jaccard == mean(sig_a == sig_b), so eq[x, y] below is
+            # bit-identical to the former per-pair Python loop; k/num_perm
+            # has <= 6 decimal digits for the supported num_perm values so
+            # round(., 6) never hits a half-way case in either path.
+            ids = np.asarray(
+                group.column(id_col).cast(pa.int64()).combine_chunks())
+            sig_col = group.column("minhash").combine_chunks()
+            mat = np.asarray(sig_col.flatten()).reshape(n, -1)
+            eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+            xs, ys = np.triu_indices(n, k=1)
+            ej = eq[xs, ys]
+            keep = ej >= threshold
+            if keep.any():
+                a = ids[xs[keep]]
+                b = ids[ys[keep]]
+                a_col = np.minimum(a, b)
+                b_col = np.maximum(a, b)
+                j_col = np.round(ej[keep], 6)
         return pa.table(
             {
-                "id_a": pa.array(a_col, type=pa.int64()),
-                "id_b": pa.array(b_col, type=pa.int64()),
-                "est_jaccard": pa.array(j_col, type=pa.float64()),
+                "id_a": pa.array(np.asarray(a_col, dtype=np.int64),
+                                 type=pa.int64()),
+                "id_b": pa.array(np.asarray(b_col, dtype=np.int64),
+                                 type=pa.int64()),
+                "est_jaccard": pa.array(np.asarray(j_col, dtype=np.float64),
+                                        type=pa.float64()),
             }
         )
 
