@@ -329,27 +329,63 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
             end = find(b">", lt + 2)
             pos = n if end < 0 else end + 1
         elif nxt == 0x2F:  # '/'
-            m = _CLOSE_RE.match(html, lt)
-            if m is None:
-                end = find(b">", lt + 2)
-                if end < 0:
-                    break
-                pos = end + 1
+            # fast path: a well-formed close tag's name runs exactly to the
+            # first '>' (valid names contain no quotes, so the first '>' is
+            # always the tag end) — one small slice + dict hit replaces the
+            # regex match OBJECT + .group/.end calls (allocator churn is the
+            # 32-wide inflation term, BASELINE.md)
+            gt = find(b">", lt + 2)
+            if gt < 0:
+                break
+            raw = html[lt + 2 : gt]
+            tag = tag_cache.get(raw)
+            if tag is not None:
+                on_close(tag, lt)
+                pos = gt + 1
             else:
-                raw = m.group(1)
+                m = _CLOSE_RE.match(html, lt)
+                if m is None:
+                    pos = gt + 1  # broken close: swallow to '>'
+                else:
+                    raw = m.group(1)
+                    tag = tag_cache.get(raw)
+                    if tag is None:
+                        tag = raw.lower().decode("ascii")
+                        if len(tag_cache) < 4096:
+                            tag_cache[raw] = tag
+                    on_close(tag, lt)
+                    pos = m.end()
+        else:
+            # fast path: an ATTRIBUTE-LESS open tag (`<p>`, `<li>`, ...) is
+            # name-then-'>' — when the slice up to the first '>' is a pure
+            # tag name there is nothing quoted, so that '>' really ends the
+            # tag and the regex (whose job is quote-aware attr parsing) is
+            # pure overhead. Anything else — attrs, self-close, stray '<' —
+            # falls through to _OPEN_RE unchanged.
+            m = None
+            tag = None
+            # cheap bare-tag gate: only take the fast path when the name is
+            # short and immediately followed by '>' (a find bounded to 12
+            # bytes; attr-ful tags fail fast without slicing)
+            gt = find(b">", lt + 1, lt + 12)
+            if gt > lt:
+                raw = html[lt + 1 : gt]
                 tag = tag_cache.get(raw)
-                if tag is None:
+                if tag is None and raw.isalnum() and 0x41 <= raw[0]:
+                    # same name grammar as _OPEN_RE minus '-' (dashed
+                    # custom elements take the regex path)
                     tag = raw.lower().decode("ascii")
                     if len(tag_cache) < 4096:
                         tag_cache[raw] = tag
-                on_close(tag, lt)
-                pos = m.end()
-        else:
-            m = _OPEN_RE.match(html, lt)
-            if m is None:
-                on_text(lt, lt + 1)  # stray '<' = 1-byte text node
-                pos = lt + 1
+            if tag is not None:
+                content_start = gt + 1
+                pos = content_start
             else:
+                m = _OPEN_RE.match(html, lt)
+                if m is None:
+                    on_text(lt, lt + 1)  # stray '<' = 1-byte text node
+                    pos = lt + 1
+                    continue
                 raw = m.group(1)
                 tag = tag_cache.get(raw)
                 if tag is None:
@@ -358,60 +394,61 @@ def _scan_blocks(html: bytes, cfg: SegmentConfig, block_tags, min_text_len: int)
                         tag_cache[raw] = tag
                 content_start = m.end()
                 pos = content_start
-                if tag not in VOID_TAGS:
-                    a0, a1 = m.start(2), m.end(2)
-                    if a1 > a0:
-                        boiler_here, col_here = _inspect_attrs(html, a0, a1, hints)
+            if tag not in VOID_TAGS:
+                if m is not None and m.end(2) > m.start(2):
+                    boiler_here, col_here = _inspect_attrs(
+                        html, m.start(2), m.end(2), hints)
+                else:
+                    boiler_here, col_here = False, None
+                if tag in boiler_containers:
+                    boiler_here = True
+                if col_here is not None:
+                    if col_here < 0:
+                        # SPANNING block ("new section",
+                        # recovery_to_doc.py triple layout): end the
+                        # current column group — later column divs at
+                        # the same depth anchor a FRESH group, so the
+                        # spanning block reads between the two groups.
+                        last_group = None
                     else:
-                        boiler_here, col_here = False, None
-                    if tag in boiler_containers:
-                        boiler_here = True
-                    if col_here is not None:
-                        if col_here < 0:
-                            # SPANNING block ("new section",
-                            # recovery_to_doc.py triple layout): end the
-                            # current column group — later column divs at
-                            # the same depth anchor a FRESH group, so the
-                            # spanning block reads between the two groups.
-                            last_group = None
+                        parent_depth = len(elem_stack)
+                        if (last_group is not None
+                                and last_group[0] == parent_depth):
+                            anchor = last_group[1]
                         else:
-                            parent_depth = len(elem_stack)
-                            if (last_group is not None
-                                    and last_group[0] == parent_depth):
-                                anchor = last_group[1]
-                            else:
-                                anchor = lt  # first col div tag = anchor
-                                last_group = (parent_depth, anchor)
-                            col_stack.append(
-                                (parent_depth + 1, anchor, col_here))
-                    elem_stack.append((tag, boiler_here))
-                    if boiler_here:
-                        boiler_depth += 1
-                    if tag == "a":
-                        anchor_depth += 1
-                    if tag in block_tags:
-                        if stack:
-                            stack[-1].has_child = True
-                        if col_stack:
-                            _, ganchor, ci = col_stack[-1]
-                            okey = (ganchor, ci + 1, content_start)
-                        else:
-                            okey = (content_start, 0, content_start)
-                        stack.append(
-                            _Block(tag=tag, start=content_start, okey=okey,
-                                   boiler=boiler_depth > 0)
-                        )
-                        open_block_tags[tag] = \
-                            open_block_tags.get(tag, 0) + 1
-                # start==end: empty group(3) — the no-alloc self-close test
-                if (tag == "script" or tag == "style") \
-                        and m.start(3) == m.end(3):
-                    endre = _SCRIPT_END if tag == "script" else _STYLE_END
-                    em = endre.search(html, content_start)
-                    if em is None:
-                        break  # unterminated raw text: stream ends
-                    on_close(tag, em.start())
-                    pos = em.end()
+                            anchor = lt  # first col div tag = anchor
+                            last_group = (parent_depth, anchor)
+                        col_stack.append(
+                            (parent_depth + 1, anchor, col_here))
+                elem_stack.append((tag, boiler_here))
+                if boiler_here:
+                    boiler_depth += 1
+                if tag == "a":
+                    anchor_depth += 1
+                if tag in block_tags:
+                    if stack:
+                        stack[-1].has_child = True
+                    if col_stack:
+                        _, ganchor, ci = col_stack[-1]
+                        okey = (ganchor, ci + 1, content_start)
+                    else:
+                        okey = (content_start, 0, content_start)
+                    stack.append(
+                        _Block(tag=tag, start=content_start, okey=okey,
+                               boiler=boiler_depth > 0)
+                    )
+                    open_block_tags[tag] = \
+                        open_block_tags.get(tag, 0) + 1
+            # start==end: empty group(3) — the no-alloc self-close test
+            # (fast-path tags, m None, are never self-closed)
+            if (tag == "script" or tag == "style") \
+                    and (m is None or m.start(3) == m.end(3)):
+                endre = _SCRIPT_END if tag == "script" else _STYLE_END
+                em = endre.search(html, content_start)
+                if em is None:
+                    break  # unterminated raw text: stream ends
+                on_close(tag, em.start())
+                pos = em.end()
 
     # reading order: byte order for linear documents, (group anchor, column,
     # byte) for column layouts — sorted_layout_boxes semantics
