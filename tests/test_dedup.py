@@ -77,8 +77,11 @@ def test_minhasher_batch_udf():
     assert len(out.column("band_key")[0].as_py()) == 8
 
 
-def test_winner_filter_payloads_never_shuffled(tmp_path):
+def test_winner_filter_payloads_never_shuffled(tmp_path, monkeypatch):
+    import webextract.functions.dedup as dd
     from webextract.functions.dedup import winner_filter
+
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
 
     # ids spread across many range buckets (bucket_width=8 -> 13 buckets)
     ids = list(range(0, 100))
@@ -96,8 +99,11 @@ def test_winner_filter_payloads_never_shuffled(tmp_path):
     assert got == [(i, f"payload-{i}") for i in ids if i % 3 == 0]
 
 
-def test_winner_filter_keep_first_end_to_end(tmp_path):
+def test_winner_filter_keep_first_end_to_end(tmp_path, monkeypatch):
+    import webextract.functions.dedup as dd
     from webextract.functions.dedup import exact_dedup, winner_filter
+
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
 
     # planted dups: 10<->11 and 12<->13 share text; keep-first = min doc_id
     texts = {10: "aa", 11: "aa", 12: "bb", 13: "bb", 14: "cc"}
@@ -133,6 +139,7 @@ def test_winner_filter_object_store_no_filesystem(tmp_path, monkeypatch):
         raise AssertionError("winner_filter wrote a side file in object mode")
 
     monkeypatch.setattr("pyarrow.parquet.write_table", boom)
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
     ids = list(range(0, 60))
     ds = ray.data.from_arrow(
         pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]})
@@ -144,14 +151,16 @@ def test_winner_filter_object_store_no_filesystem(tmp_path, monkeypatch):
     assert sorted(r["doc_id"] for r in out) == [i for i in ids if i % 5 == 0]
 
 
-def test_winner_filter_negative_and_random_keys():
+def test_winner_filter_negative_and_random_keys(monkeypatch):
     """Floor-division bucketing: negative keys must land in the SAME bucket
     on the dump and probe sides (ADVICE round-3 medium: pc.divide truncates
     toward zero while numpy // floors — keys like -5 were silently lost).
     Keys arrive in a random (non-monotone) layout to exercise multi-bucket
     probes."""
+    import webextract.functions.dedup as dd
     from webextract.functions.dedup import winner_filter
 
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
     rng = np.random.default_rng(7)
     ids = rng.permutation(np.arange(-50, 50)).astype(np.int64)
     ds = ray.data.from_arrow(
@@ -165,17 +174,19 @@ def test_winner_filter_negative_and_random_keys():
     assert any(k < 0 for k in keep)
 
 
-def test_winner_filter_hash_mode_uniform_buckets():
+def test_winner_filter_hash_mode_uniform_buckets(monkeypatch):
     """mode="hash": SplitMix64 bucketing must (a) keep dump/probe sides
     consistent for positive AND negative keys, (b) spread a pathologically
     narrow key range (all keys inside one range-bucket width) across many
     hash buckets — the skew robustness the mode exists for."""
+    import webextract.functions.dedup as dd
     from webextract.functions.dedup import (
         _hash_bucket_ids,
         publish_buckets,
         winner_filter,
     )
 
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
     rng = np.random.default_rng(11)
     # all keys inside [-40, 60): ONE range bucket at width 2^16, but hash
     # mode must spread them
@@ -207,6 +218,7 @@ def test_winner_filter_have_cap_fallback(monkeypatch):
     import webextract.functions.dedup as dd
 
     monkeypatch.setattr(dd, "_HAVE_CAP", 0)
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
     ids = list(range(200))
     ds = ray.data.from_arrow(
         pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]})
@@ -216,3 +228,48 @@ def test_winner_filter_have_cap_fallback(monkeypatch):
     out = dd.winner_filter(ds, winners, "doc_id", bucket_width=16,
                            concurrency=1).take_all()
     assert sorted(r["doc_id"] for r in out) == keep
+
+
+def test_winner_filter_broadcast_small_path():
+    """Winner sets at or below _SMALL_WINNERS_MAX ship as ONE sorted
+    broadcast block (ArrayIndex) and the filter runs task-based — same
+    results as the bucket path, including negative keys and a random
+    (non-monotone) key layout."""
+    import webextract.functions.dedup as dd
+
+    rng = np.random.default_rng(13)
+    ids = rng.permutation(np.arange(-30, 70)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]})
+    ).repartition(3)
+    keep = sorted(int(i) for i in ids if i % 3 == 0)
+    winners = ray.data.from_arrow(pa.table({"doc_id": keep}))
+    idx = dd.publish_winners(winners, "doc_id")
+    assert isinstance(idx, dd.ArrayIndex)  # under the bound -> broadcast
+    out = dd.winner_filter(ds, winners, "doc_id").take_all()
+    assert sorted(r["doc_id"] for r in out) == keep
+    assert any(k < 0 for k in keep)
+
+
+def test_winner_filter_broadcast_empty_winners():
+    ids = list(range(20))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": [f"p{i}" for i in ids]}))
+    winners = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64())}))
+    from webextract.functions.dedup import winner_filter
+
+    assert winner_filter(ds, winners, "doc_id").count() == 0
+
+
+def test_array_index_membership_exact():
+    from webextract.functions.dedup import ArrayIndex
+
+    arr = np.array([-9, -1, 0, 4, 7, 123456], dtype=np.int64)
+    idx = ArrayIndex(ray.put(arr), arr.size)
+    probe = np.array([-10, -9, -1, 1, 4, 8, 123456, 999999], dtype=np.int64)
+    assert idx.allowed(probe).tolist() == [
+        False, True, True, False, True, False, True, False]
+    empty = ArrayIndex(ray.put(np.empty(0, dtype=np.int64)), 0)
+    assert empty.allowed(probe).tolist() == [False] * probe.size
+    assert idx.allowed(np.empty(0, dtype=np.int64)).size == 0

@@ -81,3 +81,28 @@ def test_stratified_sample_matches_scalar_rule():
     import collections
     per = collections.Counter(out.column("lang").to_pylist())
     assert per["en"] < per["de"] < per["fr"]
+
+
+def test_paragraph_dedup_bucket_path_matches_small_path(tmp_path, monkeypatch):
+    """Force the at-scale branch (keys-only groupby + bucket publish) and
+    assert it reassembles identically to the small broadcast branch."""
+    import pyarrow as pa
+    import ray
+
+    import webextract.functions.dedup as dd
+    from webextract.functions.paragraphs import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a\nb\nc", "b\nd", "a\ne\nb", "x\ny"],
+    })
+
+    def docs_fn():
+        return ray.data.from_arrow(docs).repartition(2)
+
+    small = {r["doc_id"]: r["text"]
+             for r in paragraph_dedup(docs_fn).take_all()}
+    monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)
+    big = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(docs_fn).take_all()}
+    assert small == big == {1: "a\nb\nc", 2: "d", 3: "e", 4: "x\ny"}

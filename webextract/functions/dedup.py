@@ -438,6 +438,78 @@ class BucketIndex:
         return np.isin(keys, np.concatenate(parts))
 
 
+# Small-side broadcast bound: winner sets at or below this many int64 keys
+# (32 MB) skip the bucket-store machinery entirely and ship as ONE
+# ``ray.put`` block — the broadcast semi-join the winner_filter docstring
+# recommends for memory-fitting winner sets, now taken automatically.
+_SMALL_WINNERS_MAX = 1 << 22
+
+
+class ArrayIndex:
+    """Broadcast winner set: one sorted int64 array in the object store.
+
+    Same ``allowed(keys)`` contract as :class:`BucketIndex`, so fused
+    consumers (SemiFilter, LineDedupAssembler) work with either. The ref
+    resolves zero-copy from the local plasma segment on every node, and a
+    sorted ``searchsorted`` probe is O(log n) per key with no Python in
+    the loop. Cluster-safe by construction (object store only)."""
+
+    def __init__(self, ref, size: int):
+        self.ref = ref
+        self.size = size
+        self._arr = None
+
+    def allowed(self, keys: np.ndarray) -> np.ndarray:
+        if self._arr is None:
+            import ray
+
+            self._arr = ray.get(self.ref)
+        arr = self._arr
+        if keys.size == 0 or arr.size == 0:
+            return np.zeros(keys.size, dtype=bool)
+        pos = np.clip(np.searchsorted(arr, keys), 0, arr.size - 1)
+        return arr[pos] == keys
+
+
+def _winners_to_array(winners, key_col: str) -> np.ndarray:
+    """Collect a (small, pre-counted) keys-only winners Dataset to one
+    sorted, deduplicated int64 array via its Arrow block refs — no
+    per-row Python."""
+    import ray
+
+    parts = [np.asarray(t.column(key_col).cast(pa.int64()).combine_chunks())
+             for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def publish_winners(winners, key_col: str, *,
+                    small_max: int | None = None,
+                    tmp_dir: str | None = None,
+                    bucket_width: int = 1 << 16, num_stores: int = 8,
+                    mode: str = "range", num_buckets: int = 1024):
+    """Publish a keys-only winners Dataset for map-side semi-filtering,
+    picking the transport by measured size: at or below ``small_max``
+    keys, one broadcast block (:class:`ArrayIndex` — no bucket stores, no
+    actor spawns, consumers can run as plain tasks on warm workers);
+    above it, the sharded bucket-store path (:func:`publish_buckets`).
+    The winners are materialized either way (keys-only blocks — the
+    bucket path's manifest barrier already implied a full pass)."""
+    import ray
+
+    if small_max is None:  # read at call time so tests can force a path
+        small_max = _SMALL_WINNERS_MAX
+    w = winners.materialize()
+    if w.count() <= small_max:
+        arr = _winners_to_array(w, key_col)
+        return ArrayIndex(ray.put(arr), int(arr.size))
+    return publish_buckets(w, key_col, tmp_dir=tmp_dir,
+                           bucket_width=bucket_width,
+                           num_stores=num_stores, mode=mode,
+                           num_buckets=num_buckets)
+
+
 def publish_buckets(winners, key_col: str, *, tmp_dir: str | None = None,
                     bucket_width: int = 1 << 16,
                     num_stores: int = 8, mode: str = "range",
@@ -547,28 +619,44 @@ def winner_filter(ds, winners, key_col: str, *, tmp_dir: str | None = None,
     traffic ~ one pass over the winner ids. For a RANDOM key layout every
     actor would eventually cache most buckets — at that point prefer a
     broadcast semi-join (winners fit memory) or `functions.joins.hash_join`
-    (they don't); this operator's win is the partition-aligned case.
+    (they don't); this operator's win is the partition-aligned case —
+    and the memory-fitting case is now taken AUTOMATICALLY:
+    :func:`publish_winners` measures the winner count and broadcasts one
+    sorted block (:class:`ArrayIndex`) when it fits, in which case the
+    filter runs as plain tasks on warm workers (no actor-pool spin-up,
+    no bucket stores — at bench scale this is most of the latency).
     """
-    index = publish_buckets(winners, key_col, tmp_dir=tmp_dir,
+    index = publish_winners(winners, key_col, tmp_dir=tmp_dir,
                             bucket_width=bucket_width,
                             num_stores=num_stores, mode=mode,
                             num_buckets=num_buckets)
+    return semi_filter_by_index(ds, index, key_col, concurrency=concurrency)
 
-    class SemiFilter:
-        """Stateful filter around a :class:`BucketIndex` (per-actor
-        bucket cache lives inside the deserialized index copy)."""
 
-        def __init__(self, index: BucketIndex, key_col: str):
-            self.index = index
-            self.key_col = key_col
+class SemiFilter:
+    """Stateful filter around a winner index (per-actor bucket cache
+    lives inside the deserialized :class:`BucketIndex` copy; the
+    :class:`ArrayIndex` variant resolves one broadcast ref per task)."""
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            keys = np.asarray(batch.column(self.key_col).cast(pa.int64())
-                              .combine_chunks())
-            return batch.filter(pa.array(self.index.allowed(keys)))
+    def __init__(self, index, key_col: str):
+        self.index = index
+        self.key_col = key_col
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = np.asarray(batch.column(self.key_col).cast(pa.int64())
+                          .combine_chunks())
+        return batch.filter(pa.array(self.index.allowed(keys)))
+
+
+def semi_filter_by_index(ds, index, key_col: str, *, concurrency=None):
+    """Map-side semi filter for a published winner index. Broadcast
+    (`ArrayIndex`) indexes run task-based; bucket-store indexes keep the
+    actor pool so the per-actor bucket cache amortizes fetches."""
+    if isinstance(index, ArrayIndex):
+        flt = SemiFilter(index, key_col)
+        return ds.map_batches(flt, batch_format="pyarrow")
     return ds.map_batches(
         SemiFilter,
         fn_constructor_kwargs={"index": index, "key_col": key_col},

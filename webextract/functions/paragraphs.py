@@ -51,6 +51,24 @@ _IDX_BITS = 20
 _MAX_LINES = 1 << _IDX_BITS
 _SIGN = 1 << 63
 
+try:  # vectorized 64-bit string hash (equality-only, internal to one run)
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into the env
+    _pl = None
+
+
+def _hash_lines(arr: pa.Array) -> np.ndarray:
+    """int64 content hash per string — vectorized via polars (xxh-based,
+    deterministic for a fixed seed across processes of one run, which is
+    the only contract the two explode passes need); blake2b fallback
+    keeps the function importable without polars."""
+    if _pl is not None:
+        u = _pl.from_arrow(arr).hash(seed=0).to_numpy()
+        return u.view(np.int64)
+    return np.fromiter(
+        (_hash64(u.encode("utf-8")) - _SIGN for u in arr.to_pylist()),
+        dtype=np.int64, count=len(arr))
+
 
 def explode_lines(batch: pa.Table, *, id_col: str = "doc_id",
                   text_col: str = "text",
@@ -80,10 +98,7 @@ def explode_lines(batch: pa.Table, *, id_col: str = "doc_id",
     # hash each UNIQUE line once; signed-int64 wrap keeps Arrow happy —
     # equality is all we need
     de = pc.dictionary_encode(flat)
-    uniq = np.fromiter(
-        (_hash64(u.encode("utf-8")) - _SIGN
-         for u in de.dictionary.to_pylist()),
-        dtype=np.int64, count=len(de.dictionary))
+    uniq = _hash_lines(de.dictionary)
     lfps = uniq[de.indices.to_numpy(zero_copy_only=False)]
     cols = {"okey": pa.array(okeys, type=pa.int64()),
             "lfp": pa.array(lfps, type=pa.int64())}
@@ -142,7 +157,8 @@ def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
     (same twice-read discipline as ``q_dedup_docs_rows``; re-reading a
     pruned parquet column is cheaper than materializing the explode).
     """
-    from webextract.functions.dedup import publish_buckets
+    from webextract.functions.dedup import (
+        _SMALL_WINNERS_MAX, ArrayIndex, publish_winners)
 
     def decide_partial(b: pa.Table) -> pa.Table:
         """Explode + per-batch combiner: one (lfp, min okey) row per
@@ -161,16 +177,42 @@ def paragraph_dedup(docs_fn, *, tmp_dir: str | None = None,
         return pa.table({"lfp": pa.array(lf[first], type=pa.int64()),
                          "okey": pa.array(ok[first], type=pa.int64())})
 
-    decision = docs_fn().map_batches(decide_partial, batch_format="pyarrow")
-    winners = (decision.groupby("lfp").min("okey")
-               .rename_columns({"min(okey)": "okey"})
-               .select_columns(["okey"]))
-    index = publish_buckets(
-        winners, "okey", tmp_dir=tmp_dir,
-        # okey = doc_id << 20: a 2^28-wide bucket spans ~256 doc_ids,
-        # keeping side buckets O(100) not O(10k) at test scale
-        bucket_width=1 << 28,
-    )
+    decision = docs_fn().map_batches(
+        decide_partial, batch_format="pyarrow").materialize()
+    if decision.count() <= _SMALL_WINNERS_MAX:
+        # Small-corpus fast path: the per-batch combiner already folded
+        # each batch to its distinct lines, so when the combined partials
+        # fit one broadcast block (<= 64 MB of two int64 cols) the global
+        # min-per-lfp is a single vectorized driver fold — no groupby
+        # exchange, no bucket stores, and the assembler runs task-based
+        # on warm workers. Above the bound: the keys-only groupby +
+        # sharded bucket publish, unchanged.
+        import ray
+
+        parts = [t for t in ray.get(decision.to_arrow_refs()) if t.num_rows]
+        if parts:
+            t = pa.concat_tables(parts)
+            lf = np.asarray(t.column("lfp").combine_chunks())
+            ok = np.asarray(t.column("okey").combine_chunks())
+            order = np.lexsort((ok, lf))
+            lf, ok = lf[order], ok[order]
+            arr = np.unique(ok[np.r_[True, lf[1:] != lf[:-1]]])
+        else:
+            arr = np.empty(0, dtype=np.int64)
+        index = ArrayIndex(ray.put(arr), int(arr.size))
+    else:
+        winners = (decision.groupby("lfp").min("okey")
+                   .rename_columns({"min(okey)": "okey"})
+                   .select_columns(["okey"]))
+        index = publish_winners(
+            winners, "okey", tmp_dir=tmp_dir,
+            # okey = doc_id << 20: a 2^28-wide bucket spans ~256 doc_ids,
+            # keeping side buckets O(100) not O(10k) at test scale
+            bucket_width=1 << 28,
+        )
+    if isinstance(index, ArrayIndex):
+        return docs_fn().map_batches(
+            LineDedupAssembler(index), batch_format="pyarrow")
     return docs_fn().map_batches(
         LineDedupAssembler,
         fn_constructor_kwargs={"index": index},
