@@ -51,16 +51,26 @@ class _TopKScorer:
     """
 
     def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
-        import ray
-
-        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
-        q = np.asarray(q, dtype=np.float64)
-        self.q = q / (np.linalg.norm(q) or 1.0)
+        self.query_ref = query_ref
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self._q = None  # broadcast ref resolved lazily (zero-copy local
+        # plasma read), so the instance pickles into plain TASKS — no
+        # actor-pool spin-up for a stage whose only state is one ref
+
+    def _query(self) -> np.ndarray:
+        if self._q is None:
+            import ray
+
+            q = (ray.get(self.query_ref)
+                 if not isinstance(self.query_ref, np.ndarray)
+                 else self.query_ref)
+            q = np.asarray(q, dtype=np.float64)
+            self._q = q / (np.linalg.norm(q) or 1.0)
+        return self._q
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.vec_col))
-        scores = m @ self.q
+        scores = m @ self._query()
         k = min(self.k, len(scores))
         idx = np.argpartition(-scores, k - 1)[:k] if k else np.array([], dtype=int)
         ids = batch.column(self.id_col).take(pa.array(idx)).cast(pa.int64())
@@ -80,13 +90,8 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
 
     query_ref = ray.put(np.asarray(query, dtype=np.float64))
     partial = ds.map_batches(
-        _TopKScorer,
-        fn_constructor_kwargs={
-            "query_ref": query_ref, "k": k, "id_col": id_col,
-            "vec_col": vec_col,
-        },
+        _TopKScorer(query_ref, k, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     # Global finish over <= k * n_blocks rows: tiny sort on the EXACT score,
     # deterministic tie-break on id; round only in the final projection.
@@ -131,17 +136,22 @@ def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 class LshBucketer:
     """Batch UDF: add `bucket` column from seeded hyperplane LSH.
 
-    Hyperplanes are derived deterministically from (dim, n_planes) in
-    __init__ — identical on every actor without any broadcast traffic.
+    Hyperplanes are derived deterministically from (dim, n_planes), built
+    lazily once per worker process — identical everywhere without any
+    broadcast traffic, and cheap enough that the stage runs as plain
+    tasks (pass an instance).
     """
 
     def __init__(self, dim: int, n_planes: int = 8, vec_col: str = "embedding"):
-        self.planes = _hyperplanes(dim, n_planes)
+        self.dim, self.n_planes = dim, n_planes
         self.vec_col = vec_col
+        self._planes = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._planes is None:
+            self._planes = _hyperplanes(self.dim, self.n_planes)
         m = _batch_matrix(batch, self.vec_col)
-        buckets = lsh_bucket_of(m, self.planes) if len(m) else np.array([], dtype=np.int64)
+        buckets = lsh_bucket_of(m, self._planes) if len(m) else np.array([], dtype=np.int64)
         return batch.append_column("bucket", pa.array(buckets, type=pa.int64()))
 
 
@@ -166,10 +176,8 @@ def topk_cosine_lsh(ds, query: np.ndarray, k: int = 10, *, dim: Optional[int] = 
     probe = [qbucket] + [qbucket ^ (1 << int(i)) for i in flips]
     expr = f"bucket in [{', '.join(str(b) for b in sorted(set(probe)))}]"
     bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
+        LshBucketer(dim=dim, n_planes=n_planes, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     ).filter(expr=expr)
     return topk_cosine(bucketed, q, k, id_col=id_col, vec_col=vec_col,
                        round_to=round_to, concurrency=concurrency)
@@ -196,17 +204,26 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
 class IvfBucketer:
     """Batch UDF: add `centroid` = nearest-centroid index per row.
 
-    Centroids are broadcast ONCE via ray.put (never re-shipped per batch).
+    Centroids are broadcast ONCE via ray.put (never re-shipped per batch);
+    the ref resolves lazily per worker so the stage runs as plain tasks.
     """
 
     def __init__(self, centroids_ref, vec_col: str = "embedding"):
-        import ray
-
-        self.centroids = (
-            centroids_ref if isinstance(centroids_ref, np.ndarray)
-            else ray.get(centroids_ref)
-        )
+        self.centroids_ref = centroids_ref
         self.vec_col = vec_col
+        self._centroids = None
+
+    @property
+    def centroids(self) -> np.ndarray:
+        if self._centroids is None:
+            import ray
+
+            self._centroids = (
+                self.centroids_ref
+                if isinstance(self.centroids_ref, np.ndarray)
+                else ray.get(self.centroids_ref)
+            )
+        return self._centroids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.vec_col)
@@ -250,10 +267,8 @@ def topk_cosine_ivf(ds, query: np.ndarray, k: int = 10, *, n_centroids: int = 16
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(qd)[:nprobe].tolist()
     bucketed = ds.map_batches(
-        IvfBucketer,
-        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_col": vec_col},
+        IvfBucketer(cent_ref, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     ).filter(expr=f"centroid in [{', '.join(str(int(p)) for p in probe)}]")
     return topk_cosine(bucketed, q, k, id_col=id_col, vec_col=vec_col,
                        round_to=round_to, concurrency=concurrency)
@@ -301,10 +316,8 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
         )
 
     bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
+        LshBucketer(dim=dim, n_planes=n_planes, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).max("cosine").rename_columns(
@@ -348,9 +361,12 @@ def knn_label_stats(ds, *, id_col: str = "vec_id",
 
     class Probe:
         def __init__(self, bref):
-            self.ids, self.labels, self.mat = ray.get(bref)
+            self.bref = bref
+            self.ids = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.ids is None:  # lazy broadcast resolve -> task-based
+                self.ids, self.labels, self.mat = ray.get(self.bref)
             m = _normalize(_batch_matrix(batch, vec_col))
             bids = np.asarray(batch.column(id_col).to_pylist(),
                               dtype=np.int64)
@@ -370,8 +386,7 @@ def knn_label_stats(ds, *, id_col: str = "vec_id",
             })
 
     probed = ds.select_columns([id_col, vec_col, label_col]).map_batches(
-        Probe, fn_constructor_kwargs={"bref": bref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        Probe(bref), batch_format="pyarrow",
     )
     return (
         probed.groupby("label")

@@ -224,11 +224,8 @@ def _op_minhash(ds, *, text_col: str = "text", num_perm: int = 64,
     from webextract.functions.dedup import MinHasher
 
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "bands": bands,
-                               "text_col": text_col},
+        MinHasher(num_perm=num_perm, k=k, bands=bands, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 

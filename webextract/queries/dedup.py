@@ -6,7 +6,7 @@ See webextract/queries/__init__.py for the assembled surface.
 from __future__ import annotations
 
 import pyarrow as pa
-from webextract.queries._shared import _conc, _docs
+from webextract.queries._shared import _docs
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +109,7 @@ def q_minhash_signatures(sf_dir: str):
     from webextract.functions.dedup import MinHasher
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=_conc()
+        MinHasher(), batch_format="pyarrow"
     )
 
     def project(b: pa.Table) -> pa.Table:
