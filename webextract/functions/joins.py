@@ -24,58 +24,63 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _dedup_last_wins(small: pa.Table, key: str) -> pa.Table:
+    """Keep only the LAST occurrence of each small-side key (the
+    dict-overwrite semantics broadcast_join documents), vectorized:
+    dictionary-encode the key column, then a fancy store — for duplicate
+    indices numpy keeps the last write — records each code's final row."""
+    import numpy as np
+
+    de = pc.dictionary_encode(small.column(key).combine_chunks())
+    codes = de.indices.to_numpy(zero_copy_only=False)
+    if len(de.dictionary) == len(small):
+        return small
+    last = np.empty(len(de.dictionary), dtype=np.int64)
+    last[codes] = np.arange(len(small), dtype=np.int64)
+    return small.take(pa.array(np.sort(last)))
+
+
+class _BroadcastJoiner:
+    """Vectorized probe: pc.index_in against the broadcast key array,
+    then take() the value columns (a null index yields a null row — the
+    left-join miss), no per-row Python. The broadcast ref resolves
+    lazily (zero-copy from local plasma), so the stage runs as plain
+    tasks on warm workers."""
+
+    def __init__(self, ref, key, value_cols):
+        self.ref, self.key, self.value_cols = ref, key, value_cols
+        self._keys = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._keys is None:
+            import ray
+
+            small = ray.get(self.ref)
+            self._keys = small.column(self.key).combine_chunks()
+            self._values = {c: small.column(c).combine_chunks()
+                            for c in self.value_cols}
+        idx = pc.index_in(batch.column(self.key).combine_chunks(),
+                          value_set=self._keys)
+        for c in self.value_cols:
+            batch = batch.append_column(c, self._values[c].take(idx))
+        return batch
+
+
 def broadcast_join(ds, small_table: pa.Table, *, key: str,
                    value_cols: Optional[List[str]] = None, concurrency=(1, 4)):
     """Enrich `ds` rows with columns from `small_table` matched on `key`
-    (left join; misses become nulls). Small side crosses the cluster once."""
+    (left join; misses become nulls). Small side crosses the cluster once;
+    duplicate small-side keys resolve last-occurrence-wins (deduped ONCE
+    on the driver before the broadcast, not per consumer)."""
     import ray
 
     value_cols = value_cols or [c for c in small_table.column_names if c != key]
-    ref = ray.put(small_table.select([key] + value_cols).combine_chunks())
-
-    class Joiner:
-        """Vectorized probe: pc.index_in against the broadcast key array,
-        then take() the value columns (a null index yields a null row —
-        the left-join miss), no per-row Python."""
-
-        def __init__(self, ref, key, value_cols):
-            small = ray.get(ref)
-            self.keys = small.column(key).combine_chunks()
-            # duplicate small-side keys: LAST occurrence wins (the
-            # dict-overwrite semantics of the pre-vectorized version);
-            # drop earlier duplicates so index_in's first match IS the
-            # last logical occurrence
-            import numpy as np
-
-            seen = set()
-            dup = np.zeros(len(self.keys), dtype=bool)
-            for i in range(len(self.keys) - 1, -1, -1):
-                k = self.keys[i].as_py()
-                if k in seen:
-                    dup[i] = True
-                seen.add(k)
-            if dup.any():
-                keep = pa.array(~dup)
-                small = small.filter(keep)
-                self.keys = small.column(key).combine_chunks()
-            self.values = {c: small.column(c).combine_chunks()
-                           for c in value_cols}
-            self.key = key
-            self.value_cols = value_cols
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch.column(self.key).combine_chunks(),
-                              value_set=self.keys)
-            for c in self.value_cols:
-                batch = batch.append_column(c, self.values[c].take(idx))
-            return batch
-
+    small = _dedup_last_wins(
+        small_table.select([key] + value_cols).combine_chunks(), key)
+    ref = ray.put(small)
     return ds.map_batches(
-        Joiner,
-        fn_constructor_kwargs={"ref": ref, "key": key,
-                               "value_cols": value_cols},
+        _BroadcastJoiner(ref, key, value_cols),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 

@@ -205,12 +205,17 @@ def top_k_words(ds, text_col: str = "text", k: int = 10,
 
     class CountWords:
         """Per-batch local counts; `cands=None` counts the full vocabulary
-        (exact fallback), otherwise only the broadcast candidate set."""
+        (exact fallback), otherwise only the broadcast candidate set
+        (resolved lazily so the stage runs task-based)."""
 
         def __init__(self, ref):
-            self.cands = ray.get(ref) if ref is not None else None
+            self.ref = ref
+            self._resolved = False
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self._resolved:
+                self.cands = ray.get(self.ref) if self.ref is not None else None
+                self._resolved = True
             local: dict = {}
             cands = self.cands
             for t in batch.column(text_col).to_pylist():
@@ -248,8 +253,7 @@ def top_k_words(ds, text_col: str = "text", k: int = 10,
         cand_ref = None
 
     counted = (
-        ds.map_batches(CountWords, fn_constructor_kwargs={"ref": cand_ref},
-                       batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(CountWords(cand_ref), batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n"))
         .rename_columns({"sum(n)": "n"})

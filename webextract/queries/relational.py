@@ -224,10 +224,7 @@ def q_pii_recall(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         plant, batch_format="pyarrow"
     ).map_batches(
-        PiiScanner,
-        fn_constructor_kwargs={"redact_col": False},
-        batch_format="pyarrow",
-        concurrency=_conc(),
+        PiiScanner(redact_col=False), batch_format="pyarrow",
     )
 
     def project(b: pa.Table) -> pa.Table:
@@ -871,10 +868,8 @@ def q_seq_decode(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(encode, batch_format="pyarrow")
         .map_batches(
-            SeqDecodeUDF,
-            fn_constructor_kwargs={"kind": "attn", "charset": charset},
+            SeqDecodeUDF(kind="attn", charset=charset),
             batch_format="pyarrow",
-            concurrency=_conc(),
         )
         .select_columns(["doc_id", "text"])
     )

@@ -158,10 +158,7 @@ def q_pii_scan(sf_dir: str):
     from webextract.functions.pii import PiiScanner
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        PiiScanner,
-        fn_constructor_kwargs={"redact_col": False},
-        batch_format="pyarrow",
-        concurrency=_conc(),
+        PiiScanner(redact_col=False), batch_format="pyarrow",
     )
 
     def project(b: pa.Table) -> pa.Table:

@@ -630,8 +630,7 @@ def q_pii_extract(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(plant, batch_format="pyarrow")
-        .map_batches(PiiScanner, fn_constructor_kwargs={"redact_col": False},
-                     batch_format="pyarrow", concurrency=_conc())
+        .map_batches(PiiScanner(redact_col=False), batch_format="pyarrow")
         .map_batches(explode, batch_format="pyarrow")
     )
 
@@ -984,12 +983,14 @@ def q_docs_token_ids(sf_dir: str):
 
     class Encoder:
         def __init__(self, ref):
-            import ray as _ray
-
-            v = _ray.get(ref)
-            self.words = v.column("word").combine_chunks()
+            self.ref = ref
+            self.words = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.words is None:  # lazy broadcast resolve -> task-based
+                import ray as _ray
+
+                self.words = _ray.get(self.ref).column("word").combine_chunks()
             ids = b.column("doc_id").to_pylist()
             texts = b.column("text").to_pylist()
             o_id, o_pos, o_w = [], [], []
@@ -1007,8 +1008,7 @@ def q_docs_token_ids(sf_dir: str):
             })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Encoder, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=_conc())
+        Encoder(ref), batch_format="pyarrow")
 
 
 _SQL_DOCS_TOKEN_IDS = """

@@ -102,7 +102,6 @@ def extract_links(pages, *, id_col: str = "doc_id",
     anchor). Pruned to the two needed columns before the actor pool so
     page payloads stop at the extractor."""
     return pages.select_columns([id_col, "html"]).map_batches(
-        LinkExtractor, batch_format="pyarrow", concurrency=concurrency,
-        batch_size=batch_size,
-        fn_constructor_kwargs={"id_col": id_col, "id_type": id_type},
+        LinkExtractor(id_col=id_col, id_type=id_type),
+        batch_format="pyarrow", batch_size=batch_size,
     )
