@@ -150,18 +150,36 @@ def bpe_apply_counts(ds, merges: List[tuple], *, text_col: str = "text",
     triples = [(left, right, left + right) for left, right in merges]
 
     def apply(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        counts: List[int] = []
-        for t in b.column(text_col).to_pylist():
-            n = 0
-            for w in (t or "").split(" "):
-                rep = " ".join(w)
-                for left, right, merged in triples:
-                    rep = merge_rep(rep, left, right, merged)
-                n += rep.count(" ") + 1
-            counts.append(n)
+        """Merge chain per UNIQUE word in the batch (dictionary-encode
+        first — crawl text is Zipfian, so uniques << occurrences), then
+        gather + one reduceat for the per-doc sums."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_subwords": pa.array([], type=pa.int64()),
+            })
+        texts = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        lists = pc.split_pattern(texts, " ")  # == (t or "").split(" ")
+        nwords = lists.value_lengths().to_numpy(zero_copy_only=False)
+        de = pc.dictionary_encode(lists.flatten())
+        uniq = de.dictionary.to_pylist()
+        toks = np.empty(len(uniq), dtype=np.int64)
+        for i, w in enumerate(uniq):
+            rep = " ".join(w)
+            for left, right, merged in triples:
+                rep = merge_rep(rep, left, right, merged)
+            toks[i] = rep.count(" ") + 1
+        per_word = toks[de.indices.to_numpy(zero_copy_only=False)]
+        # split(" ") yields at least [""] per doc, so every segment is
+        # non-empty and reduceat's starts are strictly increasing
+        starts = np.zeros(b.num_rows, dtype=np.int64)
+        np.cumsum(nwords[:-1], out=starts[1:])
+        counts = np.add.reduceat(per_word, starts)
         return pa.table({
-            id_col: pa.array(ids, type=pa.int64()),
+            id_col: b.column(id_col).cast(pa.int64()),
             "n_subwords": pa.array(counts, type=pa.int64()),
         })
 

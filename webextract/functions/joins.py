@@ -20,8 +20,43 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# Hash-partition fan-out for the join combine: equal keys co-locate in
+# one of this many groups, each joined in ONE vectorized pass. Equal to
+# a typical reduce-side task count; the exchange itself is unchanged
+# (the padded key+payload rows move exactly once either way).
+_NUM_JOIN_PARTS = 64
+
+
+def _key_hash_u64(arr) -> "np.ndarray":
+    """uint64 hash per key for partition routing — vectorized SplitMix64
+    for integer-like keys, polars' vectorized string hash otherwise
+    (deterministic for a fixed seed within one run, which is all
+    partition routing needs). Falls back to a string cast for exotic
+    types."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if (pa.types.is_integer(t) or pa.types.is_date(t)
+            or pa.types.is_timestamp(t) or pa.types.is_boolean(t)):
+        x = np.asarray(arr.cast(pa.int64())).astype(np.uint64)
+        return _splitmix64(x)
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        arr = arr.cast(pa.string())
+    try:
+        import polars as pl
+
+        return pl.from_arrow(arr).hash(seed=0).to_numpy()
+    except ImportError:  # pragma: no cover - polars is baked in
+        import zlib
+
+        return _splitmix64(np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) if s is not None else 0
+             for s in arr.to_pylist()),
+            dtype=np.uint64, count=len(arr)))
 
 
 def _dedup_last_wins(small: pa.Table, key: str) -> pa.Table:
@@ -202,69 +237,125 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
 
     out_l_names = [on] + payload_l
 
-    def join_group(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            names = out_l_names if how in ("semi", "anti") else \
-                [on] + payload_l + payload_r
-            return pa.Table.from_arrays(
-                [pa.nulls(0, type=types[c]) for c in names], names=names
-            )
-        src = group.column("_src").to_pylist()
-        li = [i for i, s in enumerate(src) if s == 0]
-        ri = [i for i, s in enumerate(src) if s == 1]
-        if how in ("semi", "anti"):
-            keep = li if (bool(ri) == (how == "semi")) else []
-            idx = pa.array(keep, type=pa.int64())
-            arrays = [group.column(on).take(idx)]
-            names = [on]
-            for c in payload_l:
-                arrays.append(group.column(c).take(idx))
-                names.append(c)
-            return pa.Table.from_arrays(arrays, names=names)
-        if not li and how in ("full", "right"):  # right-only key: null left
-            idx = pa.array(ri, type=pa.int64())
-            arrays = [group.column(on).take(idx)]
-            for c in payload_l:
-                arrays.append(pa.nulls(len(ri), type=types[c]))
-            for c in payload_r:
-                arrays.append(group.column(c).take(idx))
-            return pa.Table.from_arrays(
-                arrays, names=[on] + payload_l + payload_r)
-        if not li or (not ri and how in ("inner", "right")):
-            return pa.Table.from_arrays(
-                [pa.nulls(0, type=types[c]) for c in [on] + payload_l + payload_r],
-                names=[on] + payload_l + payload_r,
-            )
-        if not ri:  # how left/full: unmatched keys keep left rows, null right
-            idx = pa.array(li, type=pa.int64())
-            arrays = [group.column(on).take(idx)]
-            for c in payload_l:
-                arrays.append(group.column(c).take(idx))
-            for c in payload_r:
-                arrays.append(pa.nulls(len(li), type=types[c]))
-            return pa.Table.from_arrays(
-                arrays, names=[on] + payload_l + payload_r)
-        if len(li) * len(ri) > max_group:
-            raise ValueError(
-                f"hash_join: key {group.column(on)[0].as_py()!r} cross product "
-                f"{len(li)}x{len(ri)} exceeds max_group={max_group}; "
-                "pre-aggregate a side, use broadcast_join, or salt the key"
-            )
-        # cross product: repeat left rows x tile right rows
-        idx_l = pa.array([i for i in li for _ in ri], type=pa.int64())
-        idx_r = pa.array([j for _ in li for j in ri], type=pa.int64())
-        out_arrays = [group.column(on).take(idx_l)]
-        out_names = [on]
-        for c in payload_l:
-            out_arrays.append(group.column(c).take(idx_l))
-            out_names.append(c)
-        for c in payload_r:
-            out_arrays.append(group.column(c).take(idx_r))
-            out_names.append(c)
-        return pa.Table.from_arrays(out_arrays, names=out_names)
+    # --- partition-vectorized combine (round-4 rewrite) -------------------
+    # groupby(on).map_groups invoked a Python UDF once PER KEY — a
+    # 100k-key join paid 100k slice+comprehension rounds. Instead the
+    # union is hash-partitioned into `_NUM_JOIN_PARTS` groups (SplitMix64
+    # of the key, so equal keys co-locate exactly like the per-key
+    # grouping did) and each PARTITION is joined in one vectorized pass:
+    # sort by (key, _src), run-length boundaries via one not_equal over
+    # adjacent rows, and the per-key cross products materialized with
+    # numpy repeat/arange index arithmetic — no per-key Python at all.
 
-    joined = unioned.groupby(on).map_groups(join_group,
-                                            batch_format="pyarrow")
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_part", pa.array([], type=pa.int64()))
+        part = (_key_hash_u64(batch.column(on))
+                % np.uint64(_NUM_JOIN_PARTS)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part, type=pa.int64()))
+
+    out_full_names = [on] + payload_l + payload_r
+
+    def _typed_empty(names):
+        return pa.Table.from_arrays(
+            [pa.nulls(0, type=types[c]) for c in names], names=names)
+
+    def _gather(t: pa.Table, idx: np.ndarray, *, take_l: bool,
+                take_r: bool = False):
+        """One side's rows at `idx`, the other side's payload as nulls."""
+        ia = pa.array(idx, type=pa.int64())
+        arrays = [t.column(on).take(ia)]
+        for c in payload_l:
+            arrays.append(t.column(c).take(ia) if take_l
+                          else pa.nulls(idx.size, type=types[c]))
+        names = [on] + payload_l
+        if how not in ("semi", "anti"):
+            for c in payload_r:
+                arrays.append(t.column(c).take(ia) if take_r
+                              else pa.nulls(idx.size, type=types[c]))
+            names = out_full_names
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Concatenated [s, s+c) ranges, vectorized."""
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        offs = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        return (np.repeat(starts, counts)
+                + (np.arange(total, dtype=np.int64) - np.repeat(offs, counts)))
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        out_names = out_l_names if how in ("semi", "anti") else out_full_names
+        if part.num_rows == 0:
+            return _typed_empty(out_names)
+        order = pc.sort_indices(
+            part, sort_keys=[(on, "ascending"), ("_src", "ascending")])
+        t = part.take(order)
+        n = t.num_rows
+        key = t.column(on).combine_chunks()
+        src = np.asarray(t.column("_src").combine_chunks(), dtype=np.int64)
+        if n == 1:
+            neq = np.empty(0, dtype=bool)
+        else:
+            neq = np.asarray(pc.not_equal(key.slice(1), key.slice(0, n - 1)))
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        ends = np.r_[starts[1:], n].astype(np.int64)
+        csum = np.r_[0, np.cumsum(src)]
+        r_cnt = csum[ends] - csum[starts]
+        l_cnt = (ends - starts) - r_cnt
+        l_start, r_start = starts, starts + l_cnt
+
+        if how in ("semi", "anti"):
+            keep = (l_cnt > 0) & ((r_cnt > 0) == (how == "semi"))
+            idx = _ranges(l_start[keep], l_cnt[keep])
+            return _gather(t, idx, take_l=True)
+
+        matched = (l_cnt > 0) & (r_cnt > 0)
+        nout = l_cnt[matched] * r_cnt[matched]
+        bad = np.nonzero(nout > max_group)[0]
+        if bad.size:
+            run = np.nonzero(matched)[0][bad[0]]
+            raise ValueError(
+                f"hash_join: key {key[int(l_start[run])].as_py()!r} cross "
+                f"product {int(l_cnt[run])}x{int(r_cnt[run])} exceeds "
+                f"max_group={max_group}; pre-aggregate a side, use "
+                "broadcast_join, or salt the key")
+        pieces = []
+        total = int(nout.sum())
+        if total:
+            offs = np.zeros(len(nout), dtype=np.int64)
+            np.cumsum(nout[:-1], out=offs[1:])
+            jg = (np.arange(total, dtype=np.int64) - np.repeat(offs, nout))
+            rcr = np.repeat(r_cnt[matched], nout)
+            idx_l = np.repeat(l_start[matched], nout) + jg // rcr
+            idx_r = np.repeat(r_start[matched], nout) + jg % rcr
+            ia_l = pa.array(idx_l, type=pa.int64())
+            ia_r = pa.array(idx_r, type=pa.int64())
+            arrays = [t.column(on).take(ia_l)]
+            for c in payload_l:
+                arrays.append(t.column(c).take(ia_l))
+            for c in payload_r:
+                arrays.append(t.column(c).take(ia_r))
+            pieces.append(pa.Table.from_arrays(arrays, names=out_full_names))
+        if how in ("left", "full"):
+            lx = (l_cnt > 0) & (r_cnt == 0)
+            if lx.any():
+                pieces.append(_gather(t, _ranges(l_start[lx], l_cnt[lx]),
+                                      take_l=True))
+        if how in ("right", "full"):
+            rx = (r_cnt > 0) & (l_cnt == 0)
+            if rx.any():
+                pieces.append(_gather(t, _ranges(r_start[rx], r_cnt[rx]),
+                                      take_l=False, take_r=True))
+        if not pieces:
+            return _typed_empty(out_names)
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    joined = (unioned.map_batches(add_part, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(join_partition, batch_format="pyarrow"))
 
     # Unmatched NULL-keyed rows for the join shapes that keep them.
     semi_shape = how in ("semi", "anti")
