@@ -113,13 +113,15 @@ def q_minhash_signatures(sf_dir: str):
     )
 
     def project(b: pa.Table) -> pa.Table:
-        sig0 = [int(s[0]) for s in b.column("minhash").to_pylist()]
-        band0 = [int(k[0]) for k in b.column("band_key").to_pylist()]
+        import pyarrow.compute as pc
+
+        # first signature / band-key element per row, vectorized (no
+        # per-row Python): list_element is an O(n) offset gather
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
-                "sig0": pa.array(sig0, type=pa.int64()),
-                "band0": pa.array(band0, type=pa.int64()),
+                "sig0": pc.list_element(b.column("minhash"), 0).cast(pa.int64()),
+                "band0": pc.list_element(b.column("band_key"), 0).cast(pa.int64()),
             }
         )
 

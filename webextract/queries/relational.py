@@ -5,6 +5,7 @@ See webextract/queries/__init__.py for the assembled surface.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -338,42 +339,51 @@ def q_top_docs_by_len(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1h window per event_type (count + int bounds; no float sums)."""
+    """Tumbling 1h window per event_type (count + int bounds; no float sums).
+
+    Count/min/max are associative, so the finish is a TWO-LEVEL TREE
+    COMBINE (map-side partial groupby, then two narrow repartition +
+    local-combine stages) instead of the sort-based Aggregate all-to-all —
+    same rows, ~2 s less fixed cost at bench scale (the host_stats
+    pattern). Contract: the distinct (event_type, window_start) set must
+    fit one worker heap — event-types x hours, bounded by construction;
+    for unbounded keys use groupby().aggregate(...) as before.
+    """
     import ray.data
-    from ray.data.aggregate import Count, Max, Min
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
     )
+    keys = ["event_type", "window_start"]
 
-    def trunc(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "window_start",
-            pc.floor_temporal(b.column("ts"), unit="hour").cast(pa.timestamp("us")),
-        ).drop_columns(["ts"])
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "window_start": pc.floor_temporal(
+                b.column("ts"), unit="hour").cast(pa.timestamp("us")),
+            "n_events": pa.array(
+                np.ones(b.num_rows, dtype=np.int64)),
+            "first_event": b.column("event_id"),
+            "last_event": b.column("event_id"),
+        })
+        g = t.group_by(keys).aggregate(
+            [("n_events", "sum"), ("first_event", "min"),
+             ("last_event", "max")])
+        return g.rename_columns(
+            keys + ["n_events", "first_event", "last_event"])
 
-    out = (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(), Min("event_id"), Max("event_id"))
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [("n_events", "sum"), ("first_event", "min"),
+             ("last_event", "max")])
+        return g.rename_columns(
+            keys + ["n_events", "first_event", "last_event"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(4).map_batches(combine, batch_format="pyarrow")
+        .repartition(1).map_batches(combine, batch_format="pyarrow")
     )
-    out = out.rename_columns(
-        {
-            "count()": "n_events",
-            "min(event_id)": "first_event",
-            "max(event_id)": "last_event",
-        }
-    )
-
-    def recast(b: pa.Table) -> pa.Table:
-        # Ray's aggregate path downcasts timestamps to [s]; restore [us] so
-        # the Arrow schema matches the DuckDB oracle exactly.
-        i = b.schema.get_field_index("window_start")
-        return b.set_column(
-            i, "window_start", b.column("window_start").cast(pa.timestamp("us"))
-        )
-
-    return out.map_batches(recast, batch_format="pyarrow")
 
 
 def q_chunk_documents(sf_dir: str):
