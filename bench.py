@@ -95,18 +95,27 @@ def run_host_stats(corpus_path: str) -> float:
 
     Pre-aggregates inside map_batches (the combiner pattern) so the
     exchange moves one row per (block, host) instead of one per document,
-    then finishes with a TWO-LEVEL TREE COMBINE (repartition + local
-    groupby twice) instead of the sort-based Aggregate — int64 sums are
-    order-independent, and for host-grade group counts the tree's two
-    narrow exchanges beat the all-to-all's fixed cost ~3x (measured 5.1
-    -> 1.4 s at 100k docs / 44 read blocks). Constraint: the final level
-    runs in ONE task, so the distinct-host set must fit a worker heap —
-    for key sets beyond that, use groupby().aggregate(Sum...) (the
-    general hash/sort exchange), same results.
+    then finishes with the MEASURED tree combine
+    (webextract/functions/treeagg.tree_combine): the tiny partial output
+    is counted in the object store, the two-level narrow-repartition tree
+    runs when the distinct-host set fits one task (~3x faster than the
+    sort-based Aggregate's fixed cost — measured 5.1 -> 1.4 s at 100k
+    docs / 44 read blocks), and a distributed groupby().aggregate(Sum...)
+    finish takes over above the bound (web-scale host sets) — same rows
+    either way, no caller-trusted heap contract.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
+
+    from webextract.functions.treeagg import tree_combine
+
+    def _regroup(t: pa.Table) -> pa.Table:
+        # select aggregate columns BY NAME: pyarrow versions disagree on
+        # whether group keys come first or last in aggregate output
+        g = t.group_by("host").aggregate([("n", "sum"), ("bytes", "sum")])
+        return g.select(["host", "n_sum", "bytes_sum"]).rename_columns(
+            ["host", "n", "bytes"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hosts = pc.extract_regex(batch.column("url"), r"https://(?P<host>[^/]+)/")
@@ -114,19 +123,19 @@ def run_host_stats(corpus_path: str) -> float:
         sizes = pc.binary_length(batch.column("html")).cast(pa.int64())
         t = pa.table({"host": host, "n": pa.array([1] * batch.num_rows, type=pa.int64()),
                       "bytes": sizes})
-        return t.group_by("host").aggregate([("n", "sum"), ("bytes", "sum")]).rename_columns(
-            ["host", "n", "bytes"])
+        return _regroup(t)
 
-    def combine(batch: pa.Table) -> pa.Table:
-        return batch.group_by("host").aggregate(
-            [("n", "sum"), ("bytes", "sum")]).rename_columns(
-            ["host", "n", "bytes"])
+    def agg_fallback(p):
+        from ray.data.aggregate import Sum
+
+        return p.groupby("host").aggregate(
+            Sum("n", alias_name="n"), Sum("bytes", alias_name="bytes"))
 
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .repartition(4).map_batches(combine, batch_format="pyarrow")
-           .repartition(1).map_batches(combine, batch_format="pyarrow"))
+    out = tree_combine(ds.map_batches(partial, batch_format="pyarrow"),
+                       _regroup, agg_fallback=agg_fallback,
+                       what="host_stats")
     for _ in out.iter_batches(batch_size=8192, batch_format="pyarrow"):
         pass
     return round(time.perf_counter() - t0, 3)

@@ -95,13 +95,14 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
     )
 
     # Global finish over <= k * n_blocks rows: top-k is associative under a
-    # fixed ordering (EXACT score desc, id asc tie-break), so a TWO-LEVEL
-    # TREE COMBINE (narrow repartition + local top-k twice) replaces the
-    # sort-based AllToAll — same rows, ~2 s less fixed cost at bench scale
-    # (the host_stats pattern). Each level-1 task emits <= k rows, so the
-    # final task sees <= 4k rows regardless of corpus size; round only in
-    # the final projection ("round only at the end",
-    # det_base_postprocess.py:110-128).
+    # fixed ordering (EXACT score desc, id asc tie-break), so the finish is
+    # the MEASURED tree combine (treeagg.tree_combine: materialize+count the
+    # partial rows, two narrow repartition + whole-block local top-k levels
+    # when they fit one task, distributed sort().limit(k) above the bound)
+    # — same rows, ~2 s less fixed cost than the sort-based AllToAll at
+    # bench scale. batch_size=None is pinned inside tree_combine: the
+    # combine is only correct over ENTIRE blocks. Round only in the final
+    # projection ("round only at the end", det_base_postprocess.py:110-128).
     def local_topk(b: pa.Table) -> pa.Table:
         # always sort (tiny tables): the final level's output keeps the
         # score-descending order the top-k contract promises
@@ -109,10 +110,13 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
             b, sort_keys=[("score", "descending"), (id_col, "ascending")])
         return b.take(idx.slice(0, min(k, b.num_rows)))
 
-    out = (partial.repartition(4)
-           .map_batches(local_topk, batch_format="pyarrow")
-           .repartition(1)
-           .map_batches(local_topk, batch_format="pyarrow"))
+    from webextract.functions.treeagg import tree_combine
+
+    out = tree_combine(
+        partial, local_topk,
+        agg_fallback=lambda p: p.sort(
+            ["score", id_col], descending=[True, False]).limit(k),
+        what="topk_cosine")
 
     def rnd(b: pa.Table) -> pa.Table:
         i = b.schema.get_field_index("score")

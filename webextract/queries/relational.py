@@ -341,13 +341,13 @@ def q_top_docs_by_len(sf_dir: str):
 def q_events_window(sf_dir: str):
     """Tumbling 1h window per event_type (count + int bounds; no float sums).
 
-    Count/min/max are associative, so the finish is a TWO-LEVEL TREE
-    COMBINE (map-side partial groupby, then two narrow repartition +
-    local-combine stages) instead of the sort-based Aggregate all-to-all —
-    same rows, ~2 s less fixed cost at bench scale (the host_stats
-    pattern). Contract: the distinct (event_type, window_start) set must
-    fit one worker heap — event-types x hours, bounded by construction;
-    for unbounded keys use groupby().aggregate(...) as before.
+    Count/min/max are associative, so the finish is the MEASURED tree
+    combine (functions/treeagg.tree_combine): map-side partial groupby,
+    a materialize+count of the tiny partial output, then either the
+    two-level narrow-repartition tree (distinct key set fits one task —
+    event-types x hours here) or the distributed hash aggregate over the
+    same partials (unbounded keys) — same rows either way, no
+    caller-trusted heap contract.
     """
     import ray.data
 
@@ -355,6 +355,17 @@ def q_events_window(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id"]
     )
     keys = ["event_type", "window_start"]
+    # aggregate output column names from pa.Table.group_by — selecting BY
+    # NAME (not position) so key/aggregate column ordering differences
+    # across pyarrow versions cannot silently shuffle data between columns
+    agg_cols = ["n_events_sum", "first_event_min", "last_event_max"]
+    out_cols = ["n_events", "first_event", "last_event"]
+
+    def _regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [("n_events", "sum"), ("first_event", "min"),
+             ("last_event", "max")])
+        return g.select(keys + agg_cols).rename_columns(keys + out_cols)
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({
@@ -366,24 +377,21 @@ def q_events_window(sf_dir: str):
             "first_event": b.column("event_id"),
             "last_event": b.column("event_id"),
         })
-        g = t.group_by(keys).aggregate(
-            [("n_events", "sum"), ("first_event", "min"),
-             ("last_event", "max")])
-        return g.rename_columns(
-            keys + ["n_events", "first_event", "last_event"])
+        return _regroup(t)
 
-    def combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(keys).aggregate(
-            [("n_events", "sum"), ("first_event", "min"),
-             ("last_event", "max")])
-        return g.rename_columns(
-            keys + ["n_events", "first_event", "last_event"])
+    def agg_fallback(p):
+        from ray.data.aggregate import Max, Min, Sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(4).map_batches(combine, batch_format="pyarrow")
-        .repartition(1).map_batches(combine, batch_format="pyarrow")
-    )
+        return p.groupby(keys).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Min("first_event", alias_name="first_event"),
+            Max("last_event", alias_name="last_event"))
+
+    from webextract.functions.treeagg import tree_combine
+
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        _regroup, agg_fallback=agg_fallback, what="q_events_window")
 
 
 def q_chunk_documents(sf_dir: str):
