@@ -105,6 +105,34 @@ def test_splitmix_sql_matches_python_mixer():
         assert host == host_of(int(doc_id))
 
 
+def test_all_driver_folds_are_guarded():
+    """Scale contract, tightened (round-4 judge task 1): the round-3 scan
+    only caught USER-GRADE keys, so a histogram fold over an unexpectedly
+    wide value column could still OOM the driver silently. Now NO query
+    module may call ``.take_all()`` at all — every driver fold must go
+    through ``queries/_shared.guarded_fold`` (which measures the row
+    count in the object store before pulling anything to the driver).
+    AST-based so docstring mentions don't false-positive. (No Ray
+    involved.)"""
+    import ast
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    files = [p for p in sorted((root / "webextract" / "queries").glob("*.py"))
+             if p.name != "_shared.py"]
+    files.append(root / "__ray_entry__.py")
+    offenders = []
+    for p in files:
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "take_all"):
+                offenders.append(f"{p.name}:{node.lineno}: raw .take_all() "
+                                 "— route through _shared.guarded_fold")
+    assert not offenders, "\n".join(offenders)
+
+
 def test_no_user_grade_driver_folds():
     """Scale contract (round-3 judge task 2): no query may fold a
     USER-GRADE key's groupby through the driver (``groupby(<key>)...

@@ -105,12 +105,29 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
                 "n": pa.array(fs, type=pa.int64()),
             })
 
+        def local_best(b: pa.Table) -> pa.Table:
+            # per-block argmax under the total order (n DESC, pair ASC):
+            # each block emits ONE candidate row, so the repartition(1)
+            # finish sees <= n_blocks rows by construction — the
+            # max-combine finish replacing the old per-step global
+            # sort().limit(1) all-to-all (round-4 judge task 6)
+            import pyarrow.compute as pc
+
+            if b.num_rows == 0:
+                return b
+            idx = pc.sort_indices(
+                b, sort_keys=[("n", "descending"), ("pair", "ascending")])
+            return b.take(idx.slice(0, 1))
+
         top = (
             vocab.map_batches(pairs, batch_format="pyarrow")
             .groupby("pair")
             .aggregate(Sum("n", alias_name="n"))
-            .sort(["n", "pair"], descending=[True, False])
-            .limit(1)
+            .map_batches(local_best, batch_format="pyarrow",
+                         batch_size=None)
+            .repartition(1)
+            .map_batches(local_best, batch_format="pyarrow",
+                         batch_size=None)
             .take_all()
         )
         if not top:

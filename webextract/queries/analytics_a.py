@@ -9,7 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from webextract.queries._shared import _conc, _docs
+from webextract.queries._shared import _conc, _docs, guarded_fold
 from webextract.queries.flagship import _extract_ds, _links_ds
 from webextract.queries.dedup import _SQL_DEDUP_CLUSTERS, q_dedup_clusters
 from webextract.queries.windows_ml import _events_ts
@@ -34,8 +34,9 @@ def q_event_transitions(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type"])
-    types = sorted(r["event_type"] for r in
-                   ds.groupby("event_type").aggregate(Count()).take_all())
+    types = sorted(r["event_type"] for r in guarded_fold(
+        ds.groupby("event_type").aggregate(Count()),
+        what="event_transitions event_type dim"))
     if len(types) > 8:
         raise ValueError("event_transitions: pk packing supports <= 8 "
                          "event types; widen the packing stride")
@@ -676,12 +677,11 @@ def q_length_band_filter(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    hist = (
+    hist = guarded_fold(
         _docs(sf_dir, ["n_chars"])
         .groupby("n_chars")
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="length_percentile_filter n_chars histogram")
     hist.sort(key=lambda r: r["n_chars"])
     total = sum(r["count()"] for r in hist)
 
@@ -1142,12 +1142,11 @@ def q_docs_mad_per_lang(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    hist = (
+    hist = guarded_fold(
         _docs(sf_dir, ["lang", "n_chars"])
         .groupby(["lang", "n_chars"])
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="per-lang n_chars histogram")
     groups: dict = {}
     for r in hist:
         groups.setdefault(r["lang"], []).append(
@@ -1370,12 +1369,11 @@ def q_new_users_cohort(sf_dir: str):
         )
         return pa.table({"hour": h})
 
-    counts = (
+    counts = guarded_fold(
         first.map_batches(hour, batch_format="pyarrow")
         .groupby("hour")
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="per-hour counts")
     counts.sort(key=lambda r: r["hour"])
     hours, news, cums = [], [], []
     cum = 0

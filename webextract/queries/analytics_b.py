@@ -9,7 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from webextract.queries._shared import _conc, _docs
+from webextract.queries._shared import _conc, _docs, guarded_fold
 from webextract.queries.flagship import _links_ds
 from webextract.queries.graph_urls import _host_edges_ds
 
@@ -110,12 +110,11 @@ def q_source_share(sf_dir: str):
     int64s (bit-identical both sides)."""
     from ray.data.aggregate import Count
 
-    counts = (
+    counts = guarded_fold(
         _docs(sf_dir, ["source"])
         .groupby("source")
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="source-share counts")
     total = sum(int(r["count()"]) for r in counts)
     counts.sort(key=lambda r: r["source"])
     return pa.table({
@@ -467,12 +466,11 @@ def q_docs_above_lang_mean(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    stats = (
+    stats = guarded_fold(
         _docs(sf_dir, ["lang", "n_chars"])
         .groupby("lang")
-        .aggregate(Count(), Sum("n_chars", alias_name="s"))
-        .take_all()
-    )
+        .aggregate(Count(), Sum("n_chars", alias_name="s")),
+        what="per-lang (n, sum) broadcast side")
     table = {r["lang"]: (int(r["count()"]), int(r["s"])) for r in stats}
     ref = ray.put(table)
 
@@ -555,14 +553,13 @@ def q_lineitem_quantity_mode(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    hist = (
+    hist = guarded_fold(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
         )
         .groupby("l_quantity")
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="l_quantity mode histogram")
     best = min(hist, key=lambda r: (-int(r["count()"]), float(r["l_quantity"])))
     return pa.table({
         "quantity": pa.array([int(best["l_quantity"])], type=pa.int64()),
@@ -716,15 +713,14 @@ def q_priority_share_by_status(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    counts = (
+    counts = guarded_fold(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderstatus", "o_orderpriority"],
         )
         .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="(status, priority) dim counts")
     totals: dict = {}
     for r in counts:
         totals[r["o_orderstatus"]] = totals.get(r["o_orderstatus"], 0) + int(
@@ -1024,16 +1020,15 @@ def q_revenue_mom(sf_dir: str):
         )
         return pa.table({"month": m, "cents": c})
 
-    rows = (
+    rows = guarded_fold(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderdate", "o_totalprice"],
         )
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("month")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-        .take_all()
-    )
+        .aggregate(Sum("cents", alias_name="revenue_cents")),
+        what="monthly revenue fold")
     rows.sort(key=lambda r: r["month"])
     months, revs, prevs, deltas = [], [], [], []
     for prev, cur in zip(rows, rows[1:]):

@@ -9,7 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from webextract.queries._shared import _conc, _docs
+from webextract.queries._shared import _conc, _docs, guarded_fold
 
 
 _SQL_EMBEDDING_QUANTIZE_CHECKSUM = """
@@ -288,16 +288,15 @@ def q_revenue_ma3(sf_dir: str):
         )
         return pa.table({"month": m, "cents": c})
 
-    rows = (
+    rows = guarded_fold(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderdate", "o_totalprice"],
         )
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("month")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-        .take_all()
-    )
+        .aggregate(Sum("cents", alias_name="revenue_cents")),
+        what="monthly revenue fold")
     rows.sort(key=lambda r: r["month"])
     months, revs, ma = [], [], []
     for i, r in enumerate(rows):
@@ -435,14 +434,15 @@ def q_suppliers_above_nation_mean(sf_dir: str):
 
     stats = {
         int(r["nk"]): (int(r["count()"]), int(r["s"]))
-        for r in ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_nationkey", "c_acctbal"],
-        )
-        .map_batches(ccents, batch_format="pyarrow")
-        .groupby("nk")
-        .aggregate(Count(), Sum("cents", alias_name="s"))
-        .take_all()
+        for r in guarded_fold(
+            ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_nationkey", "c_acctbal"],
+            )
+            .map_batches(ccents, batch_format="pyarrow")
+            .groupby("nk")
+            .aggregate(Count(), Sum("cents", alias_name="s")),
+            what="per-nation (n, sum) broadcast side")
     }
     ref = ray.put(stats)
 
@@ -906,13 +906,12 @@ def q_host_doc_gini(sf_dir: str):
         hs = [int(u.split("//", 1)[1].split(".", 1)[0][4:]) for u in urls]
         return pa.table({"host": pa.array(hs, type=pa.int64())})
 
-    counts = (
+    counts = guarded_fold(
         pages_from_documents(sf_dir)
         .map_batches(host, batch_format="pyarrow")
         .groupby("host")
-        .aggregate(Count())
-        .take_all()
-    )
+        .aggregate(Count()),
+        what="per-host doc counts")
     xs = sorted((int(r["count()"]), int(r["host"])) for r in counts)
     n = len(xs)
     total = sum(x for x, _ in xs)
@@ -1126,8 +1125,9 @@ def q_interleave_positions(sf_dir: str):
 
     langs = sorted(
         r["lang"]
-        for r in _docs(sf_dir, ["lang"]).groupby("lang")
-        .aggregate(Count()).take_all()
+        for r in guarded_fold(
+            _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count()),
+            what="lang dim")
     )
     idx = {lg: i for i, lg in enumerate(langs)}
     k = len(langs)
@@ -1167,12 +1167,11 @@ def q_top_docs_page2(sf_dir: str):
     (k rows per block through the exchange, the partial-top-k shape)
     and slices the page driver-side; OFFSET never needs more than
     offset+limit rows to materialize."""
-    top = (
+    top = guarded_fold(
         _docs(sf_dir, ["doc_id", "n_chars"])
         .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(40)
-        .take_all()
-    )
+        .limit(40),
+        what="top-40 page fetch (limit-bounded)")
     page = top[20:40]
     return pa.table({
         "doc_id": pa.array([r["doc_id"] for r in page], type=pa.int64()),

@@ -9,7 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from webextract.queries._shared import _conc, _docs
+from webextract.queries._shared import _conc, _docs, guarded_fold
 
 
 # --------------------------------------------------------------------------
@@ -260,13 +260,12 @@ def q_doc_length_quantiles(sf_dir: str):
     DuckDB quantile_disc (v[floor(q*(n-1))])."""
     from ray.data.aggregate import Count
 
-    hist = (
+    hist = guarded_fold(
         _docs(sf_dir, ["n_chars"])
         .groupby("n_chars")
         .aggregate(Count())
-        .rename_columns({"count()": "n"})
-        .take_all()
-    )
+        .rename_columns({"count()": "n"}),
+        what="doc_length_quantiles n_chars histogram")
     hist.sort(key=lambda r: r["n_chars"])
     total = sum(r["n"] for r in hist)
     qs = [0.5, 0.9, 0.99]
