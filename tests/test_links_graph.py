@@ -64,6 +64,8 @@ def test_extract_links_on_corpus_matches_inventory():
             assert doc_id not in by_doc  # corrupt / pdf: no links
         else:
             expect = (3 + doc_id % 5) + (4 + doc_id % 3)
+            if corpus.is_latin1(doc_id):
+                expect += 1  # the sidebar Café link (latin1 fuzz class)
             assert by_doc[doc_id] == expect, doc_id
     # spot-check anchor text decodes through the block-decode chain
     one = out[(out.doc_id == 0) & (out.href == "/p0")]

@@ -30,7 +30,7 @@ from typing import List
 # --- deterministic per-doc pseudo-randomness (SplitMix64 mixer) -------------
 
 # bump when generator output changes — bench corpus cache paths embed this
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 _MASK = (1 << 64) - 1
 
@@ -72,6 +72,28 @@ def is_two_column(doc_id: int) -> bool:
     text is UNCHANGED (original paragraph order); the extractor must
     reorder. PDF rows keep their own renderer."""
     return doc_id % TWOCOL_MOD == TWOCOL_REM and not is_pdf(doc_id)
+
+
+LATIN1_MOD, LATIN1_REM = 23, 9  # rows encoded ISO-8859-1 with a meta charset
+
+
+def is_latin1(doc_id: int) -> bool:
+    """Rows whose html bytes are Windows-1252 (declared via
+    ``<meta charset>``; the title em-dash and the sidebar "Café" ad are
+    single legacy bytes that are invalid UTF-8) — the mixed-encoding
+    adversarial class. The extractor must sniff the declared charset when
+    strict UTF-8 decode fails and still produce byte-identical gold text.
+    Corrupt rows are EXCLUDED: their truncated pages must keep failing
+    decode (cp1252 decode never fails, which would un-quarantine
+    them)."""
+    return (doc_id % LATIN1_MOD == LATIN1_REM and not is_pdf(doc_id)
+            and not is_corrupt(doc_id))
+
+
+CDATA_MOD, CDATA_REM = 9, 4  # rows with CDATA noise (script + bogus comment)
+UNCLOSED_MOD, UNCLOSED_REM = 13, 6  # rows with unclosed sidebar <p>/<b>
+EMPTYP_MOD, EMPTYP_REM = 8, 1  # rows with zero-length <p> blocks in-article
+ATTRGT_MOD, ATTRGT_REM = 5, 2  # rows with a quoted '>' inside a <p> attribute
 
 
 THREECOL_MOD, THREECOL_REM = 19, 11  # rows rendered as a 3-col layout
@@ -164,6 +186,11 @@ def _decorate(paragraph: str, doc_id: int, idx: int) -> str:
             content = content.replace("a", "&#97;", 1)
         if doc_id % 11 == 0 and " " in content:
             content = content.replace(" ", "\n      ", 1)
+        if doc_id % 21 == 8:
+            # UNCLOSED inline tag at the content end: strip_tags must drop
+            # it without a matching close, and the scanner must implicitly
+            # pop the dangling <i> element when </p> arrives
+            content = content + "<i>"
     return content
 
 
@@ -184,10 +211,23 @@ def _render_parts(doc_id: int, text: str, lang: str):
     a = parts.append
     a(f'<!DOCTYPE html>\n<html lang="{escape(lang)}">\n<head>\n')
     a(f"<title>Doc {doc_id} — host{h}</title>\n")
-    a('<meta charset="utf-8">\n')
+    if is_latin1(doc_id):
+        a('<meta charset="windows-1252">\n')
+    else:
+        a('<meta charset="utf-8">\n')
     a("<style>body { margin: 0; } .nav a { color: #00c; }</style>\n")
-    a(f"<script>var docId = {doc_id}; if (docId < 0) console.log('<p>never</p>');</script>\n")
+    if doc_id % CDATA_MOD == CDATA_REM:
+        # CDATA wrapper + fake markup inside raw script text: the scanner
+        # must skip everything to </script> (adversarial fuzz class)
+        a(f"<script>/*<![CDATA[*/ var docId = {doc_id}; "
+          "var cd = '<p>cdata fake paragraph</p>'; /*]]>*/</script>\n")
+    else:
+        a(f"<script>var docId = {doc_id}; if (docId < 0) console.log('<p>never</p>');</script>\n")
     a("</head>\n<body>\n")
+    if doc_id % CDATA_MOD == CDATA_REM:
+        # bare CDATA section in body = HTML5 "bogus comment": consumed to
+        # the first '>' (its own closer), contributing no text
+        a("<![CDATA[cdata boilerplate block not article text]]>\n")
     # header: contains real-looking <p> text that MUST be excluded (container rule)
     welcome = f"Welcome to host{h}.example — the number {doc_id % 1000} source for documents."
     a(f'<header class="site-header"><h1>Site host{h}</h1><p>')
@@ -198,13 +238,23 @@ def _render_parts(doc_id: int, text: str, lang: str):
     n_nav = 3 + doc_id % 5
     a('<nav class="nav"><ul>')
     for i in range(n_nav):
-        a(f'<li><a href="/p{i}">{_NAV_WORDS[(doc_id + i) % 8]}</a></li>')
+        # entities inside attribute values (must never leak into text or
+        # break attr parsing; href stays bare — the link-inventory oracle
+        # reconstructs it in SQL)
+        a(f'<li><a href="/p{i}" title="Q&#38;A &amp; more">'
+          f"{_NAV_WORDS[(doc_id + i) % 8]}</a></li>")
     a("</ul></nav>\n")
     a('<div class="content"><article>\n')
     a(f"<!-- article {doc_id} rendered {doc_id % 97} -->\n")
 
     def emit_para(i: int, p: str, cls: str = "") -> None:
-        a(f'  <p class="{cls}">' if cls else "  <p>")
+        if i == 0 and doc_id % ATTRGT_MOD == ATTRGT_REM:
+            # quoted '>' inside an attribute value: the tag does NOT end at
+            # that '>' (quote-aware attr parsing, adversarial fuzz class)
+            attr = f' title="a &gt; b > c" data-x="{doc_id}"'
+        else:
+            attr = ""
+        a(f'  <p class="{cls}"{attr}>' if cls else f"  <p{attr}>")
         marks.append((len(parts), "p", p, False))
         a("\n    " + _decorate(p, doc_id, i) + "\n  ")
         a("</p>\n")
@@ -245,14 +295,29 @@ def _render_parts(doc_id: int, text: str, lang: str):
             emit_para(i, paras[i])
         a("</div>\n</div>\n")
     else:
+        empty_p = doc_id % EMPTYP_MOD == EMPTYP_REM
         for i, p in enumerate(paras):
             emit_para(i, p)
+            if empty_p and i == 0:
+                # ZERO-LENGTH blocks: no text content at all / whitespace
+                # only — both must vanish (the CTC blank-drop analog),
+                # never shifting n_blocks or the emitted text
+                a("<p></p>\n  <p>  \n   </p>\n")
     a("</article></div>\n")
     # sidebar ad/link farm
     a('<aside class="sidebar"><p>')
     for i in range(4 + doc_id % 3):
         a(f'<a href="/ad{i}">{_AD_WORDS[(doc_id * 3 + i) % 8]}</a> ')
+    if is_latin1(doc_id):
+        # the one non-ASCII byte of the page: 'é' is a bare 0xE9 in the
+        # ISO-8859-1 bytes — invalid UTF-8, forcing the charset-sniff path
+        a('<a href="/ad-cafe">Café</a> ')
     a("</p></aside>\n")
+    if doc_id % UNCLOSED_MOD == UNCLOSED_REM:
+        # UNCLOSED <p> and <b> inside boilerplate: implicit closes only —
+        # the scanner must not let the dangling block swallow the article
+        # or misalign later closes
+        a('<aside class="sidebar"><p>More <b>deals today</aside>\n')
     # comments: boilerplate by class hint
     comment = f"Great post, thanks for sharing number {doc_id % 9}!"
     a('<div class="comments"><p class="comment-body">')
@@ -268,17 +333,31 @@ def _render_parts(doc_id: int, text: str, lang: str):
     return parts, marks
 
 
+def _page_enc(doc_id: int, parts: List[str]) -> str:
+    """Byte encoding of one rendered page: Windows-1252 for the latin1
+    rows (falling back to utf-8 if the document text itself cannot encode
+    — then the page is valid UTF-8 and the sniff path never triggers)."""
+    if not is_latin1(doc_id):
+        return "utf-8"
+    try:
+        "".join(parts).encode("cp1252")
+        return "cp1252"
+    except UnicodeEncodeError:
+        return "utf-8"
+
+
 def render_html(doc_id: int, text: str, lang: str) -> bytes:
     """Deterministically wrap gold paragraphs in boilerplate."""
     parts, _ = _render_parts(doc_id, text, lang)
-    return "".join(parts).encode("utf-8")
+    return "".join(parts).encode(_page_enc(doc_id, parts))
 
 
 def gold_blocks(doc_id: int, text: str, lang: str) -> List[dict]:
     """blocks_gold rows for one doc: byte-offset spans of every rendered
     block, ignore=True for boilerplate (FIXTURES.md §2)."""
     parts, marks = _render_parts(doc_id, text, lang)
-    lens = [len(p.encode("utf-8")) for p in parts]
+    enc = _page_enc(doc_id, parts)
+    lens = [len(p.encode(enc)) for p in parts]
     starts = [0]
     for n in lens:
         starts.append(starts[-1] + n)

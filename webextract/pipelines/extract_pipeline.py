@@ -111,18 +111,31 @@ class FusedExtractor:
                     if not html.isascii():
                         html.decode("utf-8", "strict")
                 except UnicodeDecodeError:
-                    if cfg.fallback_encoding:
-                        encoding = str(cfg.fallback_encoding)
-                    else:
-                        status_col.append("error")
-                        error_col.append("utf8-decode")
-                        doctype_col.append("")
-                        encoding_col.append("")
-                        texts.append("")
-                        n_blocks.append(0)
-                        if keep_spans:
-                            span_rows.append(kept_spans)
-                        continue
+                    # declared charset first (<meta charset=...> sniff,
+                    # stages/segment.sniff_charset), then the configured
+                    # legacy fallback, else deterministic quarantine
+                    from webextract.stages.segment import sniff_charset
+
+                    sniffed = sniff_charset(html)
+                    if sniffed is not None:
+                        try:
+                            html.decode(sniffed, "strict")
+                            encoding = sniffed
+                        except UnicodeDecodeError:
+                            sniffed = None
+                    if encoding == "utf-8":
+                        if cfg.fallback_encoding:
+                            encoding = str(cfg.fallback_encoding)
+                        else:
+                            status_col.append("error")
+                            error_col.append("utf8-decode")
+                            doctype_col.append("")
+                            encoding_col.append("")
+                            texts.append("")
+                            n_blocks.append(0)
+                            if keep_spans:
+                                span_rows.append(kept_spans)
+                            continue
                 doctype_col.append("html")
             status_col.append("ok")
             error_col.append("")
@@ -349,16 +362,27 @@ def extract_one(
     """Driver-side single-document reference path (serial oracle, the
     `predict_system.py` analog) — used by tests to pin pipeline semantics."""
     cfg = cfg or SegmentConfig()
+    encoding = "utf-8"
     try:
         if html[:5] != b"%PDF-":
             html.decode("utf-8", "strict")
     except UnicodeDecodeError:
-        return ""
+        # declared-charset sniff, same rule as the batch paths
+        from webextract.stages.segment import sniff_charset
+
+        encoding = sniff_charset(html)
+        if encoding is None:
+            return ""
+        try:
+            html.decode(encoding, "strict")
+        except UnicodeDecodeError:
+            return ""
     texts = []
     for span in segment_html(html, cfg):
         if span["score"] < drop_score:
             continue
-        t = decode_span(html, span["start"], span["end"], span["kind"])
+        t = decode_span(html, span["start"], span["end"], span["kind"],
+                        encoding)
         if t:
             texts.append(t)
     return "\n".join(texts)

@@ -614,6 +614,9 @@ links AS (
     (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
       [((doc_id * 3 + i) % 8) + 1] AS anchor
   FROM ads
+  UNION ALL
+  SELECT doc_id, '/ad-cafe' AS href, 'Café' AS anchor
+  FROM ok WHERE doc_id % 23 = 9
 )
 SELECT href, anchor, count(*)::BIGINT AS n_links
 FROM links GROUP BY href, anchor

@@ -235,6 +235,9 @@ SELECT doc_id, '/ad' || i AS href,
   (['Deals','Sale','Trending','Sponsored','Hot','New','Top','Featured'])
     [((doc_id * 3 + i) % 8) + 1] AS anchor
 FROM ads
+UNION ALL
+SELECT doc_id, '/ad-cafe' AS href, 'Café' AS anchor
+FROM ok WHERE doc_id % 23 = 9
 """
 
 # Synthetic host graph shared by the engine and the SQL oracle (modular

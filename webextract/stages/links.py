@@ -33,7 +33,7 @@ _PDF_MAGIC = b"%PDF-"
 
 
 
-def scan_links(html: bytes) -> List[tuple]:
+def scan_links(html: bytes, encoding: str = "utf-8") -> List[tuple]:
     """One page -> [(href, anchor_text)] in document order."""
     out: List[tuple] = []
     href: Optional[bytes] = None
@@ -47,8 +47,8 @@ def scan_links(html: bytes) -> List[tuple]:
                     href = h
                     a_start = ev[5]
         elif kind == "close" and ev[1] == "a" and href is not None:
-            frag = html[a_start:ev[2]].decode("utf-8", "replace")
-            out.append((href.decode("utf-8", "replace"),
+            frag = html[a_start:ev[2]].decode(encoding, "replace")
+            out.append((href.decode(encoding, "replace"),
                         decode_fragment(frag)))
             href = None
     return out
@@ -78,13 +78,24 @@ class LinkExtractor:
                              batch.column("html").to_pylist()):
             if html is None or html[:5] == _PDF_MAGIC:
                 continue
+            enc = "utf-8"
             try:
                 # ASCII fast path (valid UTF-8 by construction, no str alloc)
                 if not html.isascii():
                     html.decode("utf-8", "strict")
             except UnicodeDecodeError:
-                continue  # quarantine class: corrupt page, no links
-            for href, anchor in scan_links(html):
+                # same charset-sniff rule as the extractor (segment.py):
+                # declared legacy charset decodes, else quarantine class
+                from webextract.stages.segment import sniff_charset
+
+                enc = sniff_charset(html)
+                if enc is None:
+                    continue  # quarantine class: corrupt page, no links
+                try:
+                    html.decode(enc, "strict")
+                except UnicodeDecodeError:
+                    continue
+            for href, anchor in scan_links(html, enc):
                 ids.append(pid)
                 hrefs.append(href)
                 anchors.append(anchor)

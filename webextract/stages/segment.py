@@ -55,6 +55,31 @@ class SegmentConfig:
 
 
 _PDF_MAGIC = b"%PDF-"
+
+# `<meta charset=...>` / `content="...; charset=..."` label in the head
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)",
+                         re.IGNORECASE)
+
+
+def sniff_charset(html: bytes, limit: int = 2048):
+    """Declared-charset sniff for payloads that fail strict UTF-8: the
+    first ``charset=`` label within the head region, validated against the
+    codec registry. Returns None for utf-8 labels (strict decode already
+    failed — re-trying cannot succeed, so truncated/corrupt pages keep
+    their deterministic quarantine) and for unknown labels."""
+    m = _CHARSET_RE.search(html, 0, limit)
+    if m is None:
+        return None
+    label = m.group(1).decode("ascii").lower()
+    if label in ("utf-8", "utf8"):
+        return None
+    import codecs
+
+    try:
+        codecs.lookup(label)
+    except LookupError:
+        return None
+    return label
 # Fake-PDF text op: `( ... ) Tj` with PDF string escapes (corpus.render_pdf).
 _PDF_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", re.DOTALL)
 
@@ -533,15 +558,25 @@ class BlockSegmenter:
                     if not html.isascii():
                         html.decode("utf-8", "strict")
                 except UnicodeDecodeError:
-                    if cfg.fallback_encoding:
-                        encoding = str(cfg.fallback_encoding)
-                    else:
-                        status_col.append("error")
-                        error_col.append("utf8-decode")
-                        doctype_col.append("")
-                        encoding_col.append("")
-                        offsets.append(len(f_starts))
-                        continue
+                    # declared charset first (<meta charset=...> sniff),
+                    # then the configured legacy fallback, else quarantine
+                    sniffed = sniff_charset(html)
+                    if sniffed is not None:
+                        try:
+                            html.decode(sniffed, "strict")
+                            encoding = sniffed
+                        except UnicodeDecodeError:
+                            sniffed = None
+                    if encoding == "utf-8":
+                        if cfg.fallback_encoding:
+                            encoding = str(cfg.fallback_encoding)
+                        else:
+                            status_col.append("error")
+                            error_col.append("utf8-decode")
+                            doctype_col.append("")
+                            encoding_col.append("")
+                            offsets.append(len(f_starts))
+                            continue
                 spans = segment(html, cfg)
                 doctype_col.append("html")
                 encoding_col.append(encoding)
