@@ -279,14 +279,45 @@ def pure_cpu_control(iters: int = 6_000_000) -> dict:
     }
 
 
-def bench_scaling() -> dict:
-    """Same headline job at num_cpus=8 and 32 in fresh processes.
+def _run_scaling_side(cpus: int, mult: int, repeats: str) -> dict:
+    """One fresh-process headline run at `cpus`; one retry (Ray
+    occasionally loses a worker at startup and the run hangs/dies —
+    observed ~once in a dozen runs on this box)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only", "--mult", str(mult),
+                 "--repeats", repeats],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            lines = [l for l in proc.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == 2:
+            raise RuntimeError(
+                f"scaling side num_cpus={cpus} produced no result twice")
 
-    Uses a larger corpus (GRAFT_SCALING_MULT x the bench tier, default 8x)
-    so sustained compute dominates fixed startup — the in-sandbox stand-in
-    for the N vs 4N node cluster runs of the north rule. Also runs the
-    pure-CPU control (see `pure_cpu_control`) and reports the raw
-    efficiency, the box ceiling, and the ceiling-normalized efficiency.
+
+def bench_scaling(pairs: int = 1) -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes — the
+    in-sandbox stand-in for the north rule's N vs 4N node cluster runs.
+
+    ``pairs > 1`` switches to the INTERLEAVED A/B protocol (round-4 judge
+    task 4): alternate 8-wide / 32-wide runs back-to-back in one session
+    (8,32,8,32,...), compute a per-pair efficiency from ADJACENT runs, and
+    report every pair plus the median — adjacent pairing cuts the
+    box-state drift (noisy neighbors, VM frequency) that separates the
+    two sides when all-8 runs precede all-32. Also runs the pure-CPU
+    control (`pure_cpu_control`) and reports raw efficiency, the box
+    ceiling, and ceiling-normalized efficiency.
     """
     # 24x the bench tier (2.4M docs) by default: the ~2.5 s fixed ramp is a
     # 6x bigger fraction of a 32-wide run than an 8-wide one, so small
@@ -296,60 +327,51 @@ def bench_scaling() -> dict:
     # identical back-to-back 32-wide runs vary up to 1.7x on this box;
     # best-of-N with N>=4 per side is the minimum for a stable ratio
     repeats = os.environ.get("GRAFT_SCALING_REPEATS", "4")
-    results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        # one retry per side: Ray occasionally loses a worker at startup
-        # ("workers have not registered within the timeout") and the run
-        # hangs/dies — observed ~once in a dozen runs on this box
-        for attempt in (1, 2):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--headline-only", "--mult", str(mult),
-                     "--repeats", repeats],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    timeout=2400,
-                )
-                lines = [l for l in proc.stdout.strip().splitlines()
-                         if l.startswith("{")]
-                if lines:
-                    results[cpus] = json.loads(lines[-1])
-                    break
-            except subprocess.TimeoutExpired:
-                pass
-            if attempt == 2:
-                raise RuntimeError(
-                    f"scaling side num_cpus={cpus} produced no result twice"
-                )
-    t8 = results[8]["docs_per_sec"]
-    t32 = results[32]["docs_per_sec"]
-    eff = (t32 / t8) / 4.0
+    pair_rows = []
+    for _ in range(max(1, pairs)):
+        r8 = _run_scaling_side(8, mult, repeats)
+        r32 = _run_scaling_side(32, mult, repeats)
+        pair_rows.append({
+            "docs_per_sec_cpus8": r8["docs_per_sec"],
+            "docs_per_sec_cpus32": r32["docs_per_sec"],
+            "extract_cpus8_sec": r8["value"],
+            "extract_cpus32_sec": r32["value"],
+            "efficiency": round(
+                (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0, 3),
+        })
+        sf = r32["sf"]
+    effs = sorted(p["efficiency"] for p in pair_rows)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best = max(pair_rows, key=lambda p: p["efficiency"])
     control = pure_cpu_control()
-    return {
+    out = {
         "metric": "scaling_efficiency_8_to_32_cpus",
-        "value": round(eff, 3),
+        "value": median_eff,
         "unit": "ratio",
         "queries": {
-            "extract_cpus8_sec": results[8]["value"],
-            "extract_cpus32_sec": results[32]["value"],
+            "extract_cpus8_sec": best["extract_cpus8_sec"],
+            "extract_cpus32_sec": best["extract_cpus32_sec"],
         },
-        "sf": results[32]["sf"],
+        "sf": sf,
         "num_cpus": 32,
-        "docs_per_sec_cpus8": t8,
-        "docs_per_sec_cpus32": t32,
+        "docs_per_sec_cpus8": best["docs_per_sec_cpus8"],
+        "docs_per_sec_cpus32": best["docs_per_sec_cpus32"],
         "pure_cpu_control": control,
         "normalized_efficiency": round(
-            eff / control["ceiling_efficiency"], 3
-        ),
+            median_eff / control["ceiling_efficiency"], 3),
     }
+    if len(pair_rows) > 1:
+        out["pairs"] = pair_rows
+    return out
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--pairs", type=int, default=1,
+                   help="with --scaling: interleaved A/B pairs (8,32 "
+                        "alternating); median efficiency reported")
     p.add_argument("--control", action="store_true",
                    help="pure-CPU box-ceiling calibration only")
     p.add_argument("--headline-only", action="store_true")
@@ -362,7 +384,7 @@ if __name__ == "__main__":
     if args.control:
         print(json.dumps(pure_cpu_control()))
     elif args.scaling:
-        print(json.dumps(bench_scaling()))
+        print(json.dumps(bench_scaling(pairs=args.pairs)))
     else:
         print(json.dumps(bench_once(headline_only=args.headline_only,
                                     mult=args.mult, repeats=args.repeats)))
