@@ -392,34 +392,118 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
     )
 
 
+class _AntiFilter:
+    """Map-side NOT-IN filter against a broadcast node index (the
+    inverse of dedup.SemiFilter — same sorted-array searchsorted probe,
+    same int64 key contract)."""
+
+    def __init__(self, index, key_col: str):
+        self.index = index
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import numpy as np
+
+        keys = np.asarray(batch.column(self.key_col).cast(pa.int64())
+                          .combine_chunks())
+        return batch.filter(pa.array(~self.index.allowed(keys)))
+
+
 def khop_distances(edges, *, source: int, k: int = 3,
-                   src_col: str = "src", dst_col: str = "dst"):
+                   src_col: str = "src", dst_col: str = "dst",
+                   broadcast_max: int | None = None):
     """BFS shortest-path distances from `source` within `k` hops over a
     directed edge list — the bounded-depth reachability probe (link
     spam-neighborhood checks, crawl frontier scoping).
 
-    Scale shape per round: ONE semi hash join keeps only edges whose
-    src is in the frontier (keys + dst through the shuffle), a
-    keys-only distinct on the new nodes, and an anti join against the
-    visited set — all keys-only exchanges; the frontier materializes
-    each round (tiny relative to the graph) so the lazy graph doesn't
-    multiply blocks across iterations (the dedup_clusters lesson).
+    Scale shape, picked per round from the MEASURED frontier size (the
+    frontier materializes each round anyway, so the count is free —
+    the same measure-then-pick contract as `dedup.publish_winners` and
+    `treeagg.tree_combine`):
+
+    * frontier + visited fit one broadcast block (`broadcast_max` keys,
+      default `dedup._SMALL_WINNERS_MAX` = 4M ids = 32 MB): the edge
+      table NEVER shuffles — a map-side task filter (sorted-array
+      searchsorted probe via `dedup.ArrayIndex`/`SemiFilter`) keeps
+      frontier-source edges, a map-side `_AntiFilter` drops
+      already-visited destinations BEFORE the exchange, and one
+      keys-only `groupby(node)` distinct is the only shuffle per hop.
+      Distances accumulate driver-side (bounded by `broadcast_max`).
+    * the first round that would overflow the bound SPILLS permanently
+      to the keyed-exchange path: semi hash join (keys + dst through
+      the shuffle) + keys-only distinct + anti hash join against the
+      visited set — all keys-only exchanges, no driver state.
     """
+    import numpy as np
+    import ray
     import ray.data
 
+    from webextract.functions.dedup import (
+        _SMALL_WINNERS_MAX, ArrayIndex, SemiFilter, _winners_to_array)
     from webextract.functions.joins import hash_join
+
+    if broadcast_max is None:
+        broadcast_max = _SMALL_WINNERS_MAX
 
     node_schema = pa.schema([("node", pa.int64())])
     e = edges.rename_columns({src_col: "node", dst_col: "_dst"})
     e_schema = pa.schema([("node", pa.int64()), ("_dst", pa.int64())])
 
-    visited = ray.data.from_arrow(pa.table({
+    # broadcast-mode driver state (sorted int64 arrays, <= broadcast_max)
+    visited_arr = np.array([source], dtype=np.int64)
+    frontier_arr = visited_arr
+    dist_tables = [pa.table({
         "node": pa.array([source], type=pa.int64()),
         "dist": pa.array([0], type=pa.int64()),
-    })).materialize()
-    frontier = visited.select_columns(["node"]).materialize()
+    })]
+    spilled = False
+    visited = frontier = None  # Dataset-path state, set on spill
+
+    def stamp(b: pa.Table, dist: int) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "dist": pa.array([dist] * b.num_rows, type=pa.int64()),
+        })
 
     for r in range(1, k + 1):
+        if not spilled:
+            fidx = ArrayIndex(ray.put(frontier_arr), int(frontier_arr.size))
+            vidx = ArrayIndex(ray.put(visited_arr), int(visited_arr.size))
+            new = (
+                e.map_batches(SemiFilter(fidx, "node"),
+                              batch_format="pyarrow")
+                .select_columns(["_dst"])
+                .rename_columns({"_dst": "node"})
+                .map_batches(_AntiFilter(vidx, "node"),
+                             batch_format="pyarrow")
+                .groupby("node").count().select_columns(["node"])
+                .materialize()
+            )
+            n_new = new.count()
+            if n_new == 0:
+                break
+            if n_new + visited_arr.size > broadcast_max:
+                # spill to the keyed-exchange path for the REST of the
+                # walk: rebuild visited/frontier as Datasets
+                spilled = True
+                stamped = new.map_batches(
+                    lambda b, dist=r: stamp(b, dist),
+                    batch_format="pyarrow")
+                visited = (ray.data.from_arrow(pa.concat_tables(dist_tables))
+                           .union(stamped).repartition(4).materialize())
+                frontier = stamped.select_columns(["node"]).materialize()
+                continue
+            new_arr = _winners_to_array(new, "node")
+            dist_tables.append(pa.table({
+                "node": pa.array(new_arr, type=pa.int64()),
+                "dist": pa.array(np.full(new_arr.size, r), type=pa.int64()),
+            }))
+            visited_arr = np.union1d(visited_arr, new_arr)
+            frontier_arr = new_arr
+            continue
+
         hit = hash_join(e, frontier, on="node", how="semi",
                         left_schema=e_schema, right_schema=node_schema)
         cand = (
@@ -431,16 +515,12 @@ def khop_distances(edges, *, source: int, k: int = 3,
             cand, visited.select_columns(["node"]), on="node", how="anti",
             left_schema=node_schema, right_schema=node_schema,
         )
-
-        def stamp(b: pa.Table, dist=r) -> pa.Table:
-            return pa.table({
-                "node": b.column("node"),
-                "dist": pa.array([dist] * b.num_rows, type=pa.int64()),
-            })
-
-        new = new.map_batches(stamp, batch_format="pyarrow").materialize()
+        new = new.map_batches(lambda b, dist=r: stamp(b, dist),
+                              batch_format="pyarrow").materialize()
         if new.count() == 0:
             break
         visited = visited.union(new).repartition(4).materialize()
         frontier = new.select_columns(["node"]).materialize()
+    if not spilled:
+        return ray.data.from_arrow(pa.concat_tables(dist_tables))
     return visited
