@@ -74,3 +74,38 @@ def test_khop_stops_on_empty_frontier(ray_session):
         .to_pandas().set_index("node")["dist"].to_dict()
     )
     assert got == {0: 0, 1: 1}
+
+
+def test_khop_spill_path_matches_broadcast(ray_session):
+    """The keyed-exchange spill path (broadcast_max exceeded) must return
+    exactly what the broadcast-frontier path returns — including a
+    MID-WALK spill (bound crossed at round 2, after a broadcast round)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webextract.functions.graph import khop_distances
+
+    # fan-out graph: 0 -> {1..4}, each i -> {10i..10i+3}, plus back edges
+    src, dst = [], []
+    for i in range(1, 5):
+        src.append(0); dst.append(i)
+        for j in range(4):
+            src.append(i); dst.append(10 * i + j)
+            src.append(10 * i + j); dst.append(0)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    })).repartition(3)
+
+    def run(bmax):
+        return (khop_distances(edges, source=0, k=3, broadcast_max=bmax)
+                .to_pandas().set_index("node")["dist"].to_dict())
+
+    broadcast = run(None)          # never spills (tiny graph)
+    spill_r1 = run(1)              # overflows immediately
+    spill_r2 = run(5)              # round 1 fits (1+4 keys), round 2 spills
+    assert broadcast == spill_r1 == spill_r2
+    assert broadcast[0] == 0
+    assert all(broadcast[i] == 1 for i in range(1, 5))
+    assert all(broadcast[10 * i + j] == 2
+               for i in range(1, 5) for j in range(4))

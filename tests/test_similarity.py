@@ -178,3 +178,82 @@ def test_knn_label_stats_exact(ray_session):
         mask = lab == l
         assert got.loc[l, "n_vecs"] == mask.sum()
         assert got.loc[l, "n_correct"] == (lab[nn[mask]] == l).sum()
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def test_pq_train_shapes_and_determinism():
+    from webextract.functions.similarity import pq_train
+
+    _, vecs = _embeddings(n=60, d=8)
+    cb1 = pq_train(vecs, m=4, n_codes=8)
+    cb2 = pq_train(vecs, m=4, n_codes=8)
+    assert len(cb1) == 4
+    for a, b in zip(cb1, cb2):
+        assert a.shape == (8, 2)
+        assert np.array_equal(a, b)
+
+
+def test_pq_encode_drops_vector_and_compresses(ray_session):
+    import ray
+
+    from webextract.functions.similarity import pq_encode, pq_train
+
+    t, vecs = _embeddings(n=40, d=8)
+    cbs = pq_train(vecs, m=4, n_codes=8)
+    enc = pq_encode(ray.data.from_arrow(t), cbs).take_all()
+    assert len(enc) == 40
+    row = enc[0]
+    assert "embedding" not in row
+    code = row["pq_code"]
+    assert len(code) == 4
+    assert all(0 <= c < 8 for c in code)
+
+
+def test_pq_adc_exact_when_vectors_on_codebook(ray_session):
+    """Vectors drawn exactly from a small set of per-subspace patterns
+    reconstruct exactly (enough codes to cover every pattern), so
+    ADC-only top-k == brute-force top-k. The 16 rows enumerate all
+    (pattern_a, pattern_b) combos once, subspace 2 weighted 2x, giving
+    distinct score tiers 1.0 / 0.8 / 0.2 / 0.0 — top-4 = one exact
+    match + the three b-matches, a strict gap at the k boundary (no
+    tie-break ambiguity between the two partial-topk selections)."""
+    from webextract.functions.similarity import topk_cosine, topk_cosine_ivfpq
+
+    pats = np.eye(4)
+    rows = [np.concatenate([pats[i % 4], 2.0 * pats[i // 4]])
+            for i in range(16)]
+    vecs = np.asarray(rows)
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    q = vecs[5]  # (pattern 1, pattern 1)
+    ds = ray.data.from_arrow(t).repartition(3)
+    exact = [r["vec_id"] for r in topk_cosine(ds, q, k=4).take_all()]
+    approx = [r["vec_id"] for r in topk_cosine_ivfpq(
+        ds, q, k=4, n_centroids=1, nprobe=1, m=2, n_codes=8,
+        sample_size=64, sample_stride=1).take_all()]
+    assert approx == exact
+    assert set(exact) == {5, 4, 6, 7}  # 1.0 then the three 0.8-tier rows
+    assert exact[0] == 5
+
+
+def test_pq_rerank_recall(ray_session):
+    """IVFADC+R with a wide re-rank recovers the exact top-k on the
+    deterministic pseudo-random embeddings."""
+    from webextract.functions.similarity import topk_cosine, topk_cosine_ivfpq
+
+    t, vecs = _embeddings(n=120, d=8)
+    q = vecs[7]
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = {r["vec_id"] for r in topk_cosine(ds, q, k=10).take_all()}
+    got = topk_cosine_ivfpq(ds, q, k=10, n_centroids=1, nprobe=1, m=2,
+                            n_codes=16, sample_size=128, sample_stride=1,
+                            rerank=60).take_all()
+    ids = {r["vec_id"] for r in got}
+    assert len(got) == 10
+    recall = len(ids & exact) / 10
+    assert recall >= 0.9, (recall, sorted(ids), sorted(exact))

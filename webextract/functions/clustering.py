@@ -32,8 +32,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .joins import _splitmix64
+from .treeagg import tree_combine
 
 
 def _batch_vectors(batch: pa.Table, col: str) -> np.ndarray:
@@ -92,12 +94,25 @@ def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
             "_vec": pa.array(list(vecs), type=pa.list_(pa.float64())),
         })
 
-    seeds_tbl = (
-        ds.map_batches(nominate, batch_format="pyarrow")
-        .sort("_prio")
-        .limit(k)
-        .take_all()
-    )
+    # iterative consumption: cache the input blocks ONCE — every Lloyd's
+    # pass (and the assignment pass the caller usually runs next) re-reads
+    # object-store blocks instead of re-executing the read subgraph
+    ds = ds.materialize()
+
+    def seed_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.array_sort_indices(t.column("_prio"))[:k]
+        return t.take(order)
+
+    seeds_tbl = tree_combine(
+        ds.map_batches(nominate, batch_format="pyarrow"),
+        seed_topk,
+        agg_fallback=lambda p: p.sort("_prio").limit(k),
+        what="kmeans seed nomination",
+    ).take_all()
+    seeds_tbl.sort(key=lambda r: r["_prio"])
+    seeds_tbl = seeds_tbl[:k]
     cents = np.asarray([r["_vec"] for r in seeds_tbl], dtype=np.float64)
     if cents.shape[0] < k:
         raise ValueError(f"k={k} but only {cents.shape[0]} rows")
@@ -122,8 +137,43 @@ def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
                         for c, nm in enumerate(cnt_names)})
             return pa.table(row)
 
-        agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-            *[Sum(nm, alias_name=nm) for nm in sum_names + cnt_names])
+        def sum_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows <= 1:
+                return t
+            cols = {}
+            for nm in sum_names:
+                cols[nm] = pa.array(
+                    [pc.sum(t.column(nm)).as_py() or 0.0],
+                    type=pa.float64())
+            for nm in cnt_names:
+                cols[nm] = pa.array(
+                    [pc.sum(t.column(nm)).as_py() or 0],
+                    type=pa.int64())
+            return pa.table(cols)
+
+        def agg_fb(p):
+            import ray.data
+
+            a = p.aggregate(
+                *[Sum(nm, alias_name=nm) for nm in sum_names + cnt_names])
+            return ray.data.from_arrow(pa.table(
+                {nm: pa.array([a[nm] or 0.0], type=pa.float64())
+                 for nm in sum_names}
+                | {nm: pa.array([a[nm] or 0], type=pa.int64())
+                   for nm in cnt_names}))
+
+        # the partials are ONE row per block — the measured tree combine
+        # (two narrow repartitions) replaces a 90-column sort-based
+        # Aggregate exchange per Lloyd's pass; above the bound the
+        # fallback is the original distributed Sum aggregate
+        rows = tree_combine(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            sum_rows,
+            agg_fallback=agg_fb,
+            what="kmeans partial fold",
+        ).take_all()
+        agg = {nm: sum(r[nm] for r in rows)
+               for nm in sum_names + cnt_names}
         sums = np.array([float(agg[nm] or 0.0) for nm in sum_names],
                         dtype=np.float64).reshape(k, d)
         counts = np.array([int(agg[nm] or 0) for nm in cnt_names],

@@ -26,9 +26,38 @@ functions/decontam.py (n-gram contamination probe).
 
 from __future__ import annotations
 
-from typing import List
-
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _flat_ngram_strings(texts, n: int):
+    """(doc_index, ngram) arrays for every word n-gram of a string
+    column — vectorized end to end: one `split_pattern` (keeps empty
+    tokens, matching Python ``str.split(" ")``), flat `take`s at n
+    shifted offsets, and one C-level `binary_join_element_wise`. No
+    per-row Python. Returns (int64 numpy doc indices, StringArray)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    cnt = lists.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    n_g = np.maximum(cnt - (n - 1), 0)
+    total = int(n_g.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], type=pa.string()))
+    offs = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), n_g)
+    ends = np.cumsum(n_g)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_g, n_g)
+    starts = np.repeat(offs[:-1], n_g) + within
+    cols = [flat.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    return doc_idx, grams
 
 
 def doc_distinct_ngrams_batch(
@@ -39,18 +68,30 @@ def doc_distinct_ngrams_batch(
     The distinctness is per document (a phrase repeated inside one doc
     counts once), so the downstream groupby count is document
     frequency. Output is a single `ngram` string column — the groupby
-    that follows moves keys only.
+    that follows moves keys only. Vectorized: `_flat_ngram_strings`
+    plus one Arrow hash-distinct on (doc, ngram); the former Python
+    set-per-row loop was the hot-stage bottleneck at bench scale.
     """
-    out: List[str] = []
-    for t in batch.column(text_col).to_pylist():
-        words = (t or "").split(" ")
-        if len(words) < n:
-            continue
-        seen = set()
-        for i in range(len(words) - n + 1):
-            seen.add(" ".join(words[i : i + n]))
-        out.extend(seen)
-    return pa.table({"ngram": pa.array(out, type=pa.string())})
+    doc_idx, grams = _flat_ngram_strings(batch.column(text_col), n)
+    distinct = pa.table({
+        "_d": pa.array(doc_idx, type=pa.int64()), "ngram": grams,
+    }).group_by(["_d", "ngram"], use_threads=False).aggregate([])
+    return distinct.select(["ngram"])
+
+
+def doc_ngram_pairs_batch(
+    batch: pa.Table, *, n: int = 5, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Distinct (doc_id, ngram) pairs per document — the keyed variant
+    of :func:`doc_distinct_ngrams_batch` for per-document duplication
+    scoring. Documents never span batches, so batch-local distinctness
+    is global distinctness."""
+    doc_idx, grams = _flat_ngram_strings(batch.column(text_col), n)
+    ids = np.asarray(batch.column(id_col).cast(pa.int64()).combine_chunks())
+    return pa.table({
+        id_col: pa.array(ids[doc_idx], type=pa.int64()), "ngram": grams,
+    }).group_by([id_col, "ngram"], use_threads=False).aggregate([])
 
 
 def dup_ngram_topk(ds, *, n: int = 5, k: int = 20, min_docs: int = 2):

@@ -295,6 +295,205 @@ def topk_cosine_ivf(ds, query: np.ndarray, k: int = 10, *, n_centroids: int = 16
                        round_to=round_to, concurrency=concurrency)
 
 
+# --- IVF-PQ: product-quantization ADC, the COMPRESSED scale path ------------
+#
+# Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search" (IEEE TPAMI) — the IVFADC index family. At 100 TB the raw
+# float32 embedding column is the storage/shuffle bottleneck (d=64 floats
+# = 256 B/vector); PQ encodes each L2-normalized vector as `m` uint8
+# codebook indices (m=8 -> 8 B/vector, 32x smaller), and search scores
+# candidates with one per-query lookup table (ADC: score = sum over
+# subspaces of LUT[sub, code]) — no float vector ever leaves the encode
+# pass. Approximate by construction; the optional exact re-rank pass
+# (IVFADC+R) restores recall by brute-forcing only the top candidates
+# against the raw column via a broadcast id semi-filter.
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, n_codes: int = 16,
+             iters: int = 5):
+    """Train per-subspace codebooks on a (driver-side, bounded) sample.
+
+    Returns a list of `m` (n_codes, d_sub) float64 arrays. Vectors are
+    L2-normalized BEFORE the subspace split so ADC inner products
+    approximate cosine; `np.array_split` handles d % m != 0
+    deterministically. Reuses the deterministic Lloyd trainer
+    (`kmeans_centroids`: init = first k distinct rows, fixed iters)."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    return [kmeans_centroids(s, min(n_codes, len(s)), iters)
+            for s in np.array_split(sample, m, axis=1)]
+
+
+class PqEncoder:
+    """Batch UDF: append `pq_code` (FixedSizeList<uint8>[m]) and DROP the
+    raw vector column (the point of the compression) unless `keep_vec`.
+
+    Codebooks are broadcast once via ray.put; the ref resolves lazily per
+    worker so the stage runs as plain tasks (no actor pool)."""
+
+    def __init__(self, codebooks_ref, vec_col: str = "embedding",
+                 out_col: str = "pq_code", keep_vec: bool = False):
+        self.codebooks_ref = codebooks_ref
+        self.vec_col, self.out_col, self.keep_vec = vec_col, out_col, keep_vec
+        self._cb = None
+
+    @property
+    def codebooks(self):
+        if self._cb is None:
+            import ray
+
+            self._cb = (self.codebooks_ref
+                        if isinstance(self.codebooks_ref, list)
+                        else ray.get(self.codebooks_ref))
+        return self._cb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cb = self.codebooks
+        m = len(cb)
+        v = _normalize(_batch_matrix(batch, self.vec_col))
+        if len(v):
+            subs = np.array_split(v, m, axis=1)
+            codes = np.stack(
+                [((s[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+                 .argmin(axis=1) for i, s in enumerate(subs)],
+                axis=1).astype(np.uint8)
+        else:
+            codes = np.empty((0, m), dtype=np.uint8)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.uint8()), m)
+        out = batch.append_column(self.out_col, arr)
+        if not self.keep_vec:
+            out = out.drop_columns([self.vec_col])
+        return out
+
+
+class _PqAdcScorer:
+    """Batch UDF: ADC partial top-k over the code column — one fancy-index
+    gather + row sum per batch against the per-query LUT, no per-row
+    Python. Emits (id, score) like `_TopKScorer` so the same measured
+    tree-combine finish applies."""
+
+    def __init__(self, lut_ref, k: int, id_col: str, code_col: str):
+        self.lut_ref = lut_ref
+        self.k, self.id_col, self.code_col = k, id_col, code_col
+        self._lut = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lut is None:
+            import ray
+
+            self._lut = (self.lut_ref
+                         if isinstance(self.lut_ref, np.ndarray)
+                         else ray.get(self.lut_ref))
+        lut = self._lut  # (m, n_codes)
+        m = lut.shape[0]
+        col = batch.column(self.code_col).combine_chunks()
+        codes = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        scores = lut[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1)
+        k = min(self.k, len(scores))
+        idx = (np.argpartition(-scores, k - 1)[:k]
+               if k else np.array([], dtype=int))
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(pa.array(idx))
+            .cast(pa.int64()),
+            "score": pa.array(scores[idx], type=pa.float64()),
+        })
+
+
+def pq_encode(ds, codebooks, *, vec_col: str = "embedding",
+              out_col: str = "pq_code", keep_vec: bool = False):
+    """One streaming encode pass: raw vectors in, (…, pq_code) out. The
+    encoded Dataset is what a 100 TB deployment would persist as the
+    search index (write_parquet) — `m` bytes per vector."""
+    import ray
+
+    ref = ray.put(codebooks)
+    return ds.map_batches(
+        PqEncoder(ref, vec_col=vec_col, out_col=out_col, keep_vec=keep_vec),
+        batch_format="pyarrow")
+
+
+def topk_cosine_ivfpq(ds, query: np.ndarray, k: int = 10, *,
+                      n_centroids: int = 16, nprobe: int = 2,
+                      m: int = 8, n_codes: int = 16,
+                      sample_size: int = 4096, sample_stride: int = 7,
+                      rerank: int = 0,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int = 6, concurrency=(1, 4)):
+    """IVF + PQ ADC top-k (IVFADC): train IVF centroids AND PQ codebooks
+    on one bounded strided sample, bucket + encode in a single streaming
+    pass, ADC-score only the `nprobe` probed buckets, finish with the
+    measured tree combine. With `rerank` > 0, the top `rerank` ADC
+    candidates (small, broadcast as a sorted id array) are re-scored
+    EXACTLY against the raw vector column and the final top-k comes from
+    those exact scores (IVFADC+R) — at any scale the re-rank side is
+    `rerank` rows, never the corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    from webextract.functions.treeagg import tree_combine
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    def stride(batch: pa.Table) -> pa.Table:
+        return batch.take(pa.array(range(0, batch.num_rows, sample_stride)))
+
+    head = ds.map_batches(stride, batch_format="pyarrow").limit(
+        sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in head], dtype=np.float64)
+    cent = kmeans_centroids(sample, min(n_centroids, len(sample)))
+    cbs = pq_train(sample, m=m, n_codes=n_codes)
+    lut = np.stack([
+        qs @ cb.T for qs, cb in zip(np.array_split(qn, m), cbs)
+    ])  # (m, n_codes) inner-product tables
+
+    cent_ref = ray.put(cent)
+    cb_ref = ray.put(cbs)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(qd)[:nprobe].tolist()
+    encoded = (
+        ds.map_batches(IvfBucketer(cent_ref, vec_col=vec_col),
+                       batch_format="pyarrow")
+        .filter(expr=f"centroid in [{', '.join(str(int(p)) for p in probe)}]")
+        .map_batches(PqEncoder(cb_ref, vec_col=vec_col), batch_format="pyarrow")
+    )
+    n_out = max(k, rerank)
+    partial = encoded.map_batches(
+        _PqAdcScorer(ray.put(lut), n_out, id_col, "pq_code"),
+        batch_format="pyarrow")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("score", "descending"), (id_col, "ascending")])
+        return b.take(idx.slice(0, min(n_out, b.num_rows)))
+
+    cand = tree_combine(
+        partial, local_topk,
+        agg_fallback=lambda p: p.sort(
+            ["score", id_col], descending=[True, False]).limit(n_out),
+        what="topk_cosine_ivfpq")
+
+    if rerank:
+        ids = np.unique(np.asarray(
+            [r[id_col] for r in cand.take_all()], dtype=np.int64))
+        from webextract.functions.dedup import ArrayIndex, semi_filter_by_index
+
+        exact_side = semi_filter_by_index(
+            ds, ArrayIndex(ray.put(ids), int(ids.size)), id_col)
+        return topk_cosine(exact_side, q, k, id_col=id_col, vec_col=vec_col,
+                           round_to=round_to, concurrency=concurrency)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("score")
+        return b.set_column(
+            i, "score",
+            pc.round(b.column("score"), ndigits=round_to).cast(pa.float64()))
+
+    # trim the n_out-wide candidate list back to k rows; both finish paths
+    # emit score-descending dataset order, so limit(k) is the top k
+    return cand.limit(k).map_batches(rnd, batch_format="pyarrow")
+
+
 def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       concurrency=(1, 4), max_bucket: int = 2000):

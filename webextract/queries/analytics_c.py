@@ -947,25 +947,10 @@ def q_doc_dup_ngram_share(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from webextract.functions.joins import hash_join
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids: list = []
-        grams: list = []
-        for did, t in zip(b.column("doc_id").to_pylist(),
-                          b.column("text").to_pylist()):
-            words = t.split(" ")
-            seen = set()
-            for i in range(max(0, len(words) - 4)):
-                seen.add(" ".join(words[i:i + 5]))
-            ids.extend([did] * len(seen))
-            grams.extend(seen)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "ngram": pa.array(grams, type=pa.string()),
-        })
+    from webextract.functions.ngrams import doc_ngram_pairs_batch
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow")
+        lambda b: doc_ngram_pairs_batch(b, n=5), batch_format="pyarrow")
     df = (
         pairs.groupby("ngram")
         .aggregate(Count())

@@ -196,6 +196,22 @@ def q_similarity_topk_ivf(sf_dir: str):
                            nprobe=2, concurrency=_conc())
 
 
+def q_similarity_topk_ivfpq(sf_dir: str):
+    """IVFADC+R (functions/similarity.topk_cosine_ivfpq): PQ-compressed
+    ADC candidate generation (8 uint8 codes per 64-float vector) over the
+    probed IVF buckets, exact re-rank of the top 50 candidates against
+    the raw column. Approximate by construction -> rows-only."""
+    import ray.data
+
+    from webextract.functions.similarity import topk_cosine_ivfpq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return topk_cosine_ivfpq(ds, _query_vec(sf_dir), k=5, n_centroids=8,
+                             nprobe=2, m=8, n_codes=16, rerank=50,
+                             concurrency=_conc())
+
+
 def q_embedding_neardup(sf_dir: str):
     import ray.data
 

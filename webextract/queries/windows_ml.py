@@ -83,7 +83,7 @@ def q_kmeans_clusters(sf_dir: str):
     from webextract.functions.clustering import kmeans_assign, kmeans_fit
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+                                columns=["vec_id", "embedding"]).materialize()
     k = 10
     cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=k, n_iter=5)
     asn = kmeans_assign(emb, cents, col="embedding", id_col="vec_id")
@@ -325,7 +325,7 @@ def q_semdedup_pairs(sf_dir: str):
     from webextract.functions.clustering import cluster_neardup, kmeans_fit
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
+                                columns=["vec_id", "embedding"]).materialize()
     cents = kmeans_fit(emb, col="embedding", id_col="vec_id", k=10, n_iter=3)
     return cluster_neardup(emb, cents, col="embedding", id_col="vec_id",
                            threshold=0.9)
