@@ -82,8 +82,9 @@ class _BroadcastJoiner:
     lazily (zero-copy from local plasma), so the stage runs as plain
     tasks on warm workers."""
 
-    def __init__(self, ref, key, value_cols):
+    def __init__(self, ref, key, value_cols, how="left"):
         self.ref, self.key, self.value_cols = ref, key, value_cols
+        self.how = how
         self._keys = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -96,25 +97,36 @@ class _BroadcastJoiner:
                             for c in self.value_cols}
         idx = pc.index_in(batch.column(self.key).combine_chunks(),
                           value_set=self._keys)
+        if self.how == "inner":
+            # membership-based (not payload-null-based): drop misses
+            keep = pc.is_valid(idx)
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
         for c in self.value_cols:
             batch = batch.append_column(c, self._values[c].take(idx))
         return batch
 
 
 def broadcast_join(ds, small_table: pa.Table, *, key: str,
-                   value_cols: Optional[List[str]] = None, concurrency=(1, 4)):
+                   value_cols: Optional[List[str]] = None, how: str = "left",
+                   concurrency=(1, 4)):
     """Enrich `ds` rows with columns from `small_table` matched on `key`
-    (left join; misses become nulls). Small side crosses the cluster once;
-    duplicate small-side keys resolve last-occurrence-wins (deduped ONCE
-    on the driver before the broadcast, not per consumer)."""
+    (`how="left"`: misses become nulls; `how="inner"`: misses are
+    dropped by key MEMBERSHIP, so SQL INNER JOIN semantics hold even for
+    null small-side payload values). Small side crosses the cluster
+    once; duplicate small-side keys resolve last-occurrence-wins
+    (deduped ONCE on the driver before the broadcast, not per
+    consumer)."""
     import ray
 
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown broadcast_join how={how!r}")
     value_cols = value_cols or [c for c in small_table.column_names if c != key]
     small = _dedup_last_wins(
         small_table.select([key] + value_cols).combine_chunks(), key)
     ref = ray.put(small)
     return ds.map_batches(
-        _BroadcastJoiner(ref, key, value_cols),
+        _BroadcastJoiner(ref, key, value_cols, how),
         batch_format="pyarrow",
     )
 

@@ -49,9 +49,11 @@ def _flat_ngram_strings(texts, n: int):
     if total == 0:
         return (np.empty(0, dtype=np.int64),
                 pa.array([], type=pa.string()))
+    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), n_g)
+    if n == 1:  # words ARE the 1-grams — no take/join copies
+        return doc_idx, flat
     offs = np.zeros(len(cnt) + 1, dtype=np.int64)
     np.cumsum(cnt, out=offs[1:])
-    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), n_g)
     ends = np.cumsum(n_g)
     within = np.arange(total, dtype=np.int64) - np.repeat(ends - n_g, n_g)
     starts = np.repeat(offs[:-1], n_g) + within
@@ -164,19 +166,15 @@ def word_doc_pairs_batch(
     batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
     """Explode each document into its DISTINCT (word, doc_id) pairs —
-    the map side of inverted-index construction."""
-    words: List[str] = []
-    ids: List[int] = []
-    for did, t in zip(
-        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-    ):
-        for w in set((t or "").split(" ")):
-            words.append(w)
-            ids.append(did)
+    the map side of inverted-index construction. Vectorized: the n=1
+    case of `_flat_ngram_strings` (one split_pattern, zero takes) plus
+    one Arrow hash-distinct."""
+    doc_idx, words = _flat_ngram_strings(batch.column(text_col), 1)
+    ids = np.asarray(batch.column(id_col).cast(pa.int64()).combine_chunks())
     return pa.table({
-        "word": pa.array(words, type=pa.string()),
-        "doc_id": pa.array(ids, type=pa.int64()),
-    })
+        "word": words,
+        id_col: pa.array(ids[doc_idx], type=pa.int64()),
+    }).group_by(["word", id_col], use_threads=False).aggregate([])
 
 
 def inverted_index(ds, *, max_group: int = 100_000):

@@ -81,3 +81,38 @@ def guarded_fold(ds, *, what: str, max_rows: int = MAX_FOLD_ROWS):
             "the grouping violates its bounded-cardinality contract — "
             "aggregate distributed (hash_join / tree_combine) instead")
     return m.take_all()
+
+
+#: Dimension tables at or below this many rows are read ONCE on the
+#: driver and broadcast (`functions.joins.broadcast_join`, one ray.put,
+#: zero-copy per node) instead of hash-shuffling the fact side's
+#: aggregate through a keyed exchange. ~1M rows of a key + short string
+#: is tens of MB — cheap to ship once, far below any fact table.
+BROADCAST_DIM_MAX_ROWS = 1 << 20
+
+
+def join_dim(fact_ds, dim_path: str, *, key: str, cols, fact_schema,
+             how: str = "inner", concurrency=None,
+             max_rows: int = BROADCAST_DIM_MAX_ROWS):
+    """MEASURED broadcast-vs-shuffle join against a dimension parquet.
+
+    The dimension's parquet METADATA row count (free — no data read)
+    picks the transport: at or below ``max_rows`` the dimension is read
+    driver-side and broadcast (`broadcast_join`, membership-based inner
+    semantics); above it, the keyed-exchange `hash_join` — identical
+    rows either way (`broadcast_join` requires unique dimension keys;
+    TPC-H-style dims are primary-keyed)."""
+    import ray.data
+
+    from webextract.functions.joins import broadcast_join, hash_join
+
+    if pq.read_metadata(dim_path).num_rows <= max_rows:
+        dim = pq.read_table(dim_path, columns=[key, *cols])
+        return broadcast_join(fact_ds, dim, key=key, how=how,
+                              concurrency=concurrency or _conc())
+    dim_ds = ray.data.read_parquet(dim_path, columns=[key, *cols])
+    dim_schema = pa.schema(
+        [(key, fact_schema.field(key).type)]
+        + [(c, pq.read_schema(dim_path).field(c).type) for c in cols])
+    return hash_join(fact_ds, dim_ds, on=key, how=how,
+                     left_schema=fact_schema, right_schema=dim_schema)

@@ -776,8 +776,6 @@ def q_top_orders_by_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import hash_join
-
     def cents(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice"),
@@ -933,8 +931,6 @@ def q_brand_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    from webextract.functions.joins import hash_join
-
     def cents(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice"),
@@ -955,18 +951,15 @@ def q_brand_revenue(sf_dir: str):
         .aggregate(Sum("cents", alias_name="cents"), Count())
         .rename_columns({"count()": "n_lines"})
     )
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    )
-    joined = hash_join(
-        per_part, part, on="p_partkey",
-        left_schema=pa.schema([
+    from webextract.queries._shared import join_dim
+
+    joined = join_dim(
+        per_part, f"{sf_dir}/part.parquet", key="p_partkey",
+        cols=["p_brand"],
+        fact_schema=pa.schema([
             ("p_partkey", pa.int64()), ("cents", pa.int64()),
             ("n_lines", pa.int64()),
         ]),
-        right_schema=pa.schema(
-            [("p_partkey", pa.int64()), ("p_brand", pa.string())]
-        ),
     )
     return (
         joined.groupby("p_brand")
@@ -994,18 +987,17 @@ def q_vocab_by_lang(sf_dir: str):
     moves."""
     from ray.data.aggregate import Count
 
+    from webextract.functions.ngrams import _flat_ngram_strings
+
     def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            for w in set(t.split(" ")):
-                langs.append(lg)
-                words.append(w)
+        doc_idx, words = _flat_ngram_strings(b.column("text"), 1)
+        distinct = pa.table({
+            "_d": pa.array(doc_idx, type=pa.int64()), "word": words,
+        }).group_by(["_d", "word"], use_threads=False).aggregate([])
+        langs = b.column("lang").combine_chunks()
         return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
+            "lang": langs.take(distinct.column("_d")),
+            "word": distinct.column("word"),
         })
 
     return (
@@ -1281,18 +1273,15 @@ def q_promo_share_monthly(sf_dir: str):
         .groupby(["p_partkey", "month"])
         .aggregate(Sum("cents", alias_name="cents"))
     )
-    part = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    joined = hash_join(
-        per_pm, part, on="p_partkey",
-        left_schema=pa.schema([
+    from webextract.queries._shared import join_dim
+
+    joined = join_dim(
+        per_pm, f"{sf_dir}/part.parquet", key="p_partkey",
+        cols=["p_type"],
+        fact_schema=pa.schema([
             ("p_partkey", pa.int64()), ("month", pa.string()),
             ("cents", pa.int64()),
         ]),
-        right_schema=pa.schema(
-            [("p_partkey", pa.int64()), ("p_type", pa.string())]
-        ),
     )
 
     def split(b: pa.Table) -> pa.Table:
