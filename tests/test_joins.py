@@ -177,3 +177,53 @@ def test_hash_join_on_null_component_drops_row(ray_session):
                        right_schema=rs).take_all()
     assert sorted((row["a"], row["b"], row["lv"], row["rv"])
                   for row in out) == [(1, "x", "p", "u")]
+
+
+def test_broadcast_join_inner_drops_misses(ray_session):
+    """how='inner' drops misses by key MEMBERSHIP — a null dim payload
+    value on a MATCHED key is kept (SQL INNER JOIN semantics)."""
+    from webextract.functions.joins import broadcast_join
+
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+    }))
+    dim = pa.table({
+        "k": pa.array([1, 3], type=pa.int64()),
+        "name": pa.array(["a", None], type=pa.string()),
+    })
+    out = sorted((r["k"], r["v"], r["name"]) for r in
+                 broadcast_join(fact, dim, key="k", how="inner").take_all())
+    assert out == [(1, 10, "a"), (3, 30, None)]
+    left = sorted((r["k"], r["name"]) for r in
+                  broadcast_join(fact, dim, key="k").take_all())
+    assert left == [(1, "a"), (2, None), (3, None), (4, None)]
+
+
+def test_join_dim_paths_identical(ray_session, tmp_path):
+    """The measured broadcast path and the hash_join fallback of
+    queries/_shared.join_dim return identical rows."""
+    import pyarrow.parquet as pq
+
+    from webextract.queries._shared import join_dim
+
+    dim_path = str(tmp_path / "dim.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "name": pa.array(["a", "b", "c"], type=pa.string()),
+    }), dim_path)
+    fs = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+
+    def fact():
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, 3, 9], type=pa.int64()),
+            "v": pa.array([10, 11, 30, 90], type=pa.int64()),
+        })).repartition(2)
+
+    rows_b = sorted((r["k"], r["v"], r["name"]) for r in join_dim(
+        fact(), dim_path, key="k", cols=["name"],
+        fact_schema=fs).take_all())
+    rows_h = sorted((r["k"], r["v"], r["name"]) for r in join_dim(
+        fact(), dim_path, key="k", cols=["name"], fact_schema=fs,
+        max_rows=0).take_all())
+    assert rows_b == rows_h == [(1, 10, "a"), (1, 11, "a"), (3, 30, "c")]
