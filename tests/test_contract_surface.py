@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "approx_users_per_type",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
     "embedding_neardup",
     "cms_word_counts",
     "join_size_est",

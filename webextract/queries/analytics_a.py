@@ -776,6 +776,8 @@ def q_top_orders_by_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
+    from webextract.functions.joins import hash_join
+
     def cents(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice"),
