@@ -196,16 +196,16 @@ def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
         d = batch.column("dst").combine_chunks()
         return pa.table({"node": pa.concat_arrays([s, d])})
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
+    # distinct via groupby().count() projections — keys-only exchanges
+    # with no per-distinct-key Python (the map_groups(first) shape paid
+    # one UDF call per node)
     nodes = (
         e.map_batches(halves, batch_format="pyarrow")
-        .groupby("node").map_groups(first, batch_format="pyarrow")
+        .groupby("node").count().select_columns(["node"])
         .repartition(nparts).materialize()
     )
     n = nodes.count()
-    srcs = e.groupby("src").map_groups(first, batch_format="pyarrow") \
+    srcs = e.groupby("src").count() \
         .select_columns(["src"]).rename_columns({"src": "node"})
     dangling = hash_join(
         nodes, srcs, on="node", how="anti",
@@ -323,13 +323,13 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
                          "v": pa.array(np.maximum(s, d))},
                         schema=canon_schema)
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1) if group.num_rows else \
-            canon_schema.empty_table()
-
+    # distinct via groupby().count() + projection — a vectorized
+    # keys-only exchange (map_groups would invoke Python once PER
+    # distinct edge; there is no payload to carry, so count-and-drop
+    # is the same rows at C speed)
     oriented = (
         edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"]).map_groups(first_row, batch_format="pyarrow")
+        .groupby(["u", "v"]).count().select_columns(["u", "v"])
     ).materialize()
 
     wedges = hash_join(
