@@ -227,3 +227,62 @@ def test_join_dim_paths_identical(ray_session, tmp_path):
         fact(), dim_path, key="k", cols=["name"], fact_schema=fs,
         max_rows=0).take_all())
     assert rows_b == rows_h == [(1, 10, "a"), (1, 11, "a"), (3, 30, "c")]
+
+
+def test_attach_group_size_matches_naive(ray_session):
+    """attach_group_size == COUNT(*) OVER (PARTITION BY k) on a mixed
+    int-key table spread over several blocks."""
+    import collections
+
+    from webextract.functions.joins import attach_group_size
+
+    keys = [i % 7 for i in range(50)] + [99] * 3
+    vals = list(range(len(keys)))
+    expected = collections.Counter(keys)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})).repartition(5)
+    out = attach_group_size(
+        ds, on="k",
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+        out="n").to_pandas().sort_values("v", ignore_index=True)
+    assert out["v"].tolist() == vals  # every row survives, payload intact
+    assert out["n"].tolist() == [expected[k] for k in keys]
+
+
+def test_attach_group_size_string_keys_and_nulls(ray_session):
+    """String keys hash-route correctly; NULL keys form ONE group
+    (SQL window PARTITION BY semantics, not join semantics)."""
+    from webextract.functions.joins import attach_group_size
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": ["a", "b", "a", None, None, "c", None],
+        "i": [0, 1, 2, 3, 4, 5, 6],
+    })).repartition(3)
+    out = attach_group_size(
+        ds, on="k",
+        schema=pa.schema([("k", pa.string()), ("i", pa.int64())]),
+        out="n").to_pandas().sort_values("i", ignore_index=True)
+    assert out["n"].tolist() == [2, 1, 2, 3, 3, 1, 3]
+
+
+def test_attach_group_size_rejects_column_collision(ray_session):
+    from webextract.functions.joins import attach_group_size
+
+    ds = ray.data.from_arrow(pa.table({"k": [1], "n": [1]}))
+    with pytest.raises(ValueError, match="already in input schema"):
+        attach_group_size(
+            ds, on="k",
+            schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+            out="n")
+
+
+def test_attach_group_size_int_null_keys(ray_session):
+    from webextract.functions.joins import attach_group_size
+
+    ds = ray.data.from_arrow(pa.table(
+        {"k": [1, None, 1, None, 2], "i": [0, 1, 2, 3, 4]})).repartition(3)
+    out = attach_group_size(
+        ds, on="k",
+        schema=pa.schema([("k", pa.int64()), ("i", pa.int64())]),
+        out="n").to_pandas().sort_values("i", ignore_index=True)
+    assert out["n"].tolist() == [2, 2, 2, 2, 1]

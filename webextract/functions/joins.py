@@ -415,6 +415,81 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     return joined
 
 
+def attach_group_size(ds, *, on: str, schema: pa.Schema,
+                      out: str = "group_n"):
+    """``COUNT(*) OVER (PARTITION BY on)`` in ONE hash exchange: append
+    each row's group size over `on` without a groupby + join-back.
+
+    The naive relational shape (``groupby(on).count()`` then
+    ``hash_join`` the counts back) executes the input subgraph TWICE
+    and moves it through TWO all-to-all exchanges. Here the input is
+    hash-partitioned once (same SplitMix64 routing as
+    :func:`hash_join`, so equal keys co-locate) and each partition
+    computes sizes vectorized — dictionary-encode the key, ``bincount``
+    the codes, gather — no per-key Python, no second scan.
+
+    NULL keys follow SQL WINDOW semantics (one shared group), not join
+    semantics: ``PARTITION BY`` groups NULLs together.
+
+    ``schema`` is the input's pyarrow schema (passed explicitly for the
+    same Ray 2.49 metadata-propagation reasons as ``hash_join``); the
+    output schema is ``schema + (out, int64)``.
+    """
+    if out in schema.names:
+        raise ValueError(f"output column {out!r} already in input schema")
+    names = list(schema.names)
+    out_names = names + [out]
+    out_types = [schema.field(c).type for c in names] + [pa.int64()]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty so no schema-less block flows into the groupby
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=schema.field(c).type) for c in names]
+                + [pa.array([], type=pa.int64())],
+                names=names + ["_part"])
+        key = batch.column(on)
+        if key.null_count:
+            # route NULLs like any fixed value (hash_join filters NULLs
+            # map-side so _key_hash_u64 never sees them; window
+            # semantics keep them): fill with an arbitrary constant —
+            # a collision only CO-LOCATES rows, `sized` still groups on
+            # the true values (dictionary_encode keeps NULL distinct).
+            fill = ("" if pa.types.is_string(key.type)
+                    or pa.types.is_large_string(key.type) else 0)
+            key = pc.fill_null(key, fill)
+        part = (_key_hash_u64(key)
+                % np.uint64(_NUM_JOIN_PARTS)).astype(np.int64)
+        return batch.select(names).append_column(
+            "_part", pa.array(part, type=pa.int64()))
+
+    def sized(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=t) for t in out_types], names=out_names)
+        key = part.column(on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        codes = np.asarray(enc.indices.fill_null(len(enc.dictionary)))
+        counts = np.bincount(codes, minlength=len(enc.dictionary) + 1)
+        return part.drop_columns(["_part"]).append_column(
+            out, pa.array(counts[codes], type=pa.int64()))
+
+    def _pin(batch: pa.Table) -> pa.Table:
+        # map_groups emits a schema-less empty block when a partition is
+        # empty; retype it so downstream schema resolution survives.
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=t) for t in out_types], names=out_names)
+        return batch
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(sized, batch_format="pyarrow")
+            .map_batches(_pin, batch_format="pyarrow"))
+
+
 def _splitmix64(x):
     """Vectorized SplitMix64 over a uint64 numpy array (the corpus.mix
     constant schedule) — deterministic, no RNG state."""

@@ -582,14 +582,19 @@ def q_orders_above_cust_mean(sf_dir: str):
     orders pricier than their own customer's mean order value
     (cents * n_orders > sum_cents cross-multiplication), rolled up per
     market segment. Round-4 rewrite (judge task 2): the per-customer
-    (n, sum) side and the segment dim are joined back via keyed
-    exchanges (functions/joins.hash_join) — c_custkey is customer-grade
+    (n, sum) side joins back via ONE keyed exchange
+    (functions/joins.hash_join) — c_custkey is customer-grade
     cardinality, so the old take_all() driver dict was an OOM shape at
-    10^9 customers."""
+    10^9 customers. Round-5: the above-mean counts fold per custkey
+    BEFORE the segment lookup, so the segment dim joins a
+    one-row-per-customer table through the measured ``join_dim``
+    (broadcast at bench scale, keyed exchange at warehouse scale) —
+    segment strings never ride the per-order fact exchange."""
     import ray.data
     from ray.data.aggregate import Count, Sum
 
     from webextract.functions.joins import hash_join
+    from webextract.queries._shared import join_dim
 
     def cents(b: pa.Table) -> pa.Table:
         c = pc.cast(
@@ -610,23 +615,12 @@ def q_orders_above_cust_mean(sf_dir: str):
         .aggregate(Count(), Sum("cents", alias_name="s"))
         .rename_columns({"count()": "n"})
     )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"])
-    stats_seg = hash_join(
-        stats, cust, on="c_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("n", pa.int64()), ("s", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("c_mktsegment", pa.string())]),
-    )
     joined = hash_join(
-        orders(), stats_seg, on="c_custkey",
+        orders(), stats, on="c_custkey",
         left_schema=pa.schema([("c_custkey", pa.int64()),
                                ("cents", pa.int64())]),
         right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("n", pa.int64()), ("s", pa.int64()),
-                                ("c_mktsegment", pa.string())]),
+                                ("n", pa.int64()), ("s", pa.int64())]),
     )
 
     def flag(b: pa.Table) -> pa.Table:
@@ -634,14 +628,24 @@ def q_orders_above_cust_mean(sf_dir: str):
         n = b.column("n").to_numpy(zero_copy_only=False)
         s = b.column("s").to_numpy(zero_copy_only=False)
         return pa.table({
-            "c_mktsegment": b.column("c_mktsegment"),
+            "c_custkey": b.column("c_custkey"),
         }).filter(pa.array(cs * n > s))
 
-    return (
+    per_cust = (
         joined.map_batches(flag, batch_format="pyarrow")
-        .groupby("c_mktsegment")
+        .groupby("c_custkey")
         .aggregate(Count())
         .rename_columns({"count()": "n_above"})
+    )
+    return (
+        join_dim(
+            per_cust, f"{sf_dir}/customer.parquet", key="c_custkey",
+            cols=["c_mktsegment"],
+            fact_schema=pa.schema([("c_custkey", pa.int64()),
+                                   ("n_above", pa.int64())]),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_above", alias_name="n_above"))
     )
 
 

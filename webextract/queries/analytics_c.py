@@ -328,13 +328,17 @@ FROM m
 def q_revenue_by_region(sf_dir: str):
     """Five-table join span (lineitem -> orders -> customer -> nation
     -> region): per-order revenue pre-aggregated in the lineitem scan,
-    ONE hash exchange to orders for the custkey, ONE to customer for
-    the nationkey, then the 25-row nation x region chain broadcasts —
-    revenue per region in exact integer cents."""
+    then MEASURED dimension joins (``join_dim``: parquet-metadata row
+    count picks broadcast vs keyed exchange) to orders for the custkey
+    and to customer for the nationkey — at bench scale both dims
+    broadcast (zero all-to-all after the pre-agg), at warehouse scale
+    they spill to the hash exchange; the 25-row nation x region chain
+    always broadcasts — revenue per region in exact integer cents."""
     import ray.data
     from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import broadcast_join, hash_join
+    from webextract.functions.joins import broadcast_join
+    from webextract.queries._shared import join_dim
 
     def cents(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -355,28 +359,20 @@ def q_revenue_by_region(sf_dir: str):
         .groupby("o_orderkey")
         .aggregate(Sum("cents", alias_name="cents"))
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    j1 = hash_join(
-        per_order, orders, on="o_orderkey",
-        left_schema=pa.schema(
+    j1 = join_dim(
+        per_order, f"{sf_dir}/orders.parquet", key="o_orderkey",
+        cols=["o_custkey"],
+        fact_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("cents", pa.int64())]),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
     ).rename_columns({"o_custkey": "c_custkey"})
-    # pre-fold per customer before the second exchange: keys+cents only
+    # pre-fold per customer before the second dim join: keys+cents only
     per_cust = j1.groupby("c_custkey").aggregate(
         Sum("cents", alias_name="cents"))
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    j2 = hash_join(
-        per_cust, cust, on="c_custkey",
-        left_schema=pa.schema(
+    j2 = join_dim(
+        per_cust, f"{sf_dir}/customer.parquet", key="c_custkey",
+        cols=["c_nationkey"],
+        fact_schema=pa.schema(
             [("c_custkey", pa.int64()), ("cents", pa.int64())]),
-        right_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
     ).rename_columns({"c_nationkey": "n_nationkey"})
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
@@ -941,48 +937,35 @@ def q_doc_dup_ngram_share(sf_dir: str):
     """Per-document duplication exposure: how many of a doc's distinct
     5-grams also appear in at least one OTHER document — the
     exact-substring contamination score dedup pipelines threshold on.
-    Shape: distinct (ngram, doc) explode map-side; ngram doc-frequency
-    keys-only; dup flag joins back by ngram (keys + doc_id only); per-
-    doc counts. Integer outputs only."""
+    Shape (round-5 rewrite): distinct (ngram, doc) explode map-side
+    ONCE; ngram doc-frequency attached in the SAME exchange
+    (``attach_group_size`` — COUNT OVER PARTITION BY ngram, no
+    groupby + join-back); the dup flag and the per-doc (total, dup)
+    counts then fold in one keys-only doc_id aggregation. One explode
+    pass and two exchanges replace the old three explode passes and
+    four exchanges. Integer outputs only."""
     from ray.data.aggregate import Count, Sum
 
-    from webextract.functions.joins import hash_join
+    from webextract.functions.joins import attach_group_size
     from webextract.functions.ngrams import doc_ngram_pairs_batch
 
     pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: doc_ngram_pairs_batch(b, n=5), batch_format="pyarrow")
-    df = (
-        pairs.groupby("ngram")
-        .aggregate(Count())
-        .rename_columns({"count()": "df"})
-        .filter(expr="df >= 2")
-        .select_columns(["ngram"])
-    )
-    ps = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
-    ns = pa.schema([("ngram", pa.string())])
-    dup = hash_join(pairs, df, on="ngram", how="semi",
-                    left_schema=ps, right_schema=ns)
-    dup_counts = (
-        dup.groupby("doc_id")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_dup"})
-    )
-    totals = (
-        pairs.groupby("doc_id")
-        .aggregate(Count())
+    sized = attach_group_size(
+        pairs, on="ngram", out="df",
+        schema=pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())]))
+
+    def flags(b: pa.Table) -> pa.Table:
+        # drop the ngram string BEFORE the doc_id exchange: ints only
+        dup = pc.cast(pc.greater_equal(b.column("df"), 2), pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"), "dup": dup})
+
+    return (
+        sized.map_batches(flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(), Sum("dup", alias_name="n_dup"))
         .rename_columns({"count()": "n_ngrams"})
-    )
-    return hash_join(
-        totals, dup_counts, on="doc_id", how="left",
-        left_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_ngrams", pa.int64())]),
-        right_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_dup", pa.int64())]),
-    ).map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("n_dup"), "n_dup",
-            pc.coalesce(b.column("n_dup"), pa.scalar(0, type=pa.int64()))),
-        batch_format="pyarrow",
+        .select_columns(["doc_id", "n_ngrams", "n_dup"])
     )
 
 
