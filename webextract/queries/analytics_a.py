@@ -769,14 +769,21 @@ FROM events GROUP BY event_type
 def q_top_orders_by_revenue(sf_dir: str):
     """TPC-H Q3-lite: per-order lineitem revenue (pre-aggregated INSIDE
     the lineitem scan — the shuffle moves (orderkey, cents), never line
-    rows), hash-joined to orders for the priority column, global top-10
-    by (revenue DESC, orderkey ASC). Revenue is exact integer cents:
-    floor(ext * (1 - disc) * 100 + 0.5), identical IEEE ops on both
-    sides, so the distributed sum is order-independent."""
+    rows), global top-10 by (revenue DESC, orderkey ASC). Revenue is
+    exact integer cents: floor(ext * (1 - disc) * 100 + 0.5), identical
+    IEEE ops on both sides, so the distributed sum is order-independent.
+
+    Round-5 shape: the top-10 finishes through the MEASURED tree
+    combine (per-block partial top-k, treeagg.tree_combine) instead of
+    a global sort, and the priority column is fetched by broadcasting
+    the 10 winning keys INTO the orders scan (map-side isin filter) —
+    the priority strings never ride an exchange and the orders table
+    never shuffles at any scale."""
     import ray.data
     from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import hash_join
+    from webextract.functions.treeagg import tree_combine
+    from webextract.queries._shared import guarded_fold
 
     def cents(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -797,21 +804,44 @@ def q_top_orders_by_revenue(sf_dir: str):
         .groupby("o_orderkey")
         .aggregate(Sum("cents", alias_name="revenue_cents"))
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
-    joined = hash_join(
-        per_order, orders, on="o_orderkey",
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
-        ),
-    )
-    return joined.sort(
-        ["revenue_cents", "o_orderkey"], descending=[True, False]
-    ).limit(10)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("revenue_cents", "descending"), ("o_orderkey", "ascending")])
+        return b.take(idx.slice(0, min(10, b.num_rows)))
+
+    top = guarded_fold(
+        tree_combine(
+            per_order.map_batches(local_topk, batch_format="pyarrow",
+                                  batch_size=None),
+            local_topk,
+            agg_fallback=lambda p: p.sort(
+                ["revenue_cents", "o_orderkey"],
+                descending=[True, False]).limit(10),
+            what="top_orders_by_revenue"),
+        what="top-10 orders")
+    keys = sorted(int(r["o_orderkey"]) for r in top)
+    pri_rows = guarded_fold(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        ).map_batches(
+            lambda b: b.filter(pc.is_in(
+                b.column("o_orderkey"),
+                value_set=pa.array(keys, type=pa.int64()))),
+            batch_format="pyarrow"),
+        what="top-10 order priorities")
+    pri = {int(r["o_orderkey"]): r["o_orderpriority"] for r in pri_rows}
+    rows = sorted(top, key=lambda r: (-int(r["revenue_cents"]),
+                                      int(r["o_orderkey"])))
+    return pa.table({
+        "o_orderkey": pa.array(
+            [int(r["o_orderkey"]) for r in rows], type=pa.int64()),
+        "revenue_cents": pa.array(
+            [int(r["revenue_cents"]) for r in rows], type=pa.int64()),
+        "o_orderpriority": pa.array(
+            [pri[int(r["o_orderkey"])] for r in rows], type=pa.string()),
+    })
 
 
 _SQL_TOP_ORDERS_BY_REVENUE = """

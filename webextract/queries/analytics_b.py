@@ -1494,17 +1494,48 @@ SELECT n_events, count(*)::BIGINT AS n_sessions FROM g GROUP BY n_events
 def q_fk_orphans(sf_dir: str):
     """Referential-integrity audit across the schema: orphan counts for
     two foreign keys (orders.o_custkey -> customer, lineitem.l_orderkey
-    -> orders) via ANTI hash joins — keys-only distinct on the child
-    side first, so the exchange carries one row per distinct key, and
-    the orphan count weights back by child multiplicity (here: distinct
-    orphan keys + orphan child rows)."""
+    -> orders). MEASURED transport per FK (the join_dim discipline):
+    parents whose parquet metadata row count fits the broadcast bound
+    ship their key set ONCE via ray.put and the child scan anti-filters
+    map-side (sorted searchsorted probe — ZERO exchanges; the surviving
+    orphans are a contract-tiny set folded keys-only); bigger parents
+    go through the ANTI hash join with the child side pre-distincted so
+    the exchange carries one row per distinct key."""
+    import ray
     import ray.data
     from ray.data.aggregate import Count, Sum
 
     from webextract.functions.joins import hash_join
+    from webextract.queries._shared import BROADCAST_DIM_MAX_ROWS
 
     def orphan_counts(child_path, child_key, parent_path, parent_key,
                       out_key):
+        if pq.read_metadata(parent_path).num_rows <= BROADCAST_DIM_MAX_ROWS:
+            pk = np.unique(np.asarray(
+                pq.read_table(parent_path, columns=[parent_key])
+                .column(parent_key).cast(pa.int64()).combine_chunks()))
+            ref = ray.put(pk)
+
+            def anti(b: pa.Table) -> pa.Table:
+                keys = b.column(child_key).cast(pa.int64())
+                ks = np.asarray(keys.combine_chunks())
+                arr = ray.get(ref)  # zero-copy from the local plasma seg
+                if arr.size == 0:
+                    member = np.zeros(ks.size, dtype=bool)
+                else:
+                    pos = np.clip(np.searchsorted(arr, ks), 0, arr.size - 1)
+                    member = arr[pos] == ks
+                return pa.table(
+                    {out_key: pa.array(ks[~member], type=pa.int64())})
+
+            orphans = ray.data.read_parquet(
+                child_path, columns=[child_key]
+            ).map_batches(anti, batch_format="pyarrow").materialize()
+            n_rows = orphans.count()
+            if n_rows == 0:
+                return (0, 0)
+            n_keys = int(orphans.groupby(out_key).count().count())
+            return (n_keys, n_rows)
         child = (
             ray.data.read_parquet(child_path, columns=[child_key])
             .rename_columns({child_key: out_key})
