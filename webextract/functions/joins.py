@@ -415,31 +415,33 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     return joined
 
 
-def attach_group_size(ds, *, on: str, schema: pa.Schema,
-                      out: str = "group_n"):
-    """``COUNT(*) OVER (PARTITION BY on)`` in ONE hash exchange: append
-    each row's group size over `on` without a groupby + join-back.
+def partition_apply(ds, fn, *, on: str, schema: pa.Schema,
+                    out_schema: pa.Schema):
+    """Hash-partition `ds` by `on` and run a VECTORIZED per-partition
+    UDF: one all-to-all exchange (same SplitMix64 routing as
+    :func:`hash_join`, so equal keys co-locate in exactly one
+    partition), then ``fn(pa.Table) -> pa.Table`` over each whole
+    partition — the building block for windowed/grouped rewrites that
+    would otherwise pay a groupby PLUS a join-back exchange.
 
-    The naive relational shape (``groupby(on).count()`` then
-    ``hash_join`` the counts back) executes the input subgraph TWICE
-    and moves it through TWO all-to-all exchanges. Here the input is
-    hash-partitioned once (same SplitMix64 routing as
-    :func:`hash_join`, so equal keys co-locate) and each partition
-    computes sizes vectorized — dictionary-encode the key, ``bincount``
-    the codes, gather — no per-key Python, no second scan.
+    `fn` sees the partition WITHOUT the routing column and must be
+    key-local (derive its output only from rows sharing a key — any
+    key's full row set is present, but which keys share a partition is
+    a hash accident). It must handle a 0-row table (return a typed
+    empty). Unlike ``groupby(on).map_groups(fn)`` — one Python call PER
+    KEY — `fn` runs once per partition over all its keys, so per-key
+    work can be numpy/Arrow-vectorized (the hash_join combine
+    discipline).
 
-    NULL keys follow SQL WINDOW semantics (one shared group), not join
-    semantics: ``PARTITION BY`` groups NULLs together.
+    NULL keys follow SQL WINDOW semantics (they co-locate like any
+    other key value), not join semantics.
 
-    ``schema`` is the input's pyarrow schema (passed explicitly for the
-    same Ray 2.49 metadata-propagation reasons as ``hash_join``); the
-    output schema is ``schema + (out, int64)``.
+    ``schema``/``out_schema`` are explicit for the same Ray 2.49
+    metadata-propagation reasons as ``hash_join``; empty partitions are
+    re-typed to ``out_schema`` so no schema-less block poisons
+    downstream resolution.
     """
-    if out in schema.names:
-        raise ValueError(f"output column {out!r} already in input schema")
     names = list(schema.names)
-    out_names = names + [out]
-    out_types = [schema.field(c).type for c in names] + [pa.int64()]
 
     def add_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -453,8 +455,8 @@ def attach_group_size(ds, *, on: str, schema: pa.Schema,
             # route NULLs like any fixed value (hash_join filters NULLs
             # map-side so _key_hash_u64 never sees them; window
             # semantics keep them): fill with an arbitrary constant —
-            # a collision only CO-LOCATES rows, `sized` still groups on
-            # the true values (dictionary_encode keeps NULL distinct).
+            # a collision only CO-LOCATES rows, `fn` still groups on
+            # the true values.
             fill = ("" if pa.types.is_string(key.type)
                     or pa.types.is_large_string(key.type) else 0)
             key = pc.fill_null(key, fill)
@@ -463,31 +465,55 @@ def attach_group_size(ds, *, on: str, schema: pa.Schema,
         return batch.select(names).append_column(
             "_part", pa.array(part, type=pa.int64()))
 
-    def sized(part: pa.Table) -> pa.Table:
+    def apply(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.nulls(0, type=t) for t in out_types], names=out_names)
+            return out_schema.empty_table()
+        return fn(part.drop_columns(["_part"]))
+
+    def _pin(batch: pa.Table) -> pa.Table:
+        # map_groups emits a schema-less empty block when a partition is
+        # empty; retype it so downstream schema resolution survives.
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(apply, batch_format="pyarrow")
+            .map_batches(_pin, batch_format="pyarrow"))
+
+
+def attach_group_size(ds, *, on: str, schema: pa.Schema,
+                      out: str = "group_n"):
+    """``COUNT(*) OVER (PARTITION BY on)`` in ONE hash exchange: append
+    each row's group size over `on` without a groupby + join-back.
+
+    The naive relational shape (``groupby(on).count()`` then
+    ``hash_join`` the counts back) executes the input subgraph TWICE
+    and moves it through TWO all-to-all exchanges. Here
+    :func:`partition_apply` co-locates equal keys once and each
+    partition computes sizes vectorized — dictionary-encode the key,
+    ``bincount`` the codes, gather — no per-key Python, no second scan.
+    NULL keys form ONE group (SQL window semantics).
+    """
+    if out in schema.names:
+        raise ValueError(f"output column {out!r} already in input schema")
+    out_schema = pa.schema(
+        [(c, schema.field(c).type) for c in schema.names]
+        + [(out, pa.int64())])
+
+    def sized(part: pa.Table) -> pa.Table:
         key = part.column(on)
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
         enc = key.dictionary_encode()
         codes = np.asarray(enc.indices.fill_null(len(enc.dictionary)))
         counts = np.bincount(codes, minlength=len(enc.dictionary) + 1)
-        return part.drop_columns(["_part"]).append_column(
+        return part.append_column(
             out, pa.array(counts[codes], type=pa.int64()))
 
-    def _pin(batch: pa.Table) -> pa.Table:
-        # map_groups emits a schema-less empty block when a partition is
-        # empty; retype it so downstream schema resolution survives.
-        if batch.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.nulls(0, type=t) for t in out_types], names=out_names)
-        return batch
-
-    return (ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(sized, batch_format="pyarrow")
-            .map_batches(_pin, batch_format="pyarrow"))
+    return partition_apply(ds, sized, on=on, schema=schema,
+                           out_schema=out_schema)
 
 
 def _splitmix64(x):

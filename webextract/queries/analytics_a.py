@@ -99,62 +99,59 @@ GROUP BY 1, 2
 def q_user_retention(sf_dir: str):
     """Cohort retention: users grouped by first-seen day, distinct
     active users per (cohort_day, active_day) — the product-analytics
-    staple. Composes `first_by` (arg-min cohort), a `hash_join` of the
-    cohort back onto the event stream (keys-only), and the exact
-    two-stage distinct count on a packed composite key."""
-    from webextract.functions.agg import count_distinct_by, first_by
-    from webextract.functions.joins import hash_join
+    staple.
+
+    Round-5 shape: ONE `partition_apply` exchange by user_id replaces
+    the old first_by exchange + cohort hash_join + packed-key distinct
+    (three all-to-alls). Each partition holds every row of its users,
+    so the per-user arg-min cohort AND the distinct active days fall
+    out of one numpy lexsort pass (run boundaries + a composite
+    (run, day) unique); the emitted (cohort_day, active_day) rows are
+    already distinct per user, so the finish is a single keys-only
+    two-column count."""
+    from ray.data.aggregate import Count
+
+    from webextract.functions.joins import partition_apply
 
     DAY = 86_400_000_000
     ev = _events_ts(sf_dir)
 
-    cohort = first_by(ev, by="user_id", order=["ts_us", "event_id"])
-
-    def to_day(name):
-        def fn(b: pa.Table) -> pa.Table:
-            d = pc.divide(b.column("ts_us"), DAY).cast(pa.int64())
-            return pa.table({"user_id": b.column("user_id"), name: d})
-        return fn
-
-    cohort_days = cohort.map_batches(to_day("cohort_day"),
-                                     batch_format="pyarrow")
-    active = ev.map_batches(to_day("active_day"), batch_format="pyarrow")
-    joined = hash_join(
-        active, cohort_days, on="user_id",
-        left_schema=pa.schema([("user_id", pa.int64()),
-                               ("active_day", pa.int64())]),
-        right_schema=pa.schema([("user_id", pa.int64()),
-                                ("cohort_day", pa.int64())]))
-
-    def pack(b: pa.Table) -> pa.Table:
-        ck = pc.binary_join_element_wise(
-            pc.cast(b.column("cohort_day"), pa.string()),
-            pc.cast(b.column("active_day"), pa.string()), "#")
-        return pa.table({"ck": ck, "user_id": b.column("user_id")})
-
-    counts = count_distinct_by(
-        joined.map_batches(pack, batch_format="pyarrow"),
-        by="ck", of="user_id", out_name="n_users")
-
     out_schema = pa.schema([("cohort_day", pa.int64()),
-                            ("active_day", pa.int64()),
-                            ("n_users", pa.int64())])
+                            ("active_day", pa.int64())])
 
-    def unpack(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            # aggregate subgraphs can emit schema-LESS empties under
-            # Ray 2.x (the round-2 flaky-crash lesson) — re-type them
-            return out_schema.empty_table()
-        parts = [s.split("#") for s in b.column("ck").to_pylist()]
+    def per_user(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        ts = np.asarray(t.column("ts_us").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        eid = np.asarray(t.column("event_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        # sort by (user, ts, event_id): run starts are each user's
+        # arg-min row -> cohort day; np.lexsort's LAST key is primary
+        perm = np.lexsort((eid, ts, uid))
+        u, day = uid[perm], ts[perm] // DAY
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        flags = np.zeros(u.size, dtype=np.int64)
+        flags[starts] = 1
+        run = np.cumsum(flags) - 1
+        # distinct (user-run, active day): days are < 2^31, runs < 2^31
+        comp = np.unique(run.astype(np.int64) * (1 << 32) + day)
+        r, d = comp >> 32, comp & ((1 << 32) - 1)
         return pa.table({
-            "cohort_day": pa.array([int(p[0]) for p in parts],
-                                   type=pa.int64()),
-            "active_day": pa.array([int(p[1]) for p in parts],
-                                   type=pa.int64()),
-            "n_users": b.column("n_users").cast(pa.int64()),
+            "cohort_day": pa.array(day[starts][r], type=pa.int64()),
+            "active_day": pa.array(d, type=pa.int64()),
         }, schema=out_schema)
 
-    return counts.map_batches(unpack, batch_format="pyarrow")
+    pairs = partition_apply(
+        ev, per_user, on="user_id",
+        schema=pa.schema([("user_id", pa.int64()), ("ts_us", pa.int64()),
+                          ("event_id", pa.int64())]),
+        out_schema=out_schema)
+    return (
+        pairs.groupby(["cohort_day", "active_day"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n_users"})
+    )
 
 
 _SQL_USER_RETENTION = """
