@@ -113,3 +113,31 @@ def test_approx_quantiles_dataset_op():
     got = dict(zip(out.q, out.value.astype(int)))
     assert abs(got[0.5] - 0.5 * n) <= 0.02 * n
     assert abs(got[0.9] - 0.9 * n) <= 0.02 * n
+
+
+def test_set_ops_null_sql_set_semantics():
+    """INTERSECT/EXCEPT treat NULL as ONE value on both sides (SQL set
+    semantics — unlike join keys, where NULL never equals NULL)."""
+    ks = pa.schema([("k", pa.int64())])
+    left = pa.table({"k": pa.array([1, None, None, 2], type=pa.int64())})
+    right = pa.table({"k": pa.array([2, None, 4], type=pa.int64())})
+    inter = key_intersect(_ds(left), _ds(right), on="k",
+                          left_schema=ks, right_schema=ks).to_pandas()
+    vals = sorted(inter.k.tolist(), key=lambda x: (x != x, x))
+    assert len(inter) == 2 and 2.0 in inter.k.values  # {2, NULL}
+    assert inter.k.isna().sum() == 1
+    exc = key_except(_ds(left), _ds(right), on="k",
+                     left_schema=ks, right_schema=ks).to_pandas()
+    assert exc.k.tolist() == [1]  # NULL present on both sides -> dropped
+
+
+def test_set_ops_string_keys():
+    ks = pa.schema([("k", pa.string())])
+    left = pa.table({"k": pa.array(["a", "b", "b", "c"])})
+    right = pa.table({"k": pa.array(["b", "d"])})
+    inter = key_intersect(_ds(left), _ds(right), on="k",
+                          left_schema=ks, right_schema=ks).to_pandas()
+    assert sorted(inter.k) == ["b"]
+    exc = key_except(_ds(left), _ds(right), on="k",
+                     left_schema=ks, right_schema=ks).to_pandas()
+    assert sorted(exc.k) == ["a", "c"]

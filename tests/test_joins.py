@@ -286,3 +286,28 @@ def test_attach_group_size_int_null_keys(ray_session):
         schema=pa.schema([("k", pa.int64()), ("i", pa.int64())]),
         out="n").to_pandas().sort_values("i", ignore_index=True)
     assert out["n"].tolist() == [2, 2, 2, 2, 1]
+
+
+def test_partition_apply_all_empty_keeps_schema(ray_session):
+    """An all-empty partition_apply result must keep its output schema
+    (Ray 2.49's fused map operator short-circuits 0-row blocks to
+    schema-less output; the from_arrow anchor block is the guarantee)."""
+    import pyarrow.compute as pc_
+
+    from webextract.functions.joins import partition_apply
+
+    ds = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": [1, 2, 3]}))
+    out_schema = pa.schema([("k", pa.int64())])
+
+    def nothing(t: pa.Table) -> pa.Table:
+        return out_schema.empty_table()
+
+    out = partition_apply(
+        ds, nothing, on="k",
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+        out_schema=out_schema)
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    assert tbls, "no typed block survived an all-empty result"
+    merged = pa.concat_tables(tbls, promote_options="default")
+    assert merged.num_rows == 0
+    assert merged.schema.names == ["k"]

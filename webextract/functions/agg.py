@@ -111,32 +111,100 @@ def collect_sorted(ds, *, by: str, val: str, sep: str = ",",
     return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
 
 
+def first_row_per_key(ds, *, on: str, sort_keys, schema: pa.Schema):
+    """SQL ``QUALIFY row_number() OVER (PARTITION BY on ORDER BY
+    sort_keys) = 1`` in ONE exchange, vectorized: hash-partition by
+    `on` (equal keys co-locate), Arrow-sort each partition by
+    ``(on, *sort_keys)``, and take the run-start rows — no per-key
+    Python (the former per-group map_groups shape paid one call per
+    distinct key). ``sort_keys`` is a list of (column, "ascending" |
+    "descending"); ties beyond it follow Arrow's stable sort of the
+    partition. Output schema == input ``schema``."""
+    from webextract.functions.joins import partition_apply
+
+    def fn(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            part, sort_keys=[(on, "ascending"), *sort_keys])
+        t = part.take(idx)
+        k = t.column(on)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = t.num_rows
+        neq = np.asarray(pc.not_equal(k.slice(1), k.slice(0, n - 1))) \
+            if n > 1 else np.empty(0, dtype=bool)
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        return t.take(pa.array(starts))
+
+    return partition_apply(ds, fn, on=on, schema=schema,
+                           out_schema=schema)
+
+
+def _key_setop(left, right, *, on: str, key_type: pa.DataType, mode: str):
+    """Shared INTERSECT/EXCEPT engine: ONE `partition_apply` exchange
+    over the tagged union replaces the old two distinct groupbys + a
+    semi/anti hash_join (three all-to-alls). Each side batch-local
+    DISTINCTs before the exchange (a block contributes each key once),
+    equal keys co-locate, and the partition classifies its keys with a
+    dictionary-encode + two bincounts. NULL keys follow SQL SET
+    semantics (NULL treated as one value on both sides), which is what
+    INTERSECT/EXCEPT specify — unlike join-key semantics."""
+    import numpy as np
+
+    from webextract.functions.joins import partition_apply
+
+    def tag(src: int):
+        def fn(b: pa.Table) -> pa.Table:
+            u = pc.unique(b.column(on))
+            return pa.table({
+                on: u.cast(key_type),
+                "_src": pa.array(
+                    np.full(len(u), src, dtype=np.int8), type=pa.int8()),
+            })
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    out_schema = pa.schema([(on, key_type)])
+
+    def classify(t: pa.Table) -> pa.Table:
+        k = t.column(on)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        nk = len(enc.dictionary)
+        codes = np.asarray(enc.indices.fill_null(nk))  # NULL = own group
+        src = np.asarray(t.column("_src").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        in_l = np.bincount(codes[src == 0], minlength=nk + 1) > 0
+        in_r = np.bincount(codes[src == 1], minlength=nk + 1) > 0
+        sel = (in_l & in_r) if mode == "intersect" else (in_l & ~in_r)
+        keys = enc.dictionary.filter(pa.array(sel[:nk]))
+        if sel[nk]:
+            keys = pa.concat_arrays(
+                [keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+                 else keys, pa.nulls(1, type=keys.type)])
+        return pa.table({on: keys.cast(key_type)}, schema=out_schema)
+
+    return partition_apply(
+        lt.union(rt), classify, on=on,
+        schema=pa.schema([(on, key_type), ("_src", pa.int8())]),
+        out_schema=out_schema)
+
+
 def key_intersect(left, right, *, on: str,
                   left_schema: pa.Schema, right_schema: pa.Schema):
-    """SQL INTERSECT over single-column key sets: distinct keys present on
-    BOTH sides. Distinct is a keys-only groupby per side; the probe is a
-    semi hash_join — three keys-only shuffles total, no payload."""
-    from webextract.functions.joins import hash_join
-
-    ldist = left.groupby(on).count().select_columns([on])
-    rdist = right.groupby(on).count().select_columns([on])
-    ks = pa.schema([left_schema.field(on)])
-    return hash_join(ldist, rdist, on=on, how="semi",
-                     left_schema=ks, right_schema=pa.schema(
-                         [right_schema.field(on)]))
+    """SQL INTERSECT over single-column key sets: distinct keys present
+    on BOTH sides — one keys-only exchange (see :func:`_key_setop`)."""
+    return _key_setop(left, right, on=on,
+                      key_type=left_schema.field(on).type, mode="intersect")
 
 
 def key_except(left, right, *, on: str,
                left_schema: pa.Schema, right_schema: pa.Schema):
     """SQL EXCEPT over single-column key sets: distinct left keys absent
-    from the right (anti probe)."""
-    from webextract.functions.joins import hash_join
-
-    ldist = left.groupby(on).count().select_columns([on])
-    rdist = right.groupby(on).count().select_columns([on])
-    return hash_join(ldist, rdist, on=on, how="anti",
-                     left_schema=pa.schema([left_schema.field(on)]),
-                     right_schema=pa.schema([right_schema.field(on)]))
+    from the right — one keys-only exchange (see :func:`_key_setop`)."""
+    return _key_setop(left, right, on=on,
+                      key_type=left_schema.field(on).type, mode="except")
 
 
 def hash_sample_per_group(ds, *, by: str, id_col: str, k: int):

@@ -174,17 +174,16 @@ def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
     e = e.repartition(nparts).materialize()
 
     # out-degree per src, attached to the edge list ONCE (rank/out_deg is
-    # then a per-edge division each round, no second join)
-    def attach_deg(group: pa.Table) -> pa.Table:
-        deg = group.num_rows
-        return pa.table({
-            "src": group.column("src"),
-            "dst": group.column("dst"),
-            "out_deg": pa.array([deg] * deg, type=pa.int64()),
-        })
+    # then a per-edge division each round, no second join). ONE
+    # attach_group_size exchange — vectorized, no per-node Python
+    # (round-5: the per-src map_groups paid one call per node)
+    from .joins import attach_group_size
 
     edeg = (
-        e.groupby("src").map_groups(attach_deg, batch_format="pyarrow")
+        attach_group_size(
+            e, on="src",
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            out="out_deg")
         .repartition(nparts).materialize()
     )
     _s_edeg = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
@@ -319,8 +318,16 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
         d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
-        return pa.table({"u": pa.array(np.minimum(s, d)),
-                         "v": pa.array(np.maximum(s, d))},
+        # batch-local dedup BEFORE the exchange (each block contributes
+        # an edge once): composite (u << 31 | v) unique — node ids are
+        # < 2^31 by the module contract (same guard as pair_key below,
+        # enforced here too since the pack happens here first)
+        if len(s) and (s.max() >= (1 << 31) or d.max() >= (1 << 31)
+                       or s.min() < 0 or d.min() < 0):
+            raise ValueError("triangle_count: node ids must fit in 31 bits")
+        comp = np.unique(np.minimum(s, d) * (1 << 31) + np.maximum(s, d))
+        return pa.table({"u": pa.array(comp >> 31),
+                         "v": pa.array(comp & ((1 << 31) - 1))},
                         schema=canon_schema)
 
     # distinct via groupby().count() + projection — a vectorized

@@ -470,17 +470,20 @@ def partition_apply(ds, fn, *, on: str, schema: pa.Schema,
             return out_schema.empty_table()
         return fn(part.drop_columns(["_part"]))
 
-    def _pin(batch: pa.Table) -> pa.Table:
-        # map_groups emits a schema-less empty block when a partition is
-        # empty; retype it so downstream schema resolution survives.
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        return batch
+    import ray.data
 
+    # Schema anchor for the ALL-EMPTY result: Ray 2.49's fused
+    # map-operator short-circuits 0-row blocks to SCHEMA-LESS output
+    # (a trailing "retype" map_batches therefore DESTROYS the typed
+    # empties map_groups emits — measured, not hypothetical), so the
+    # guarantee has to come from a block no map ever touches: one
+    # 0-row `from_arrow` block unioned onto the output. Non-empty
+    # results are unaffected (one extra empty block).
+    anchor = ray.data.from_arrow(out_schema.empty_table())
     return (ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(apply, batch_format="pyarrow")
-            .map_batches(_pin, batch_format="pyarrow"))
+            .union(anchor))
 
 
 def attach_group_size(ds, *, on: str, schema: pa.Schema,

@@ -195,22 +195,39 @@ def inverted_index(ds, *, max_group: int = 100_000):
         ("word", pa.string()), ("df", pa.int64()), ("postings", pa.string()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
-        import numpy as np
+    from webextract.functions.joins import partition_apply
 
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        if group.num_rows > max_group:
+    def grp_part(part: pa.Table) -> pa.Table:
+        """All posting lists of one hash partition, VECTORIZED (round-5:
+        the per-word map_groups paid one Python call per vocabulary
+        entry). Sort by (word, doc_id), run boundaries, then ONE
+        C-level list-array ``binary_join`` builds every comma-joined
+        posting string at once."""
+        idx = pc.sort_indices(part, sort_keys=[
+            ("word", "ascending"), ("doc_id", "ascending")])
+        t = part.take(idx)
+        w = t.column("word").combine_chunks()
+        n = t.num_rows
+        neq = np.asarray(pc.not_equal(w.slice(1), w.slice(0, n - 1))) \
+            if n > 1 else np.empty(0, dtype=bool)
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        counts = np.r_[starts[1:], n] - starts
+        big = np.nonzero(counts > max_group)[0]
+        if big.size:
             raise ValueError(
                 f"inverted_index: posting list for "
-                f"{group.column('word')[0].as_py()!r} has "
-                f"{group.num_rows} docs > max_group={max_group}")
-        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+                f"{w[int(starts[big[0]])].as_py()!r} has "
+                f"{int(counts[big[0]])} docs > max_group={max_group}")
+        ids_str = pc.cast(t.column("doc_id"), pa.string()).combine_chunks()
+        offsets = pa.array(np.r_[starts, n], type=pa.int32())
+        lists = pa.ListArray.from_arrays(offsets, ids_str)
         return pa.table({
-            "word": group.column("word").slice(0, 1),
-            "df": pa.array([len(ids)], type=pa.int64()),
-            "postings": pa.array(
-                [",".join(str(int(x)) for x in ids)], type=pa.string()),
+            "word": w.take(pa.array(starts)),
+            "df": pa.array(counts, type=pa.int64()),
+            "postings": pc.binary_join(lists, ","),
         }, schema=out_schema)
 
-    return pairs.groupby("word").map_groups(grp, batch_format="pyarrow")
+    return partition_apply(
+        pairs, grp_part, on="word",
+        schema=pa.schema([("word", pa.string()), ("doc_id", pa.int64())]),
+        out_schema=out_schema)

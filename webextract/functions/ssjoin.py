@@ -89,44 +89,73 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
-    def pairs(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2:
-            return pair_schema.empty_table()
-        if m * (m - 1) // 2 > max_group:
+    def pairs_part(part: pa.Table) -> pa.Table:
+        """All candidate pairs of one hash partition, VECTORIZED
+        (round-5: `groupby(gram).map_groups` invoked Python once per
+        distinct shingle — a 500k-gram corpus paid 500k calls; here
+        every gram run in the partition emits its cross-product with
+        the hash_join repeat/arange index arithmetic, then the i<j /
+        distinct-id / length filters apply as masks)."""
+        g = part.column("gram")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = np.asarray(g.dictionary_encode().indices)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        szs = part.column("sz").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c, i_, s_ = codes[order], ids[order], szs[order]
+        nr = c.size
+        neq = c[1:] != c[:-1]
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        m = np.r_[starts[1:], nr].astype(np.int64) - starts
+        half = m * (m - 1) // 2
+        bad = np.nonzero(half > max_group)[0]
+        if bad.size:
             raise ValueError(
-                f"ssjoin_pairs: shingle group of {m} docs exceeds "
-                f"max_group={max_group} candidate pairs — df-order the "
-                "canonical order or raise max_group")
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        szs = group.column("sz").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids,))
-        ids, szs = ids[order], szs[order]
-        o_a, o_b = [], []
-        for i in range(m):
-            for j in range(i + 1, m):
-                if ids[i] == ids[j]:
-                    continue
-                lo, hi = sorted((int(szs[i]), int(szs[j])))
-                # length filter: J >= t requires t*max(|a|,|b|) <= min
-                if t.numerator * hi > lo * t.denominator:
-                    continue
-                a, bb = sorted((int(ids[i]), int(ids[j])))
-                o_a.append(a)
-                o_b.append(bb)
-        return pa.table({"id_a": pa.array(o_a, type=pa.int64()),
-                         "id_b": pa.array(o_b, type=pa.int64())},
-                        schema=pair_schema)
+                f"ssjoin_pairs: shingle group of {int(m[bad[0]])} docs "
+                f"exceeds max_group={max_group} candidate pairs — "
+                "df-order the canonical order or raise max_group")
+        sel = m >= 2
+        ms, ss = m[sel], starts[sel]
+        nout = ms * ms
+        total = int(nout.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        offs = np.zeros(len(nout), dtype=np.int64)
+        np.cumsum(nout[:-1], out=offs[1:])
+        jg = np.arange(total, dtype=np.int64) - np.repeat(offs, nout)
+        mr = np.repeat(ms, nout)
+        idx_i = np.repeat(ss, nout) + jg // mr
+        idx_j = np.repeat(ss, nout) + jg % mr
+        keep = idx_i < idx_j  # each unordered combination exactly once
+        ia, ib = i_[idx_i[keep]], i_[idx_j[keep]]
+        sa, sb = s_[idx_i[keep]], s_[idx_j[keep]]
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        # length filter: J >= t requires t*max(|a|,|b|) <= min
+        ok = (ia != ib) & (t.numerator * hi <= lo * t.denominator)
+        a = np.minimum(ia[ok], ib[ok]).astype(np.int64)
+        b = np.maximum(ia[ok], ib[ok]).astype(np.int64)
+        if a.size == 0:
+            return pair_schema.empty_table()
+        # partition-local distinct before the (id_a, id_b) exchange
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"id_a": pa.array(a[first]),
+                         "id_b": pa.array(b[first])}, schema=pair_schema)
 
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1) if group.num_rows else \
-            pair_schema.empty_table()
+    from .joins import partition_apply
 
     cand = (
-        docs.map_batches(prefix, batch_format="pyarrow")
-        .groupby("gram").map_groups(pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"]).map_groups(first_pair,
-                                              batch_format="pyarrow")
+        partition_apply(
+            docs.map_batches(prefix, batch_format="pyarrow"),
+            pairs_part, on="gram",
+            schema=prefix_schema, out_schema=pair_schema)
+        # global distinct: count-and-drop is a vectorized keys-only
+        # exchange (the old per-pair map_groups paid one Python call
+        # per distinct pair)
+        .groupby(["id_a", "id_b"]).count()
+        .select_columns(["id_a", "id_b"])
     )
 
     texts_a = docs.rename_columns({id_col: "id_a", text_col: "text_a"})

@@ -28,22 +28,32 @@ import pyarrow.compute as pc
 
 
 def _explode_tf(text_col: str, id_col: str):
+    """(doc_id, word, tf) rows, VECTORIZED (round-5: the former per-row
+    Python dict loop is one `_flat_ngram_strings` split + an Arrow hash
+    group_by over (doc, word))."""
+    from webextract.functions.ngrams import _flat_ngram_strings
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids: List[int] = []
-        words: List[str] = []
-        tfs: List[int] = []
-        id_vals = batch.column(id_col).to_pylist()
-        for did, text in zip(id_vals, batch.column(text_col).to_pylist()):
-            counts: dict = {}
-            for w in (text or "").split(" "):
-                counts[w] = counts.get(w, 0) + 1
-            ids.extend([did] * len(counts))
-            words.extend(counts.keys())
-            tfs.extend(counts.values())
+        doc_idx, words = _flat_ngram_strings(batch.column(text_col), 1)
+        ids = np.asarray(
+            batch.column(id_col).cast(pa.int64()).combine_chunks())
+        if doc_idx.size == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "word": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            })
+        counted = pa.table({
+            id_col: pa.array(ids[doc_idx], type=pa.int64()),
+            "word": words,
+        }).group_by([id_col, "word"], use_threads=False).aggregate(
+            [([], "count_all")])
+        # select BY NAME: pyarrow group_by column order differs across
+        # versions (keys-first in 16.x, aggregates-first before)
         return pa.table({
-            id_col: pa.array(ids, type=pa.int64()),
-            "word": pa.array(words, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
+            id_col: counted.column(id_col),
+            "word": counted.column("word"),
+            "tf": counted.column("count_all").cast(pa.int64()),
         })
 
     return fn
@@ -57,36 +67,39 @@ def tfidf_topk(ds, *, n_docs: int, text_col: str = "text",
     pipeline stays a single lazy graph. Returns a Dataset with columns
     ``(doc_id, word, tf, df, score)``.
     """
+    from webextract.functions.joins import attach_group_size, partition_apply
+
     pairs = ds.map_batches(_explode_tf(text_col, id_col),
                            batch_format="pyarrow")
 
-    df_schema = pa.schema([(id_col, pa.int64()), ("word", pa.string()),
-                           ("tf", pa.int64()), ("df", pa.int64())])
+    pair_schema = pa.schema([(id_col, pa.int64()), ("word", pa.string()),
+                             ("tf", pa.int64())])
+    # df = group size over word ((doc, word) rows are distinct per doc):
+    # ONE exchange, no per-word Python (round-5 — the former
+    # groupby(word).map_groups paid one call per vocabulary entry)
+    with_df = attach_group_size(pairs, on="word", schema=pair_schema,
+                                out="df")
 
-    def attach_df(group: pa.Table) -> pa.Table:
-        df = group.num_rows  # one row per containing doc
-        return pa.table({
-            id_col: group.column(id_col),
-            "word": group.column("word"),
-            "tf": group.column("tf"),
-            "df": pa.array([df] * group.num_rows, type=pa.int64()),
-        }, schema=df_schema)
-
-    with_df = pairs.groupby("word").map_groups(attach_df,
-                                               batch_format="pyarrow")
-
+    df_schema = pair_schema.append(pa.field("df", pa.int64()))
     out_schema = df_schema.append(pa.field("score", pa.float64()))
 
-    def topk(group: pa.Table) -> pa.Table:
-        tf = group.column("tf").to_numpy(zero_copy_only=False)
-        dfreq = group.column("df").to_numpy(zero_copy_only=False)
+    def topk_part(part: pa.Table) -> pa.Table:
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        dfreq = part.column("df").to_numpy(zero_copy_only=False)
         # exact integer product cast to double, then ONE IEEE division —
         # bit-identical to SQL's (tf * n)::DOUBLE / df
         score = (tf * n_docs).astype(np.float64) / dfreq
-        group = group.append_column("score", pa.array(score,
-                                                      type=pa.float64()))
-        order = pc.sort_indices(
-            group, sort_keys=[("score", "descending"), ("word", "ascending")])
-        return group.take(order[:k]).cast(out_schema)
+        part = part.append_column("score",
+                                  pa.array(score, type=pa.float64()))
+        idx = pc.sort_indices(part, sort_keys=[
+            (id_col, "ascending"), ("score", "descending"),
+            ("word", "ascending")])
+        t = part.take(idx)
+        d = t.column(id_col).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.nonzero(d[1:] != d[:-1])[0] + 1]
+        counts = np.r_[starts[1:], d.size] - starts
+        rank = np.arange(d.size, dtype=np.int64) - np.repeat(starts, counts)
+        return t.filter(pa.array(rank < k)).cast(out_schema)
 
-    return with_df.groupby(id_col).map_groups(topk, batch_format="pyarrow")
+    return partition_apply(with_df, topk_part, on=id_col,
+                           schema=df_schema, out_schema=out_schema)

@@ -91,21 +91,26 @@ def dedup_by_url(ds, *, url_col: str = "url", order_col: str,
         b = canonicalize_batch(batch, url_col=url_col)
         return b.select(["canon_url", order_col])
 
-    out_schema = pa.schema([
-        ("canon_url", pa.string()),
-        (order_col, pa.int64()),
-    ])
+    # per-url MAX/MIN is a plain vectorized hash aggregate — the former
+    # per-url map_groups paid one Python call per distinct canonical url
+    from ray.data.aggregate import Max, Min
 
-    def winner(group: pa.Table) -> pa.Table:
-        vals = group.column(order_col).to_pylist()
-        pick = max(vals) if keep == "max" else min(vals)
-        return pa.table({
-            "canon_url": group.column("canon_url").slice(0, 1),
-            order_col: pa.array([pick], type=pa.int64()),
-        }, schema=out_schema)
-
-    return (
+    agg = (Max if keep == "max" else Min)(order_col, alias_name=order_col)
+    out = (
         ds.map_batches(keys, batch_format="pyarrow")
         .groupby("canon_url")
-        .map_groups(winner, batch_format="pyarrow")
+        .aggregate(agg)
     )
+
+    def retype(b: pa.Table) -> pa.Table:
+        # pin the (canon_url, order_col) int64 contract (Ray's Max/Min
+        # can widen to double on some inputs; empty blocks re-typed)
+        if b.num_rows == 0:
+            return pa.schema([("canon_url", pa.string()),
+                              (order_col, pa.int64())]).empty_table()
+        return pa.table({
+            "canon_url": b.column("canon_url"),
+            order_col: b.column(order_col).cast(pa.int64()),
+        })
+
+    return out.map_batches(retype, batch_format="pyarrow")

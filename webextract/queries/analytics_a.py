@@ -481,7 +481,7 @@ def q_revenue_by_nation(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    from webextract.functions.joins import broadcast_join, hash_join
+    from webextract.functions.joins import broadcast_join
 
     def cents(b: pa.Table) -> pa.Table:
         c = pc.cast(
@@ -499,18 +499,17 @@ def q_revenue_by_nation(sf_dir: str):
         .aggregate(Sum("cents", alias_name="cents"), Count())
         .rename_columns({"count()": "n_ord"})
     )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    left_schema = pa.schema(
-        [("c_custkey", pa.int64()), ("cents", pa.int64()), ("n_ord", pa.int64())]
-    )
-    right_schema = pa.schema(
-        [("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
-    )
-    joined = hash_join(
-        per_cust, cust, on="c_custkey",
-        left_schema=left_schema, right_schema=right_schema,
+    # measured broadcast-vs-shuffle dimension join (round-5: the
+    # customer dim broadcasts at bench scale, spills to the keyed
+    # exchange above the bound — segment/nation strings never ride it)
+    from webextract.queries._shared import join_dim
+
+    joined = join_dim(
+        per_cust, f"{sf_dir}/customer.parquet", key="c_custkey",
+        cols=["c_nationkey"],
+        fact_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("cents", pa.int64()),
+             ("n_ord", pa.int64())]),
     ).rename_columns({"c_nationkey": "n_nationkey"})
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -1696,21 +1695,36 @@ def q_top_event_per_user_day(sf_dir: str):
         ("event_id", pa.int64()), ("value_cents", pa.int64()),
     ])
 
-    def argmax(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        vals = group.column("value").to_numpy(zero_copy_only=False)
-        eids = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eids, -vals))
-        i = int(order[0])
-        cents = int(np.floor(vals[i] * 100.0 + 0.5))
+    def argmax_part(t: pa.Table) -> pa.Table:
+        """Composite-key ARGMAX over one hash partition, vectorized
+        (round-5: the per-(user, day) map_groups paid one Python call
+        per user-day; here the partition routes on user_id alone — a
+        user's days all co-locate — and one Arrow sort + run-start take
+        picks every (user, day) winner at once)."""
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending"),
+            ("value", "descending"), ("event_id", "ascending")])
+        s = t.take(idx)
+        u = s.column("user_id").to_numpy(zero_copy_only=False)
+        d = s.column("day").to_numpy(zero_copy_only=False)
+        firsts = np.r_[0, np.nonzero(
+            (u[1:] != u[:-1]) | (d[1:] != d[:-1]))[0] + 1]
+        w = s.take(pa.array(firsts))
+        vals = w.column("value").to_numpy(zero_copy_only=False)
         return pa.table({
-            "user_id": group.column("user_id").slice(i, 1),
-            "day": group.column("day").slice(i, 1),
-            "event_id": pa.array([int(eids[i])], type=pa.int64()),
-            "value_cents": pa.array([cents], type=pa.int64()),
+            "user_id": w.column("user_id").cast(pa.int64()),
+            "day": w.column("day"),
+            "event_id": w.column("event_id").cast(pa.int64()),
+            "value_cents": pa.array(
+                np.floor(vals * 100.0 + 0.5).astype(np.int64),
+                type=pa.int64()),
         }, schema=out_schema)
 
-    return ev.groupby(["user_id", "day"]).map_groups(
-        argmax, batch_format="pyarrow"
-    )
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ev, argmax_part, on="user_id",
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                          ("event_id", pa.int64()),
+                          ("value", pa.float64())]),
+        out_schema=out_schema)

@@ -26,6 +26,31 @@ QUALIFY row_number() OVER (
 """
 
 
+def _run_confined_keys(u: "np.ndarray", ts: "np.ndarray", band: int):
+    """Composite keys for BANDED searchsorted windows confined to each
+    user run of a (user, ts)-sorted partition.
+
+    Returns ``(key, run, starts)`` where ``key`` is globally sorted and
+    ``key ± band`` can never cross into a neighboring run: each run r
+    is shifted to ``base[r] + (ts - run_min)`` with cumulative bases
+    spaced ``span_r + band + 2`` apart. One ``np.searchsorted`` over
+    ``key`` then answers every row's within-run window bound at once —
+    no per-user Python. Overflow guard: the accumulated base must stay
+    under 2^63 (needs ~292k user-YEARS of within-run span per
+    partition to trip — raises, never wraps)."""
+    starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1].astype(np.int64)
+    counts = np.r_[starts[1:], u.size] - starts
+    run = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    rel = ts - np.repeat(ts[starts], counts)
+    spans = np.maximum(rel[np.r_[starts[1:], u.size] - 1], 0)
+    bases = np.zeros(starts.size, dtype=np.int64)
+    np.cumsum(spans[:-1] + band + 2, out=bases[1:])
+    if bases.size and bases[-1] > (1 << 62):
+        raise ValueError(
+            "_run_confined_keys: accumulated run spans overflow int64")
+    return bases[run] + rel, run, starts
+
+
 def q_dq_audit(sf_dir: str):
     """Data-quality audit: per-constraint violation counts across two
     base tables — the contract-check stage a production pipeline runs
@@ -347,17 +372,14 @@ def q_latest_event_per_user(sf_dir: str):
         ("event_id", pa.int64()), ("event_type", pa.string()),
     ])
 
-    def latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((-eid, -ts))[0])
-        return group.slice(i, 1).select(
-            ["user_id", "ts_us", "event_id", "event_type"]
-        ).cast(out_schema)
+    from webextract.functions.agg import first_row_per_key
 
-    return ev.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    # one exchange, vectorized run-start take (round-5: the per-user
+    # map_groups paid one Python call per user)
+    return first_row_per_key(
+        ev, on="user_id",
+        sort_keys=[("ts_us", "descending"), ("event_id", "descending")],
+        schema=out_schema)
 
 
 _SQL_LATEST_EVENT_PER_USER = """
@@ -417,17 +439,14 @@ def q_top_anchor_per_target(sf_dir: str):
         ("href", pa.string()), ("anchor", pa.string()), ("n", pa.int64()),
     ])
 
-    def argmax(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ns = group.column("n").to_numpy(zero_copy_only=False)
-        anchors = np.asarray(group.column("anchor").to_pylist(),
-                             dtype=object)
-        order = np.lexsort((anchors, -ns))
-        return group.slice(int(order[0]), 1).select(
-            ["href", "anchor", "n"]).cast(out_schema)
+    from webextract.functions.agg import first_row_per_key
 
-    return counts.groupby("href").map_groups(argmax, batch_format="pyarrow")
+    # grouped ARGMAX = first row per href under (n DESC, anchor ASC) —
+    # one exchange, vectorized (round-5: per-href map_groups replaced)
+    return first_row_per_key(
+        counts, on="href",
+        sort_keys=[("n", "descending"), ("anchor", "ascending")],
+        schema=out_schema)
 
 
 _SQL_TOP_ANCHOR_PER_TARGET = """
@@ -816,22 +835,32 @@ def q_near_event_pairs(sf_dir: str):
                             ("n_pairs", pa.int64())])
     BAND = 60_000_000
 
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        hi = np.searchsorted(ts, ts + BAND, side="right")
-        lo = np.searchsorted(ts, ts, side="right")
-        n = int((hi - lo).sum())
+    def pairs_part(t: pa.Table) -> pa.Table:
+        """All users of one hash partition in one vectorized pass
+        (round-5: per-user map_groups replaced): run-confined composite
+        keys make ONE searchsorted answer every user's banded
+        self-join bound; per-user totals fold with a weighted
+        bincount."""
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
+        key, run, starts = _run_confined_keys(u, s, BAND)
+        hi = np.searchsorted(key, key + BAND, side="right")
+        lo = np.searchsorted(key, key, side="right")
+        per_user = np.bincount(run, weights=hi - lo).astype(np.int64)
+        keep = per_user > 0  # SQL INNER self-join drops pair-less users
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "n_pairs": pa.array([n], type=pa.int64()),
+            "user_id": pa.array(u[starts][keep], type=pa.int64()),
+            "n_pairs": pa.array(per_user[keep], type=pa.int64()),
         }, schema=out_schema)
 
-    # the SQL mirror's INNER self-join drops pair-less users; match it
-    return ev.groupby("user_id").map_groups(
-        pairs, batch_format="pyarrow"
-    ).filter(expr="n_pairs > 0")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ev, pairs_part, on="user_id",
+        schema=pa.schema([("user_id", pa.int64()), ("ts_us", pa.int64())]),
+        out_schema=out_schema)
 
 
 _SQL_NEAR_EVENT_PAIRS = """
@@ -1322,26 +1351,37 @@ def q_events_range_frame(sf_dir: str):
     ])
     BAND = 5 * 60 * 1_000_000
 
-    def frames(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        cents = group.column("cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, eid, cents = ts[order], eid[order], cents[order]
+    def frames_part(t: pa.Table) -> pa.Table:
+        """All users of one hash partition in one vectorized pass
+        (round-5: per-user map_groups replaced): run-confined composite
+        keys answer every row's RANGE-frame bounds with two
+        searchsorted calls; the cents prefix sum is partition-global
+        but the confined (lo, hi) indices never cross a run, so the
+        differences are per-user exact."""
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, s, u))
+        u, s, eid, cents = u[order], s[order], eid[order], cents[order]
+        key, _, _ = _run_confined_keys(u, s, BAND)
         pref = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.searchsorted(ts, ts - BAND, side="left")
-        uid = group.column("user_id")[0].as_py()
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(key, key - BAND, side="left")
         return pa.table({
-            "user_id": pa.array([uid] * len(ts), type=pa.int64()),
+            "user_id": pa.array(u, type=pa.int64()),
             "event_id": pa.array(eid, type=pa.int64()),
             "n_5min": pa.array((hi - lo).astype(np.int64)),
             "cents_5min": pa.array(pref[hi] - pref[lo], type=pa.int64()),
         }, schema=out_schema)
 
-    return ev.groupby("user_id").map_groups(frames, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ev, frames_part, on="user_id",
+        schema=pa.schema([("user_id", pa.int64()), ("ts_us", pa.int64()),
+                          ("event_id", pa.int64()), ("cents", pa.int64())]),
+        out_schema=out_schema)
 
 
 _SQL_EVENTS_RANGE_FRAME = """

@@ -1027,41 +1027,68 @@ FROM nation CROSS JOIN region
 
 def q_key_overlap_profile(sf_dir: str):
     """Set-membership profile of two key universes (customer vs
-    supplier keys): counts in both / customer-only / supplier-only —
-    a FULL-OUTER key classification folded to three rows; distinct
-    keys only ever cross the exchange."""
+    supplier keys): counts in both / customer-only / supplier-only.
+
+    Round-5 shape: ONE `partition_apply` exchange over the tagged
+    union (k, side-bit) replaces the old two distinct groupbys + three
+    sequential semi/anti hash joins (five all-to-alls). Equal keys
+    co-locate, so each partition classifies its keys with a
+    dictionary-encode + two bincounts (side-0 seen, side-1 seen) and
+    emits three partial counts; the finish folds 3 rows per
+    partition."""
     import ray.data
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import hash_join
+    from webextract.functions.joins import partition_apply
 
-    cust = (
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-        )
-        .rename_columns({"c_custkey": "k"})
-        .groupby("k").aggregate(Count()).select_columns(["k"])
+    def tag(src: int):
+        def fn(b: pa.Table) -> pa.Table:
+            col = b.column(b.column_names[0]).cast(pa.int64())
+            return pa.table({
+                "k": col,
+                "src": pa.array(
+                    np.full(b.num_rows, src, dtype=np.int8),
+                    type=pa.int8()),
+            })
+        return fn
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(tag(0), batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(tag(1), batch_format="pyarrow")
+
+    out_schema = pa.schema([("membership", pa.string()),
+                            ("n_keys", pa.int64())])
+
+    def classify(t: pa.Table) -> pa.Table:
+        k = t.column("k")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = np.asarray(k.dictionary_encode().indices)
+        src = np.asarray(t.column("src").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        nk = int(codes.max()) + 1 if codes.size else 0
+        in_c = np.bincount(codes[src == 0], minlength=nk) > 0
+        in_s = np.bincount(codes[src == 1], minlength=nk) > 0
+        return pa.table({
+            "membership": pa.array(
+                ["both", "customer_only", "supplier_only"],
+                type=pa.string()),
+            "n_keys": pa.array(
+                [int((in_c & in_s).sum()), int((in_c & ~in_s).sum()),
+                 int((~in_c & in_s).sum())], type=pa.int64()),
+        }, schema=out_schema)
+
+    return (
+        partition_apply(
+            cust.union(supp), classify, on="k",
+            schema=pa.schema([("k", pa.int64()), ("src", pa.int8())]),
+            out_schema=out_schema)
+        .groupby("membership")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
     )
-    supp = (
-        ray.data.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
-        )
-        .rename_columns({"s_suppkey": "k"})
-        .groupby("k").aggregate(Count()).select_columns(["k"])
-    )
-    ks = pa.schema([("k", pa.int64())])
-    both = hash_join(cust, supp, on="k", how="semi",
-                     left_schema=ks, right_schema=ks).count()
-    conly = hash_join(cust, supp, on="k", how="anti",
-                      left_schema=ks, right_schema=ks).count()
-    sonly = hash_join(supp, cust, on="k", how="anti",
-                      left_schema=ks, right_schema=ks).count()
-    return pa.table({
-        "membership": pa.array(["both", "customer_only", "supplier_only"],
-                               type=pa.string()),
-        "n_keys": pa.array([int(both), int(conly), int(sonly)],
-                           type=pa.int64()),
-    })
 
 
 _SQL_KEY_OVERLAP_PROFILE = """
@@ -1266,21 +1293,44 @@ def q_user_median_gap(sf_dir: str):
                             ("median_gap_s", pa.int64()),
                             ("n_gaps", pa.int64())])
 
-    def med(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
+    def med_part(t: pa.Table) -> pa.Table:
+        """All users of one hash partition in one vectorized pass
+        (round-5: the per-user map_groups paid one Python call per
+        user): sort by (user, ts); within-run gaps are the global diff
+        masked at user boundaries; per-user gap medians via ONE lexsort
+        of (run, gap) and indexed gap-run starts."""
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
+        same = u[1:] == u[:-1]
+        gaps = (np.diff(s) // 1_000_000)[same]
+        if gaps.size == 0:
             return out_schema.empty_table()
-        import math
-
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        gaps = np.sort(np.diff(ts) // 1_000_000)
-        k = max(0, math.ceil(0.5 * len(gaps)) - 1)
+        run_start_flags = np.r_[0, (~same).astype(np.int64)]
+        run = np.cumsum(run_start_flags)  # run id per row
+        grun = run[1:][same]              # run id per gap
+        go = np.lexsort((gaps, grun))
+        grun, gaps = grun[go], gaps[go]
+        gstarts = np.r_[0, np.nonzero(grun[1:] != grun[:-1])[0] + 1]
+        gcounts = np.r_[gstarts[1:], gaps.size] - gstarts
+        # ceil(n/2) - 1 == (n - 1) // 2 for n >= 1
+        k = (gcounts - 1) // 2
+        row_starts = np.r_[0, np.nonzero(~same)[0] + 1]
+        users_per_run = u[row_starts]
+        med_users = users_per_run[np.unique(grun)]
         return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "median_gap_s": pa.array([int(gaps[k])], type=pa.int64()),
-            "n_gaps": pa.array([len(gaps)], type=pa.int64()),
+            "user_id": pa.array(med_users, type=pa.int64()),
+            "median_gap_s": pa.array(gaps[gstarts + k], type=pa.int64()),
+            "n_gaps": pa.array(gcounts, type=pa.int64()),
         }, schema=out_schema)
 
-    return ev.groupby("user_id").map_groups(med, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ev, med_part, on="user_id",
+        schema=pa.schema([("user_id", pa.int64()), ("ts_us", pa.int64())]),
+        out_schema=out_schema)
 
 
 _SQL_USER_MEDIAN_GAP = """
