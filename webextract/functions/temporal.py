@@ -100,48 +100,68 @@ def asof_join(left, right, *, by: str, left_ts: str, right_ts: str,
 
     tie_cols = [n for n in right_payload if n != right_ts]
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group.column("_side").to_numpy(zero_copy_only=False)
-        lmask = side == 0
+    def merge_part(part: pa.Table) -> pa.Table:
+        """Every key of one hash partition in one vectorized pass
+        (round-5: the per-key map_groups paid one Python call per key).
+        Sort the tagged union by (key, ts, side, ties); the as-of match
+        is then a run-confined forward fill (backward direction: the
+        latest right row index at or before each position) or backward
+        fill (forward direction) over the GLOBAL row index — a filled
+        index from a previous key run lands before the run start and is
+        rejected, so no per-key slicing is needed."""
+        ts_unified = pc.coalesce(part.column(left_ts)
+                                 if left_ts in part.column_names else
+                                 pa.nulls(part.num_rows, pa.int64()),
+                                 part.column(right_ts))
+        part = part.append_column("_ts", ts_unified.cast(pa.int64()))
+        side_asc = direction == "backward"
+        # backward: rights BEFORE lefts at equal ts (right_ts <= left_ts
+        # is inclusive); forward: rights AFTER lefts (right_ts >= left_ts)
+        idx = pc.sort_indices(part, sort_keys=[
+            (by, "ascending"), ("_ts", "ascending"),
+            ("_side", "descending" if side_asc else "ascending"),
+            (right_ts, "ascending"),
+        ] + [(c, "ascending") for c in tie_cols])
+        t = part.take(idx)
+        n = t.num_rows
+        k = t.column(by).to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        run_start = np.zeros(n, dtype=np.int64)
+        starts = np.r_[0, np.nonzero(k[1:] != k[:-1])[0] + 1]
+        counts = np.r_[starts[1:], n] - starts
+        run_start = np.repeat(starts, counts)
+        is_right = side == 1
+        if direction == "backward":
+            fill = np.maximum.accumulate(np.where(is_right, pos, -1))
+            matched = (fill >= run_start) & (fill >= 0)
+        else:
+            run_end = np.repeat(starts + counts, counts)  # exclusive
+            rev = np.where(is_right, pos, n + 1)[::-1]
+            fill = np.minimum.accumulate(rev)[::-1]
+            matched = fill < run_end
+        lmask = ~is_right
         if not lmask.any():
             return out_schema.empty_table()
-        ltab = group.filter(pa.array(lmask)).select(left_names)
-        rtab = group.filter(pa.array(~lmask)).select(right_payload)
-        lvals = ltab.column(left_ts).to_numpy(zero_copy_only=False)
-        if rtab.num_rows == 0:
-            if how == "inner":
-                return out_schema.empty_table()
-            ridx = np.full(len(lvals), -1, dtype=np.int64)
-        else:
-            order = pc.sort_indices(
-                rtab, sort_keys=[(right_ts, "ascending")]
-                + [(c, "ascending") for c in tie_cols])
-            rtab = rtab.take(order)
-            rvals = rtab.column(right_ts).to_numpy(zero_copy_only=False)
-            if direction == "backward":
-                ridx = np.searchsorted(rvals, lvals, side="right") - 1
-            else:
-                ridx = np.searchsorted(rvals, lvals, side="left")
-                # out-of-range (no right row at/after t) -> unmatched
-                ridx = np.where(ridx >= len(rvals), -1, ridx)
-        matched = ridx >= 0
+        lsel = np.nonzero(lmask)[0]
+        ridx, lmat = fill[lsel], matched[lsel]
         if how == "inner":
-            ltab = ltab.filter(pa.array(matched))
-            ridx = ridx[matched]
-            matched = matched[matched]
-        arrays = [ltab.column(n) for n in left_names]
-        take_idx = pa.array(
-            np.where(matched, ridx, 0), type=pa.int64(),
-            mask=~matched)  # null index -> null value (left-join misses)
-        for n in right_payload:
-            if rtab.num_rows:
-                arrays.append(rtab.column(n).take(take_idx))
-            else:
-                arrays.append(pa.nulls(ltab.num_rows,
-                                       type=right_schema.field(n).type))
+            lsel, ridx, lmat = lsel[lmat], ridx[lmat], lmat[lmat]
+            if lsel.size == 0:
+                return out_schema.empty_table()
+        arrays = [t.column(nm).take(pa.array(lsel)) for nm in left_names]
+        take_idx = pa.array(np.where(lmat, ridx, 0), type=pa.int64(),
+                            mask=~lmat)  # null index -> left-join miss
+        for nm in right_payload:
+            arrays.append(t.column(nm).take(take_idx))
         return pa.table(arrays, schema=out_schema)
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        tagged, merge_part, on=by,
+        schema=union_schema.append(pa.field("_side", pa.int8())),
+        out_schema=out_schema)
 
 
 def interval_join(ds, intervals: pa.Table, *, ts: str, lo: str = "lo",
@@ -223,25 +243,35 @@ def key_lag(ds, *, by: str, ts: str, payload: str):
         (f"prev_{payload}", pa.int64()), ("gap", pa.int64()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
-        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+    def lag_part(part: pa.Table) -> pa.Table:
+        # every key of the partition in one lexsort pass (round-5: the
+        # per-key map_groups paid one Python call per key): adjacent
+        # rows of the (by, ts, payload) sort are (prev, cur) pairs
+        # wherever the key does not change
+        u = np.asarray(part.column(by).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        p = np.asarray(group.column(payload).to_numpy(zero_copy_only=False),
+        t = np.asarray(part.column(ts).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        if len(t) < 2:
-            return out_schema.empty_table()
-        order = np.lexsort((p, t))
-        t, p = t[order], p[order]
-        key = group.column(by).slice(0, 1).to_pylist() * (len(t) - 1)
+        p = np.asarray(part.column(payload).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((p, t, u))
+        u, t, p = u[order], t[order], p[order]
+        same = u[1:] == u[:-1]
         return pa.table({
-            by: pa.array(key, type=pa.int64()),
-            ts: pa.array(t[1:]),
-            payload: pa.array(p[1:]),
-            f"prev_{payload}": pa.array(p[:-1]),
-            "gap": pa.array(t[1:] - t[:-1]),
+            by: pa.array(u[1:][same]),
+            ts: pa.array(t[1:][same]),
+            payload: pa.array(p[1:][same]),
+            f"prev_{payload}": pa.array(p[:-1][same]),
+            "gap": pa.array((t[1:] - t[:-1])[same]),
         }, schema=out_schema)
 
-    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ds, lag_part, on=by,
+        schema=pa.schema([(by, pa.int64()), (ts, pa.int64()),
+                          (payload, pa.int64())]),
+        out_schema=out_schema)
 
 
 def key_lead(ds, *, by: str, ts: str, payload: str):
@@ -259,25 +289,32 @@ def key_lead(ds, *, by: str, ts: str, payload: str):
         (f"next_{payload}", pa.int64()), ("gap", pa.int64()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
-        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+    def lead_part(part: pa.Table) -> pa.Table:
+        # mirror of key_lag's one-pass partition body (round-5)
+        u = np.asarray(part.column(by).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        p = np.asarray(group.column(payload).to_numpy(zero_copy_only=False),
+        t = np.asarray(part.column(ts).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        if len(t) < 2:
-            return out_schema.empty_table()
-        order = np.lexsort((p, t))
-        t, p = t[order], p[order]
-        key = group.column(by).slice(0, 1).to_pylist() * (len(t) - 1)
+        p = np.asarray(part.column(payload).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.lexsort((p, t, u))
+        u, t, p = u[order], t[order], p[order]
+        same = u[1:] == u[:-1]
         return pa.table({
-            by: pa.array(key, type=pa.int64()),
-            ts: pa.array(t[:-1]),
-            payload: pa.array(p[:-1]),
-            f"next_{payload}": pa.array(p[1:]),
-            "gap": pa.array(t[1:] - t[:-1]),
+            by: pa.array(u[:-1][same]),
+            ts: pa.array(t[:-1][same]),
+            payload: pa.array(p[:-1][same]),
+            f"next_{payload}": pa.array(p[1:][same]),
+            "gap": pa.array((t[1:] - t[:-1])[same]),
         }, schema=out_schema)
 
-    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ds, lead_part, on=by,
+        schema=pa.schema([(by, pa.int64()), (ts, pa.int64()),
+                          (payload, pa.int64())]),
+        out_schema=out_schema)
 
 
 def key_ffill(ds, *, by: str, ts: str, order2: str, val: str):
@@ -299,30 +336,45 @@ def key_ffill(ds, *, by: str, ts: str, order2: str, val: str):
         ("filled", pa.float64()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n == 0:
-            return out_schema.empty_table()
-        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+    def ffill_part(part: pa.Table) -> pa.Table:
+        """Every key of the partition in one pass (round-5: per-key
+        map_groups replaced): the forward fill runs over the GLOBAL
+        sorted index with a run-start floor — a filled index from a
+        previous key run lands before the row's run start and the row
+        is dropped, exactly the old per-key 'no prior non-null'
+        case."""
+        n = part.num_rows
+        u = np.asarray(part.column(by).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        o2 = np.asarray(group.column(order2).to_numpy(zero_copy_only=False),
+        t = np.asarray(part.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o2 = np.asarray(part.column(order2).to_numpy(zero_copy_only=False),
                         dtype=np.int64)
-        col = group.column(val)
+        col = part.column(val)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-        valid = ~np.asarray(pc.is_null(
-            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        ).to_numpy(zero_copy_only=False))
-        order = np.lexsort((o2, t))
-        t, o2, v, valid = t[order], o2[order], v[order], valid[order]
-        last = np.where(valid, np.arange(n), -1)
-        last = np.maximum.accumulate(last)
-        keep = last >= 0
-        key = group.column(by).slice(0, 1).to_pylist() * int(keep.sum())
+        valid = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+        order = np.lexsort((o2, t, u))
+        u, t, o2, v, valid = (u[order], t[order], o2[order], v[order],
+                              valid[order])
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        counts = np.r_[starts[1:], n] - starts
+        run_start = np.repeat(starts, counts)
+        last = np.maximum.accumulate(
+            np.where(valid, np.arange(n, dtype=np.int64), -1))
+        keep = last >= run_start
         return pa.table({
-            by: pa.array(key, type=pa.int64()),
+            by: pa.array(u[keep]),
             ts: pa.array(t[keep]),
             order2: pa.array(o2[keep]),
             "filled": pa.array(v[last[keep]]),
         }, schema=out_schema)
 
-    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ds, ffill_part, on=by,
+        schema=pa.schema([(by, pa.int64()), (ts, pa.int64()),
+                          (order2, pa.int64()), (val, pa.float64())]),
+        out_schema=out_schema)
