@@ -55,35 +55,24 @@ def text_pair_counts(ds, *, text_col: str = "text", k: int = 20):
                        descending=[True, False, False]).limit(k)
 
 
-def group_item_pairs(ds, *, by: str, item: str, max_items: int = 1000):
+def group_item_pairs(ds, *, by: str, item: str, max_items: int = 1000,
+                     by_type: pa.DataType = pa.int64()):
     """Pairs of DISTINCT `item` values co-occurring under the same `by`
-    key, counted across keys (t1 < t2). Distinct-pair pre-dedup happens
-    in the first groupby's map_groups; the pair count groupby moves
-    keys only."""
+    key, counted across keys (t1 < t2). Round-5: the per-key
+    map_groups + combinations shape is the shared vectorized
+    `pairs_within_key` primitive (one exchange, no per-key Python);
+    the pair count groupby moves keys only."""
     from ray.data.aggregate import Count
 
-    pair_schema = pa.schema([("t1", pa.string()), ("t2", pa.string())])
-
-    def pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pair_schema.empty_table()
-        items = sorted(set(group.column(item).to_pylist()))
-        if len(items) > max_items:
-            raise ValueError(
-                f"group_item_pairs: key {group.column(by)[0].as_py()!r} "
-                f"has {len(items)} distinct items > max_items={max_items}")
-        a: List[str] = []
-        b: List[str] = []
-        for t1, t2 in combinations(items, 2):
-            a.append(t1)
-            b.append(t2)
-        return pa.table({"t1": pa.array(a, type=pa.string()),
-                         "t2": pa.array(b, type=pa.string())},
-                        schema=pair_schema)
+    from webextract.functions.joins import pairs_within_key
 
     return (
-        ds.groupby(by)
-        .map_groups(pairs, batch_format="pyarrow")
+        pairs_within_key(
+            ds.select_columns([by, item]), on=by, item=item,
+            out_a="t1", out_b="t2",
+            schema=pa.schema([(by, by_type), (item, pa.string())]),
+            max_group=max_items, what="group_item_pairs",
+            max_group_label="max_items")
         .groupby(["t1", "t2"])
         .aggregate(Count())
         .rename_columns({"count()": "n_keys"})

@@ -25,6 +25,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from webextract.corpus import mix
 
@@ -733,6 +734,81 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     exploded = sigded.map_batches(explode, batch_format="pyarrow")
 
+    def bucket_pairs_part(part: pa.Table) -> pa.Table:
+        """Every LSH bucket of one hash partition, VECTORIZED across
+        buckets (round-5: the per-bucket map_groups paid one Python
+        call per bucket — candidate-pair indices for ALL buckets come
+        from one repeat/arange pass, and the signature compares run as
+        one (P, num_perm) broadcast)."""
+        import logging
+
+        from webextract.state.counters import incr
+
+        idx = pc.sort_indices(part, sort_keys=[
+            ("band_idx", "ascending"), ("band_key", "ascending")])
+        t = part.take(idx)
+        bi = t.column("band_idx").to_numpy(zero_copy_only=False)
+        bk = t.column("band_key").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        neq = (bi[1:] != bi[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        m = (np.r_[starts[1:], n] - starts).astype(np.int64)
+        over = np.nonzero(m > max_bucket)[0]
+        for r in over:
+            # No silent caps: a skipped degenerate bucket must be
+            # visible — in the log AND in the run report's counters.
+            logging.getLogger("webextract.dedup").warning(
+                "neardup_pairs: skipping LSH bucket of %d rows "
+                "(> max_bucket=%d) — band (%s, %s); pairs in it are "
+                "LOST. Salt or pre-filter degenerate shingles upstream.",
+                int(m[r]), max_bucket,
+                int(bi[starts[r]]), int(bk[starts[r]]))
+            incr("lsh_buckets_skipped")
+            incr("lsh_rows_in_skipped_buckets", int(m[r]))
+        empty = pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        })
+        sel = (m >= 2) & (m <= max_bucket)
+        ms, ss = m[sel], starts[sel]
+        nout = ms * ms
+        total = int(nout.sum())
+        if total == 0:
+            return empty
+        offs = np.zeros(len(nout), dtype=np.int64)
+        np.cumsum(nout[:-1], out=offs[1:])
+        jg = np.arange(total, dtype=np.int64) - np.repeat(offs, nout)
+        mr = np.repeat(ms, nout)
+        idx_i = np.repeat(ss, nout) + jg // mr
+        idx_j = np.repeat(ss, nout) + jg % mr
+        keep = idx_i < idx_j
+        idx_i, idx_j = idx_i[keep], idx_j[keep]
+        ids = np.asarray(t.column(id_col).cast(pa.int64()).combine_chunks())
+        sig_col = t.column("minhash").combine_chunks()
+        mat = np.asarray(sig_col.flatten()).reshape(n, -1)
+        # est_jaccard == mean(sig_a == sig_b); k/num_perm has <= 6
+        # decimal digits for supported num_perm so round(., 6) never
+        # hits a half-way case (same contract as the per-bucket path)
+        ej = (mat[idx_i] == mat[idx_j]).mean(axis=1)
+        good = ej >= threshold
+        if not good.any():
+            return empty
+        ia, ib = ids[idx_i[good]], ids[idx_j[good]]
+        a = np.minimum(ia, ib)
+        b = np.maximum(ia, ib)
+        ej = np.round(ej[good], 6)
+        # partition-local (id_a, id_b) max-estimate dedup before the
+        # exchange (a pair surfaces from several bands)
+        o2 = np.lexsort((ej, b, a))
+        a, b, ej = a[o2], b[o2], ej[o2]
+        last = np.r_[(a[1:] != a[:-1]) | (b[1:] != b[:-1]), True]
+        return pa.table({
+            "id_a": pa.array(a[last], type=pa.int64()),
+            "id_b": pa.array(b[last], type=pa.int64()),
+            "est_jaccard": pa.array(ej[last], type=pa.float64()),
+        })
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         a_col, b_col, j_col = [], [], []
@@ -786,9 +862,20 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    pairs = exploded.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    from webextract.functions.joins import partition_apply
+
+    _ = bucket_pairs  # single-bucket reference path (pytest parity)
+    pairs = partition_apply(
+        exploded, bucket_pairs_part, on="band_key",
+        schema=pa.schema([
+            (id_col, pa.int64()), ("band_idx", pa.int32()),
+            ("band_key", pa.int64()),
+            ("minhash", pa.list_(pa.uint64())),
+        ]),
+        out_schema=pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("est_jaccard", pa.float64()),
+        ]))
     # A pair can surface from several bands: dedup on (id_a, id_b).
     return pairs.groupby(["id_a", "id_b"]).max("est_jaccard").rename_columns(
         {"max(est_jaccard)": "est_jaccard"}

@@ -78,32 +78,19 @@ def fuzzy_vocab_pairs(ds, *, text_col: str = "text", max_dist: int = 2,
         return pa.table({"v": pa.array(vs, type=pa.string()),
                          "w": pa.array(ws, type=pa.string())})
 
-    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string())])
+    from webextract.functions.joins import pairs_within_key
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pair_schema.empty_table()
-        ws = sorted(set(group.column("w").to_pylist()))
-        if len(ws) > max_group:
-            raise ValueError(
-                f"fuzzy_vocab_pairs: variant bucket "
-                f"{group.column('v')[0].as_py()!r} holds {len(ws)} words "
-                f"> max_group={max_group}")
-        a: List[str] = []
-        b2: List[str] = []
-        for w1, w2 in combinations(ws, 2):
-            a.append(w1)
-            b2.append(w2)
-        return pa.table({"w1": pa.array(a, type=pa.string()),
-                         "w2": pa.array(b2, type=pa.string())},
-                        schema=pair_schema)
-
+    # round-5: per-variant-bucket map_groups + combinations replaced by
+    # the shared vectorized pair primitive (one exchange, no per-bucket
+    # Python)
     candidates = (
-        ds.map_batches(words, batch_format="pyarrow")
-        .groupby("w").aggregate(Count()).select_columns(["w"])
-        .map_batches(variants, batch_format="pyarrow")
-        .groupby("v")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        pairs_within_key(
+            ds.map_batches(words, batch_format="pyarrow")
+            .groupby("w").aggregate(Count()).select_columns(["w"])
+            .map_batches(variants, batch_format="pyarrow"),
+            on="v", item="w", out_a="w1", out_b="w2",
+            schema=pa.schema([("v", pa.string()), ("w", pa.string())]),
+            max_group=max_group, what="fuzzy_vocab_pairs")
         .groupby(["w1", "w2"])
         .aggregate(Count())
         .select_columns(["w1", "w2"])

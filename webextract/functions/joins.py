@@ -486,6 +486,75 @@ def partition_apply(ds, fn, *, on: str, schema: pa.Schema,
             .union(anchor))
 
 
+def pairs_within_key(ds, *, on: str, item: str, out_a: str, out_b: str,
+                     schema: pa.Schema, max_group: int = 100_000,
+                     what: str = "pairs_within_key",
+                     max_group_label: str = "max_group"):
+    """All ``item_1 < item_2`` pairs of DISTINCT `item` values sharing a
+    key — the co-occurrence / candidate-bucket primitive — in ONE
+    `partition_apply` exchange with the pair indices generated by the
+    hash_join repeat/arange arithmetic (no per-key Python; the old
+    ``groupby(key).map_groups`` + ``combinations`` shape paid one Python
+    call AND an O(pairs) interpreter loop per key). A key with more
+    than ``max_group`` distinct items RAISES (no silent caps)."""
+    item_type = schema.field(item).type
+    out_schema = pa.schema([(out_a, item_type), (out_b, item_type)])
+
+    def fn(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            (on, "ascending"), (item, "ascending")])
+        t = part.take(idx)
+        k = t.column(on)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        it = t.column(item)
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        n = t.num_rows
+        if n > 1:
+            kne = np.asarray(pc.not_equal(k.slice(1), k.slice(0, n - 1)))
+            ine = np.asarray(pc.not_equal(it.slice(1), it.slice(0, n - 1)))
+            first = np.r_[True, kne | ine]  # distinct (key, item)
+        else:
+            first = np.ones(n, dtype=bool)
+        keep_idx = np.nonzero(first)[0]
+        k = k.take(pa.array(keep_idx))
+        it = it.take(pa.array(keep_idx))
+        n = len(keep_idx)
+        if n > 1:
+            kne = np.asarray(pc.not_equal(k.slice(1), k.slice(0, n - 1)))
+            starts = np.r_[0, np.nonzero(kne)[0] + 1].astype(np.int64)
+        else:
+            starts = np.zeros(min(n, 1), dtype=np.int64)
+        m = (np.r_[starts[1:], n] - starts).astype(np.int64)
+        bad = np.nonzero(m > max_group)[0]
+        if bad.size:
+            raise ValueError(
+                f"{what}: key {k[int(starts[bad[0]])].as_py()!r} has "
+                f"{int(m[bad[0]])} distinct items > "
+                f"{max_group_label}={max_group}")
+        sel = m >= 2
+        ms, ss = m[sel], starts[sel]
+        nout = ms * ms
+        total = int(nout.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        offs = np.zeros(len(nout), dtype=np.int64)
+        np.cumsum(nout[:-1], out=offs[1:])
+        jg = np.arange(total, dtype=np.int64) - np.repeat(offs, nout)
+        mr = np.repeat(ms, nout)
+        idx_i = np.repeat(ss, nout) + jg // mr
+        idx_j = np.repeat(ss, nout) + jg % mr
+        keep = idx_i < idx_j  # items sorted within run -> item_1 < item_2
+        return pa.table({
+            out_a: it.take(pa.array(idx_i[keep])),
+            out_b: it.take(pa.array(idx_j[keep])),
+        }, schema=out_schema)
+
+    return partition_apply(ds, fn, on=on, schema=schema,
+                           out_schema=out_schema)
+
+
 def attach_group_size(ds, *, on: str, schema: pa.Schema,
                       out: str = "group_n"):
     """``COUNT(*) OVER (PARTITION BY on)`` in ONE hash exchange: append

@@ -489,25 +489,50 @@ def funnel(ds, *, by: str, ts: str, step_col: str,
     step_schema = pa.schema(
         [(f"s{i}", pa.int64()) for i in range(n_steps)])
 
-    def grp(group: pa.Table) -> pa.Table:
-        t = np.asarray(group.column(ts).cast(pa.int64())
-                       .to_numpy(zero_copy_only=False), dtype=np.int64)
-        labels = group.column(step_col).to_pylist()
-        reached = np.zeros(n_steps, dtype=np.int64)
-        cur = -(1 << 62)
+    def grp_part(part: pa.Table) -> pa.Table:
+        """Every key of the partition at once (round-5: per-key
+        map_groups replaced): the step loop stays (n_steps is small) but
+        each iteration resolves ALL keys' earliest qualifying event with
+        one masked ``minimum.reduceat`` over the key runs."""
+        u = part.column(by)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        codes = np.asarray(u.dictionary_encode().indices)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        t = np.asarray(part.column(ts).cast(pa.int64())
+                       .to_numpy(zero_copy_only=False),
+                       dtype=np.int64)[order]
+        lbl = part.column(step_col)
+        if isinstance(lbl, pa.ChunkedArray):
+            lbl = lbl.combine_chunks()
+        lbl = lbl.take(pa.array(order))
+        n = t.size
+        starts = np.r_[0, np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+        counts = np.r_[starts[1:], n] - starts
+        n_keys = starts.size
+        INF = np.int64(1 << 62)
+        cur = np.full(n_keys, -INF, dtype=np.int64)
+        alive = np.ones(n_keys, dtype=bool)
+        out = {}
         for i, s in enumerate(steps):
-            mask = np.fromiter((x == s for x in labels), dtype=bool,
-                               count=len(labels))
-            cand = t[mask & (t >= cur)] if mask.any() else t[:0]
-            if len(cand) == 0:
-                break
-            cur = int(cand.min())
-            reached[i] = 1
-        return pa.table(
-            {f"s{i}": pa.array([int(reached[i])]) for i in range(n_steps)},
-            schema=step_schema)
+            mask = np.asarray(pc.equal(lbl, s).to_numpy(
+                zero_copy_only=False))
+            cand = np.where(mask & (t >= np.repeat(cur, counts)), t, INF)
+            step_min = np.minimum.reduceat(cand, starts)
+            alive = alive & (step_min < INF)
+            cur = np.where(alive, step_min, cur)
+            out[f"s{i}"] = pa.array(alive.astype(np.int64),
+                                    type=pa.int64())
+        return pa.table(out, schema=step_schema)
 
-    flags = ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    flags = partition_apply(
+        ds, grp_part, on=by,
+        schema=pa.schema([(by, pa.int64()), (ts, pa.int64()),
+                          (step_col, pa.string())]),
+        out_schema=step_schema)
     agg = flags.aggregate(*[Sum(f"s{i}", alias_name=f"n{i}")
                             for i in range(n_steps)])
     return pa.table({
@@ -540,27 +565,32 @@ def key_rolling(ds, *, by: str, ts: str, order2: str, val: str,
         ("roll_avg", pa.float64()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m == 0:
-            return out_schema.empty_table()
-        t = np.asarray(group.column(ts).to_numpy(zero_copy_only=False),
+    def roll_part(part: pa.Table) -> pa.Table:
+        """Every key of the partition in one pass (round-5: per-key
+        map_groups replaced): one global prefix sum; each row's frame
+        start is ``max(pos + 1 - window, run_start)``, so the ROWS
+        window never crosses a key boundary."""
+        u = np.asarray(part.column(by).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        o2 = np.asarray(group.column(order2).to_numpy(zero_copy_only=False),
+        t = np.asarray(part.column(ts).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o2 = np.asarray(part.column(order2).to_numpy(zero_copy_only=False),
                         dtype=np.int64)
-        v = np.asarray(group.column(val).to_numpy(zero_copy_only=False),
+        v = np.asarray(part.column(val).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        order = np.lexsort((o2, t))
-        t, o2, v = t[order], o2[order], v[order]
-        cs = np.cumsum(v)
-        lag = np.concatenate([np.zeros(min(window, m), dtype=np.int64),
-                              cs[:-window] if m > window else
-                              np.empty(0, dtype=np.int64)])
-        roll = cs - lag
-        n = np.minimum(np.arange(1, m + 1, dtype=np.int64), window)
-        key = group.column(by).slice(0, 1).to_pylist() * m
+        order = np.lexsort((o2, t, u))
+        u, t, o2, v = u[order], t[order], o2[order], v[order]
+        m = u.size
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        counts = np.r_[starts[1:], m] - starts
+        run_start = np.repeat(starts, counts)
+        pref = np.concatenate(([0], np.cumsum(v, dtype=np.int64)))
+        pos = np.arange(m, dtype=np.int64)
+        lo = np.maximum(pos + 1 - window, run_start)
+        roll = pref[pos + 1] - pref[lo]
+        n = pos + 1 - lo
         return pa.table({
-            by: pa.array(key, type=pa.int64()),
+            by: pa.array(u),
             ts: pa.array(t),
             order2: pa.array(o2),
             "roll_sum": pa.array(roll),
@@ -569,7 +599,13 @@ def key_rolling(ds, *, by: str, ts: str, order2: str, val: str,
                                  / n.astype(np.float64)),
         }, schema=out_schema)
 
-    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ds, roll_part, on=by,
+        schema=pa.schema([(by, pa.int64()), (ts, pa.int64()),
+                          (order2, pa.int64()), (val, pa.int64())]),
+        out_schema=out_schema)
 
 
 def grouping_sets_counts(ds, *, a: str, b: str, val: str) -> pa.Table:
