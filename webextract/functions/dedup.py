@@ -877,6 +877,12 @@ def neardup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             ("est_jaccard", pa.float64()),
         ]))
     # A pair can surface from several bands: dedup on (id_a, id_b).
+    import ray.data
+
+    # schema anchor: the aggregate loses its columns on an all-empty
+    # input (a corpus with no near-dups legitimately yields 0 pairs)
     return pairs.groupby(["id_a", "id_b"]).max("est_jaccard").rename_columns(
         {"max(est_jaccard)": "est_jaccard"}
-    )
+    ).union(ray.data.from_arrow(pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("est_jaccard", pa.float64())]).empty_table()))

@@ -605,9 +605,14 @@ def embedding_neardup(ds, *, tau: float = 0.95, dim: int, n_planes: int = 10,
                           (vec_col, pa.list_(pa.float32())),
                           ("bucket", pa.int64())]),
         out_schema=out_schema)
+    import ray.data
+
+    # schema anchor: the groupby aggregate loses its columns entirely on
+    # an all-empty input (near-orthogonal corpora legitimately yield 0
+    # pairs) — union one 0-row typed block so the result keeps its shape
     return pairs.groupby(["id_a", "id_b"]).max("cosine").rename_columns(
         {"max(cosine)": "cosine"}
-    )
+    ).union(ray.data.from_arrow(out_schema.empty_table()))
 
 
 def knn_label_stats(ds, *, id_col: str = "vec_id",
