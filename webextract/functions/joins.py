@@ -436,12 +436,17 @@ def partition_apply(ds, fn, *, on: str, schema: pa.Schema,
     NULL keys follow SQL WINDOW semantics (they co-locate like any
     other key value), not join semantics.
 
+    ``on`` may be a LIST of columns: routing then hashes the composite
+    (SplitMix64-chained per column), so equal tuples co-locate — the
+    (key, bucket) shape hot-key-spreading phases use.
+
     ``schema``/``out_schema`` are explicit for the same Ray 2.49
     metadata-propagation reasons as ``hash_join``; empty partitions are
     re-typed to ``out_schema`` so no schema-less block poisons
     downstream resolution.
     """
     names = list(schema.names)
+    on_cols = [on] if isinstance(on, str) else list(on)
 
     def add_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -450,18 +455,20 @@ def partition_apply(ds, fn, *, on: str, schema: pa.Schema,
                 [pa.nulls(0, type=schema.field(c).type) for c in names]
                 + [pa.array([], type=pa.int64())],
                 names=names + ["_part"])
-        key = batch.column(on)
-        if key.null_count:
-            # route NULLs like any fixed value (hash_join filters NULLs
-            # map-side so _key_hash_u64 never sees them; window
-            # semantics keep them): fill with an arbitrary constant —
-            # a collision only CO-LOCATES rows, `fn` still groups on
-            # the true values.
-            fill = ("" if pa.types.is_string(key.type)
-                    or pa.types.is_large_string(key.type) else 0)
-            key = pc.fill_null(key, fill)
-        part = (_key_hash_u64(key)
-                % np.uint64(_NUM_JOIN_PARTS)).astype(np.int64)
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for col_name in on_cols:
+            key = batch.column(col_name)
+            if key.null_count:
+                # route NULLs like any fixed value (hash_join filters
+                # NULLs map-side so _key_hash_u64 never sees them;
+                # window semantics keep them): fill with an arbitrary
+                # constant — a collision only CO-LOCATES rows, `fn`
+                # still groups on the true values.
+                fill = ("" if pa.types.is_string(key.type)
+                        or pa.types.is_large_string(key.type) else 0)
+                key = pc.fill_null(key, fill)
+            h = _splitmix64(h ^ _key_hash_u64(key))
+        part = (h % np.uint64(_NUM_JOIN_PARTS)).astype(np.int64)
         return batch.select(names).append_column(
             "_part", pa.array(part, type=pa.int64()))
 

@@ -133,26 +133,59 @@ def running_agg(ds, *, by: str, order: str, val: str,
         (f"running_{val}", pa.int64()), ("rn", pa.int64()),
     ])
 
-    def grp(group: pa.Table) -> pa.Table:
+    def grp_part(part: pa.Table) -> pa.Table:
+        """Every (key, bucket) group of the partition in one pass
+        (round-5: the per-group map_groups paid one Python call per
+        bucket): sort by (key, bucket, order), run-relative cumsums via
+        a global prefix minus the run-start prefix, and ONE dict lookup
+        per RUN (bounded by the guarded bucket count) for the
+        offsets."""
         offs = ray.get(ref)
-        o = np.asarray(group.column(order).cast(pa.int64())
+        idx = pc.sort_indices(part, sort_keys=[
+            (by, "ascending"), ("_bucket", "ascending"),
+            (order, "ascending")])
+        t = part.take(idx)
+        kcol = t.column(by)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = np.asarray(kcol.dictionary_encode().indices)
+        b = np.asarray(t.column("_bucket").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        o = np.asarray(t.column(order).cast(pa.int64())
                        .to_numpy(zero_copy_only=False), dtype=np.int64)
-        v = np.asarray(group.column(val).cast(pa.int64())
+        v = np.asarray(t.column(val).cast(pa.int64())
                        .to_numpy(zero_copy_only=False), dtype=np.int64)
-        idx = np.argsort(o, kind="stable")
-        o, v = o[idx], v[idx]
-        key = group.column(by)[0].as_py()
-        off_s, off_n = offs[(key, group.column("_bucket")[0].as_py())]
+        n = v.size
+        neq = (codes[1:] != codes[:-1]) | (b[1:] != b[:-1])
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        counts = np.r_[starts[1:], n] - starts
+        run_start = np.repeat(starts, counts)
+        pref = np.concatenate(([0], np.cumsum(v, dtype=np.int64)))
+        pos = np.arange(n, dtype=np.int64)
+        run_cumsum = pref[pos + 1] - pref[run_start]
+        run_rank = pos - run_start + 1
+        keys_py = kcol.take(pa.array(starts)).to_pylist()
+        off_pairs = [offs[(k, int(b[s]))]
+                     for k, s in zip(keys_py, starts)]
+        off_s = np.repeat(np.array([p[0] for p in off_pairs],
+                                   dtype=np.int64), counts)
+        off_n = np.repeat(np.array([p[1] for p in off_pairs],
+                                   dtype=np.int64), counts)
         return pa.table({
-            by: pa.array([key] * len(o), type=out_schema.field(by).type),
+            by: kcol,
             order: pa.array(o),
             val: pa.array(v),
-            f"running_{val}": pa.array(off_s + np.cumsum(v)),
-            "rn": pa.array(off_n + np.arange(1, len(o) + 1, dtype=np.int64)),
+            f"running_{val}": pa.array(off_s + run_cumsum),
+            "rn": pa.array(off_n + run_rank),
         }, schema=out_schema)
 
-    return bucketed.groupby([by, "_bucket"]).map_groups(
-        grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        bucketed, grp_part, on=[by, "_bucket"],
+        schema=pa.schema([pa.field(by, by_type), (order, pa.int64()),
+                          (val, pa.int64()), ("_bucket", pa.int64())]),
+        out_schema=out_schema)
 
 
 def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
