@@ -35,6 +35,7 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _shingles(text: str, n: int) -> List[str]:
@@ -71,21 +72,55 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
     ])
 
     def prefix(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        texts = b.column(text_col).to_pylist()
-        o_gram, o_id, o_sz = [], [], []
-        for i, txt in zip(ids, texts):
-            grams = _shingles(txt or "", n)
-            sz = len(grams)
-            keep = sz - _ceil_mul(t, sz) + 1
-            for g in grams[:keep]:
-                o_gram.append(g)
-                o_id.append(i)
-                o_sz.append(sz)
-        return pa.table({"gram": pa.array(o_gram, type=pa.string()),
-                         "doc_id": pa.array(o_id, type=pa.int64()),
-                         "sz": pa.array(o_sz, type=pa.int64())},
-                        schema=prefix_schema)
+        """Prefix-filter explode, VECTORIZED (round-5: the per-doc
+        Python loop over sorted shingle sets becomes one
+        `_flat_ngram_strings` split, one Arrow hash-distinct, one
+        (doc, gram) sort, and a run-rank mask): each doc emits its
+        first ``sz - ceil(t*sz) + 1`` grams under the lexicographic
+        canonical order — identical rows to the `_shingles` loop."""
+        from webextract.functions.ngrams import _flat_ngram_strings
+
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        doc_idx, grams = _flat_ngram_strings(texts, n)
+        ids = np.asarray(b.column(id_col).cast(pa.int64()).combine_chunks())
+        # _shingles emits ONE partial gram (= the whole text) for docs
+        # shorter than n words (`range(max(len-n+1, 1))`, mirroring the
+        # SQL oracle's greatest(len-n+1, 1)); _flat_ngram_strings emits
+        # zero — append those docs' single shingle explicitly
+        wc = pc.list_value_length(pc.split_pattern(texts, " ")).to_numpy(
+            zero_copy_only=False)
+        short = np.nonzero(wc < n)[0]
+        if short.size:
+            doc_idx = np.concatenate([doc_idx, short])
+            grams = pa.concat_arrays([
+                grams.combine_chunks() if isinstance(grams, pa.ChunkedArray)
+                else grams,
+                texts.take(pa.array(short))])
+        if doc_idx.size == 0:
+            return prefix_schema.empty_table()
+        distinct = pa.table({
+            "_d": pa.array(doc_idx, type=pa.int64()), "gram": grams,
+        }).group_by(["_d", "gram"], use_threads=False).aggregate([])
+        idx = pc.sort_indices(distinct, sort_keys=[
+            ("_d", "ascending"), ("gram", "ascending")])
+        dt = distinct.take(idx)
+        d = np.asarray(dt.column("_d"))
+        m = dt.num_rows
+        starts = np.r_[0, np.nonzero(d[1:] != d[:-1])[0] + 1]
+        counts = np.r_[starts[1:], m] - starts
+        rank = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+        sz = np.repeat(counts, counts)
+        # keep = sz - ceil(t*sz) + 1, exact integer ceil
+        keep_n = sz - (-(-t.numerator * sz) // t.denominator) + 1
+        mask = rank < keep_n
+        return pa.table({
+            "gram": dt.column("gram").filter(pa.array(mask)),
+            "doc_id": pa.array(ids[d[mask]], type=pa.int64()),
+            "sz": pa.array(sz[mask], type=pa.int64()),
+        }, schema=prefix_schema)
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
