@@ -94,21 +94,41 @@ def collect_sorted(ds, *, by: str, val: str, sep: str = ",",
     to bound group size."""
     out_schema = pa.schema([(by, pa.string()), (out_name, pa.string())])
 
-    def grp(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return out_schema.empty_table()
-        if group.num_rows > max_group:
+    def grp_part(part: pa.Table) -> pa.Table:
+        """Every group of the partition in one pass (round-5: per-key
+        map_groups + a per-value str join replaced by one (key, val)
+        sort and one C-level list-array ``binary_join``)."""
+        idx = pc.sort_indices(part, sort_keys=[
+            (by, "ascending"), (val, "ascending")])
+        t = part.take(idx)
+        k = t.column(by)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = t.num_rows
+        neq = np.asarray(pc.not_equal(k.slice(1), k.slice(0, n - 1))) \
+            if n > 1 else np.empty(0, dtype=bool)
+        starts = np.r_[0, np.nonzero(neq)[0] + 1].astype(np.int64)
+        counts = np.r_[starts[1:], n] - starts
+        big = np.nonzero(counts > max_group)[0]
+        if big.size:
             raise ValueError(
-                f"collect_sorted: group {group.column(by)[0].as_py()!r} has "
-                f"{group.num_rows} rows > max_group={max_group}")
-        v = np.sort(group.column(val).cast(pa.int64())
-                    .to_numpy(zero_copy_only=False))
+                f"collect_sorted: group {k[int(starts[big[0]])].as_py()!r} "
+                f"has {int(counts[big[0]])} rows > max_group={max_group}")
+        vals_str = pc.cast(t.column(val).cast(pa.int64()),
+                           pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, n], type=pa.int32()), vals_str)
         return pa.table({
-            by: group.column(by).slice(0, 1),
-            out_name: pa.array([sep.join(str(int(x)) for x in v)]),
+            by: k.take(pa.array(starts)),
+            out_name: pc.binary_join(lists, sep),
         }, schema=out_schema)
 
-    return ds.groupby(by).map_groups(grp, batch_format="pyarrow")
+    from webextract.functions.joins import partition_apply
+
+    return partition_apply(
+        ds.select_columns([by, val]), grp_part, on=by,
+        schema=pa.schema([(by, pa.string()), (val, pa.int64())]),
+        out_schema=out_schema)
 
 
 def first_row_per_key(ds, *, on: str, sort_keys, schema: pa.Schema):
