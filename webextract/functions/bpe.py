@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def merge_rep(rep: str, left: str, right: str, merged: str) -> str:
@@ -58,10 +59,14 @@ def word_freqs(ds, *, text_col: str = "text"):
     from ray.data.aggregate import Count
 
     def explode(b: pa.Table) -> pa.Table:
-        words: List[str] = []
-        for t in b.column(text_col).to_pylist():
-            words.extend((t or "").split(" "))
-        return pa.table({"word": pa.array(words, type=pa.string())})
+        # vectorized: one split_pattern + flatten (no per-row Python)
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pa.table({"word": lists.flatten()})
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
