@@ -112,20 +112,21 @@ def degree_stats(edges, *, src_col: str = "src", dst_col: str = "dst"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for s in batch.column(src_col).to_pylist():
-            c = counts.setdefault(s, [0, 0])
-            c[0] += 1
-        for d in batch.column(dst_col).to_pylist():
-            c = counts.setdefault(d, [0, 0])
-            c[1] += 1
-        nodes = sorted(counts)
+        # vectorized (round-5): one unique over src+dst, two bincounts
+        # over the inverse codes — no per-edge Python dict
+        import numpy as np
+
+        s = np.asarray(batch.column(src_col).cast(pa.int64())
+                       .combine_chunks(), dtype=np.int64)
+        d = np.asarray(batch.column(dst_col).cast(pa.int64())
+                       .combine_chunks(), dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        out_part = np.bincount(inv[:s.size], minlength=nodes.size)
+        in_part = np.bincount(inv[s.size:], minlength=nodes.size)
         return pa.table({
             "node": pa.array(nodes, type=pa.int64()),
-            "out_part": pa.array([counts[n][0] for n in nodes],
-                                 type=pa.int64()),
-            "in_part": pa.array([counts[n][1] for n in nodes],
-                                type=pa.int64()),
+            "out_part": pa.array(out_part.astype(np.int64)),
+            "in_part": pa.array(in_part.astype(np.int64)),
         })
 
     return (
