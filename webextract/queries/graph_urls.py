@@ -6,6 +6,7 @@ See webextract/queries/__init__.py for the assembled surface.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from webextract.queries._shared import _docs
 from webextract.queries.flagship import _links_ds
 
@@ -159,6 +160,79 @@ SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
 FROM tf JOIN cnt USING (word), n
 GROUP BY doc_id
 """
+
+
+def _dsir_scored(sf_dir: str):
+    """Shared DSIR scoring subgraph (functions/dsir.py): target slice =
+    English documents, raw = whole corpus; integer-quantized unigram
+    log-importance-ratio so doubles match the oracle bit-for-bit."""
+    from webextract.functions.dsir import (corpus_token_counts_flagged,
+                                           dsir_scores)
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "is_target": pc.equal(b.column("lang"), "en"),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        flag, batch_format="pyarrow")
+    r, t = corpus_token_counts_flagged(docs)
+    return dsir_scores(docs, raw_tokens=r, target_tokens=t)
+
+
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023) for every document against
+    the English target slice — two keys-only shuffles, no driver vocab."""
+    return _dsir_scored(sf_dir)
+
+
+def q_dsir_select(sf_dir: str):
+    """Deterministic DSIR resampling: top-200 docs by importance weight
+    (zero-temperature limit of Gumbel-top-k), id tie-break."""
+    from webextract.functions.dsir import dsir_select
+
+    return dsir_select(_dsir_scored(sf_dir), k=200)
+
+
+_SQL_DSIR_BODY = """
+w AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+cnt AS (SELECT word, count(*)::BIGINT AS cnt_r,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS cnt_t
+        FROM w GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS r,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t FROM w),
+scores AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+    sum(tf * (length(bin(tot.r // cnt.cnt_r))
+              - length(bin(greatest(tot.t // (cnt.cnt_t + 1), 1)))
+             ))::BIGINT AS dsir_bits,
+    sum(tf * (length(bin(tot.r // cnt.cnt_r))
+              - length(bin(greatest(tot.t // (cnt.cnt_t + 1), 1)))
+             ))::DOUBLE / sum(tf) AS avg_dsir
+  FROM tf JOIN cnt USING (word), tot
+  GROUP BY doc_id
+)
+"""
+
+# length(bin(x)) on a positive BIGINT == Python int.bit_length; greatest(
+# .., 1) keeps the smoothed target quotient positive on both engines, so
+# dsir_bits is an exact integer sum and avg_dsir one integer/integer
+# division — bit-identical to the engine.
+_SQL_DSIR_SCORES = ("WITH " + _SQL_DSIR_BODY
+                    + "SELECT * FROM scores")
+
+_SQL_DSIR_SELECT = ("WITH " + _SQL_DSIR_BODY + """
+SELECT doc_id, dsir_bits FROM scores
+ORDER BY dsir_bits DESC, doc_id ASC
+LIMIT 200
+""")
 
 
 def q_events_lag(sf_dir: str):
