@@ -25,6 +25,7 @@ ROWS_ONLY = {
     "doc_length_quantiles_by_lang_sketch",
     "kmeans_clusters",
     "semdedup_pairs",
+    "dsir_scores_hashed",
     # iterative float fixpoint — order-dependent sums
     "pagerank_hosts",
 }

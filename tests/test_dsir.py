@@ -88,6 +88,52 @@ GROUP BY doc_id ORDER BY doc_id
     assert got["avg_dsir"].tolist() == want["avg_dsir"].tolist()
 
 
+def test_dsir_hashed_equals_exact_when_collision_free():
+    # at a wide bucket space with a collision-free corpus vocabulary the
+    # bucket counts EQUAL the word counts, so the hashed scores match the
+    # exact variant bit-for-bit
+    from webextract.functions.dedup import _word_hashes
+    from webextract.functions.dsir import dsir_scores_hashed
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    n_buckets = 1 << 20
+    hashes = _word_hashes(words) % n_buckets
+    assert len(set(hashes.tolist())) == len(words)  # collision-free width
+    texts = [" ".join(words[(i + j) % len(words)] for j in range(4))
+             for i in range(12)]
+    t = pa.table({
+        "doc_id": list(range(12)),
+        "text": texts,
+        "is_target": [i % 2 == 0 for i in range(12)],
+    })
+    exact = (_score(t).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+    hashed = (dsir_scores_hashed(_ds(t), n_buckets=n_buckets).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+    assert hashed["dsir_bits"].tolist() == exact["dsir_bits"].tolist()
+    assert hashed["n_tokens"].tolist() == exact["n_tokens"].tolist()
+    assert hashed["avg_dsir"].tolist() == exact["avg_dsir"].tolist()
+
+
+def test_dsir_hashed_batch_size_invariant():
+    # the count fold and broadcast scoring must not depend on how docs
+    # are split into blocks/batches
+    from webextract.functions.dsir import dsir_scores_hashed
+
+    t = pa.table({
+        "doc_id": list(range(30)),
+        "text": [f"w{i % 7} w{i % 5} common" for i in range(30)],
+        "is_target": [i % 4 == 0 for i in range(30)],
+    })
+    one = (dsir_scores_hashed(_ds(t), n_buckets=256).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    many = (dsir_scores_hashed(
+        ray.data.from_arrow(t).repartition(8), n_buckets=256).to_pandas()
+        .sort_values("doc_id", ignore_index=True))
+    assert one["dsir_bits"].tolist() == many["dsir_bits"].tolist()
+    assert one["n_tokens"].tolist() == many["n_tokens"].tolist()
+
+
 def test_dsir_select_topk_tiebreak():
     t = pa.table({
         "doc_id": [3, 1, 2, 0],

@@ -190,6 +190,120 @@ def corpus_token_counts_flagged(ds, *, text_col: str = "text",
     return int(part.sum("n")), int(part.sum("n_t"))
 
 
+def dsir_scores_hashed(ds, *, n_buckets: int = 4096,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       target_col: str = "is_target"):
+    """DSIR with HASHED n-gram features — the paper's actual scale trick
+    (Xie et al. 2023 §3 hash the feature space to a fixed number of
+    buckets), which removes the word-keyed exchange entirely:
+
+    1. COUNT pass: each batch bincounts its word-occurrence buckets
+       (raw + target) into at most ``n_buckets`` partial rows; one tiny
+       ``groupby(bucket)`` folds them and the driver collects the
+       <= ``n_buckets`` totals (bounded BY CONSTRUCTION by the function
+       argument, not by data — 4096 int64 triples is ~100 KB).
+    2. SCORE pass: the per-bucket lambda array is broadcast via
+       ``ray.put`` and every doc is scored in ONE embarrassingly
+       parallel `map_batches` gather+segment-sum — at 100 TB there is
+       NO all-to-all anywhere in this operator.
+
+    Occurrence-additive scoring makes the (doc, word) tf grouping of the
+    exact variant unnecessary: ``sum_w tf(w)*lambda(b(w)) ==
+    sum_occurrences lambda(b(word))``.  Buckets use the same 64-bit word
+    hash as the MinHash chain (`dedup._word_hashes` — unique words hashed
+    once per batch via dictionary encoding, Zipf-bounded), so the result
+    is deterministic but hash-internal: the query registers rows-only
+    (like `minhash_signatures`), with cross-variant equivalence pinned by
+    pytest at a collision-free bucket width.
+
+    Returns ``(doc_id, n_tokens, dsir_bits, avg_dsir)`` with the same
+    quantized-lambda semantics as :func:`dsir_scores` applied to bucket
+    counts.
+    """
+    import ray
+
+    from webextract.functions.dedup import _word_hashes
+
+    def _bucketize(texts):
+        """Flat (doc_index, bucket) arrays for every word occurrence of a
+        string column — one split + dictionary encode; Python touches
+        only the per-batch UNIQUE words."""
+        from webextract.functions.ngrams import _flat_ngram_strings
+
+        doc_idx, words = _flat_ngram_strings(texts, 1)
+        if doc_idx.size == 0:
+            return doc_idx, np.empty(0, dtype=np.int64)
+        de = pc.dictionary_encode(words)
+        uniq_b = (_word_hashes(de.dictionary.to_pylist())
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return doc_idx, uniq_b[de.indices.to_numpy(zero_copy_only=False)]
+
+    cnt_schema = pa.schema([("bucket", pa.int64()), ("cnt_r", pa.int64()),
+                            ("cnt_t", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, buckets = _bucketize(batch.column(text_col))
+        if doc_idx.size == 0:
+            return cnt_schema.empty_table()
+        is_t = np.asarray(
+            batch.column(target_col).cast(pa.int8()).combine_chunks()
+        ).astype(np.int64)
+        cnt_r = np.bincount(buckets, minlength=n_buckets)
+        cnt_t = np.bincount(buckets, weights=is_t[doc_idx],
+                            minlength=n_buckets).astype(np.int64)
+        nz = np.nonzero(cnt_r)[0]
+        return pa.table({
+            "bucket": pa.array(nz, type=pa.int64()),
+            "cnt_r": pa.array(cnt_r[nz], type=pa.int64()),
+            "cnt_t": pa.array(cnt_t[nz], type=pa.int64()),
+        }, schema=cnt_schema)
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt_r", alias_name="cnt_r"),
+                   Sum("cnt_t", alias_name="cnt_t"))
+        .take_all()  # <= n_buckets rows by construction (function arg)
+    )
+    cnt_r = np.zeros(n_buckets, dtype=np.int64)
+    cnt_t = np.zeros(n_buckets, dtype=np.int64)
+    for row in folded:
+        cnt_r[row["bucket"]] = row["cnt_r"]
+        cnt_t[row["bucket"]] = row["cnt_t"]
+    raw_tokens = int(cnt_r.sum())
+    target_tokens = int(cnt_t.sum())
+    q_r = (raw_tokens // np.maximum(cnt_r, 1)).astype(np.float64)
+    q_t = np.maximum(target_tokens // (cnt_t + 1), 1).astype(np.float64)
+    lam = (np.frexp(q_r)[1] - np.frexp(q_t)[1]).astype(np.int64)
+    lam_ref = ray.put(lam)
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("dsir_bits", pa.int64()), ("avg_dsir", pa.float64()),
+    ])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lam_arr = ray.get(lam_ref)  # zero-copy plasma read per task
+        doc_idx, buckets = _bucketize(batch.column(text_col))
+        n_rows = batch.num_rows
+        n_tok = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        bits = np.bincount(doc_idx, weights=lam_arr[buckets],
+                           minlength=n_rows).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "dsir_bits": pa.array(bits),
+            "avg_dsir": pa.array(
+                bits / np.maximum(n_tok, 1).astype(np.float64)),
+        }, schema=out_schema)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dsir_select(scored, *, k: int = 200, id_col: str = "doc_id"):
     """Deterministic resampling stand-in: keep the top-``k`` documents by
     ``(dsir_bits DESC, doc_id ASC)``.

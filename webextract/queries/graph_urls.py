@@ -188,6 +188,27 @@ def q_dsir_scores(sf_dir: str):
     return _dsir_scored(sf_dir)
 
 
+def q_dsir_scores_hashed(sf_dir: str):
+    """Hashed-feature DSIR (the paper's bounded-feature scale path): the
+    bucket-count fold is the ONLY exchange (<= n_buckets rows by
+    construction) and scoring is an embarrassingly parallel broadcast
+    pass — rows-only (hash-internal, like `minhash_signatures`); the
+    cross-variant equivalence is pinned by pytest at a collision-free
+    bucket width."""
+    from webextract.functions.dsir import dsir_scores_hashed
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "is_target": pc.equal(b.column("lang"), "en"),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        flag, batch_format="pyarrow")
+    return dsir_scores_hashed(docs, n_buckets=4096)
+
+
 def q_dsir_select(sf_dir: str):
     """Deterministic DSIR resampling: top-200 docs by importance weight
     (zero-temperature limit of Gumbel-top-k), id tie-break."""
