@@ -134,6 +134,34 @@ def test_dsir_hashed_batch_size_invariant():
     assert one["n_tokens"].tolist() == many["n_tokens"].tolist()
 
 
+def test_dsir_null_flag_and_null_text():
+    # NULL is_target == non-target (SQL CASE semantics); NULL text
+    # tokenizes as the empty-string token. Without the fill_null guards
+    # the numpy conversion turned a null flag into INT64_MIN bincount
+    # weights, silently corrupting every lambda (code-review find).
+    from webextract.functions.dsir import dsir_scores_hashed
+
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", None, "a c"],
+        "is_target": [True, None, False],
+    })
+    ref = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", "", "a c"],
+        "is_target": [True, False, False],
+    })
+    got = (_score(t).to_pandas().sort_values("doc_id", ignore_index=True))
+    want = (_score(ref).to_pandas().sort_values("doc_id", ignore_index=True))
+    assert got["dsir_bits"].tolist() == want["dsir_bits"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    got_h = (dsir_scores_hashed(_ds(t), n_buckets=64).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+    want_h = (dsir_scores_hashed(_ds(ref), n_buckets=64).to_pandas()
+              .sort_values("doc_id", ignore_index=True))
+    assert got_h["dsir_bits"].tolist() == want_h["dsir_bits"].tolist()
+
+
 def test_dsir_select_topk_tiebreak():
     t = pa.table({
         "doc_id": [3, 1, 2, 0],

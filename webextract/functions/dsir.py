@@ -65,8 +65,11 @@ def _explode_tf_flagged(text_col: str, id_col: str, target_col: str):
             return empty.empty_table()
         ids = np.asarray(
             batch.column(id_col).cast(pa.int64()).combine_chunks())
+        # a NULL flag means non-target (SQL CASE WHEN semantics); without
+        # fill_null the numpy conversion turns nulls into NaN -> INT64_MIN
         is_t = np.asarray(
-            batch.column(target_col).cast(pa.int8()).combine_chunks()
+            pc.fill_null(batch.column(target_col), False)
+            .cast(pa.int8()).combine_chunks()
         ).astype(np.int64)
         counted = pa.table({
             id_col: pa.array(ids[doc_idx], type=pa.int64()),
@@ -180,7 +183,7 @@ def corpus_token_counts_flagged(ds, *, text_col: str = "text",
             texts = texts.combine_chunks()
         lens = pc.list_value_length(
             pc.split_pattern(pc.fill_null(texts, ""), " ")).cast(pa.int64())
-        flag = batch.column(target_col).cast(pa.int64())
+        flag = pc.fill_null(batch.column(target_col), False).cast(pa.int64())
         n = int(pc.sum(lens).as_py() or 0)
         n_t = int(pc.sum(pc.multiply(lens, flag)).as_py() or 0)
         return pa.table({"n": pa.array([n], type=pa.int64()),
@@ -206,6 +209,14 @@ def dsir_scores_hashed(ds, *, n_buckets: int = 4096,
        ``ray.put`` and every doc is scored in ONE embarrassingly
        parallel `map_batches` gather+segment-sum — at 100 TB there is
        NO all-to-all anywhere in this operator.
+
+    The upstream ``ds`` lineage executes twice (count pass, then score
+    pass) — a DELIBERATE recompute-over-materialize call: at the 100 TB
+    design point pinning the corpus for the second pass would hold the
+    whole input in the object store, while re-running the column-pruned
+    read + flag map costs one extra scan of exactly the columns used.
+    Callers with a small/expensive upstream can pass a materialized
+    dataset instead.
 
     Occurrence-additive scoring makes the (doc, word) tf grouping of the
     exact variant unnecessary: ``sum_w tf(w)*lambda(b(w)) ==
@@ -245,8 +256,10 @@ def dsir_scores_hashed(ds, *, n_buckets: int = 4096,
         doc_idx, buckets = _bucketize(batch.column(text_col))
         if doc_idx.size == 0:
             return cnt_schema.empty_table()
+        # NULL flag == non-target; see _explode_tf_flagged
         is_t = np.asarray(
-            batch.column(target_col).cast(pa.int8()).combine_chunks()
+            pc.fill_null(batch.column(target_col), False)
+            .cast(pa.int8()).combine_chunks()
         ).astype(np.int64)
         cnt_r = np.bincount(buckets, minlength=n_buckets)
         cnt_t = np.bincount(buckets, weights=is_t[doc_idx],
@@ -315,5 +328,20 @@ def dsir_select(scored, *, k: int = 200, id_col: str = "doc_id"):
     the per-block top-k by Ray's sort+limit planning, so only ``k`` rows
     per block reach the final merge.
     """
-    return scored.select_columns([id_col, "dsir_bits"]).sort(
-        ["dsir_bits", id_col], descending=[True, False]).limit(k)
+    cols = scored.select_columns([id_col, "dsir_bits"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        order = pc.sort_indices(b, sort_keys=[("dsir_bits", "descending"),
+                                              (id_col, "ascending")])
+        return b.take(order.slice(0, k))
+
+    # per-block prefilter (Ray 2.49's LimitPushdownRule stops at Sort, so
+    # the limit alone would NOT bound the global sort's input): only k
+    # rows per block enter the all-to-all, making the final sort O(k *
+    # n_blocks) regardless of corpus size. batch_size=None pins the
+    # whole-block contract the prefilter depends on.
+    return cols.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None,
+    ).sort(["dsir_bits", id_col], descending=[True, False]).limit(k)

@@ -219,8 +219,10 @@ def q_dsir_select(sf_dir: str):
 
 _SQL_DSIR_BODY = """
 w AS (
-  SELECT doc_id, (lang = 'en') AS is_t,
-         unnest(string_split(text, ' ')) AS word
+  -- coalesce mirrors the engine's fill_null guards: NULL text tokenizes
+  -- as the empty-string token, NULL lang means non-target
+  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+         unnest(string_split(coalesce(text, ''), ' ')) AS word
   FROM documents
 ),
 tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
