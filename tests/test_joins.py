@@ -10,7 +10,7 @@ from webextract.functions.joins import broadcast_join, hash_join
 def test_broadcast_join_left_semantics(ray_session):
     big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
     small = pa.table({"k": [1, 2], "name": ["one", "two"], "rank": [10, 20]})
-    out = broadcast_join(big, small, key="k", concurrency=1).to_pandas()
+    out = broadcast_join(big, small, key="k").to_pandas()
     out = out.sort_values("v", ignore_index=True)
     assert out.name.tolist() == ["one", "two", None, "two"]
     assert out["rank"].tolist()[0] == 10
@@ -311,3 +311,50 @@ def test_partition_apply_all_empty_keeps_schema(ray_session):
     merged = pa.concat_tables(tbls, promote_options="default")
     assert merged.num_rows == 0
     assert merged.schema.names == ["k"]
+
+
+def test_hash_join_all_empty_result_keeps_schema(ray_session):
+    """Review fix: an inner join with NO matching keys must still carry
+    its output schema (Ray 2.49's fused map short-circuits 0-row blocks
+    past any trailing retype map_batches, so the guarantee comes from a
+    schema-anchor union)."""
+    import ray
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    l = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "a": pa.array(["x", "y"])}))
+    r = ray.data.from_arrow(pa.table({
+        "k": pa.array([8, 9], pa.int64()), "b": pa.array([1.0, 2.0])}))
+    j = hash_join(
+        l, r, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("b", pa.float64())]))
+    assert j.take_all() == []
+    tbls = [t for t in ray.get(j.to_arrow_refs()) if t.num_columns]
+    assert tbls, "no typed block survived an all-empty join"
+    merged = pa.concat_tables(tbls, promote_options="default")
+    assert merged.schema.names == ["k", "a", "b"]
+
+
+def test_broadcast_join_null_dim_key_dropped(ray_session):
+    """Review fix: a NULL dimension key must not crash the last-wins
+    dedup (NaN dictionary code -> IndexError) — SQL semantics drop it."""
+    import ray.data
+
+    from webextract.functions.joins import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "v": pa.array(["a", "b", "c"])}))
+    dim = pa.table({"k": pa.array([1, None], pa.int64()),
+                    "name": pa.array(["one", "ghost"])})
+    left = sorted(
+        ((r["v"], r["name"]) for r in
+         broadcast_join(big, dim, key="k").take_all()))
+    assert left == [("a", "one"), ("b", None), ("c", None)]
+    inner = sorted(
+        ((r["v"], r["name"]) for r in
+         broadcast_join(big, dim, key="k", how="inner").take_all()))
+    assert inner == [("a", "one")]

@@ -79,3 +79,26 @@ def test_explode_words_null_and_empty():
     assert out.column("doc_id").to_pylist() == [7, 8]
     assert out.column("pos").to_pylist() == [1, 1]
     assert out.column("word").to_pylist() == ["", ""]
+
+
+def test_encode_arbitrary_vocab_and_oov_parity():
+    """Review fix: encode must honor the vocab's ACTUAL token_id values
+    (not positional ranks of the sorted word order) and drop OOV words
+    identically on both transports."""
+    import ray.data
+
+    docs = _docs_ds(["a b zz", "b c"])
+    # non-contiguous, non-sorted-rank ids + an OOV word ('zz')
+    vocab = ray.data.from_arrow(pa.table({
+        "word": pa.array(["a", "b", "c"], type=pa.string()),
+        "token_id": pa.array([10, 20, 7], type=pa.int64()),
+    }))
+    expect = [(0, 1, 10), (0, 2, 20), (1, 1, 20), (1, 2, 7)]  # zz dropped
+    got_b = sorted((int(r["doc_id"]), int(r["pos"]), int(r["token_id"]))
+                   for r in encode_token_ids(docs, vocab).take_all())
+    got_j = sorted((int(r["doc_id"]), int(r["pos"]), int(r["token_id"]))
+                   for r in encode_token_ids(
+                       _docs_ds(["a b zz", "b c"]), vocab,
+                       max_broadcast=0).take_all())
+    assert got_b == expect
+    assert got_j == expect

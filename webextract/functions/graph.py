@@ -456,7 +456,12 @@ def khop_distances(edges, *, source: int, k: int = 3,
         broadcast_max = _SMALL_WINNERS_MAX
 
     node_schema = pa.schema([("node", pa.int64())])
-    e = edges.rename_columns({src_col: "node", dst_col: "_dst"})
+    # materialize ONCE: every hop filters/joins against `e`, and an
+    # unmaterialized edge pipeline would re-execute its whole upstream
+    # subgraph k times (the same iteration-reuse rule as
+    # connected_components above)
+    e = edges.rename_columns(
+        {src_col: "node", dst_col: "_dst"}).materialize()
     e_schema = pa.schema([("node", pa.int64()), ("_dst", pa.int64())])
 
     # broadcast-mode driver state (sorted int64 arrays, <= broadcast_max)

@@ -63,9 +63,17 @@ def _dedup_last_wins(small: pa.Table, key: str) -> pa.Table:
     """Keep only the LAST occurrence of each small-side key (the
     dict-overwrite semantics broadcast_join documents), vectorized:
     dictionary-encode the key column, then a fancy store — for duplicate
-    indices numpy keeps the last write — records each code's final row."""
+    indices numpy keeps the last write — records each code's final row.
+
+    NULL small-side keys are dropped first: SQL join semantics say a
+    NULL key matches nothing, and dictionary_encode excludes nulls from
+    the dictionary (a null-keyed row would otherwise produce a NaN code
+    and crash the fancy store with an opaque IndexError)."""
     import numpy as np
 
+    kcol = small.column(key)
+    if kcol.null_count:
+        small = small.filter(pc.is_valid(kcol))
     de = pc.dictionary_encode(small.column(key).combine_chunks())
     codes = de.indices.to_numpy(zero_copy_only=False)
     if len(de.dictionary) == len(small):
@@ -108,15 +116,19 @@ class _BroadcastJoiner:
 
 
 def broadcast_join(ds, small_table: pa.Table, *, key: str,
-                   value_cols: Optional[List[str]] = None, how: str = "left",
-                   concurrency=(1, 4)):
+                   value_cols: Optional[List[str]] = None, how: str = "left"):
     """Enrich `ds` rows with columns from `small_table` matched on `key`
     (`how="left"`: misses become nulls; `how="inner"`: misses are
     dropped by key MEMBERSHIP, so SQL INNER JOIN semantics hold even for
     null small-side payload values). Small side crosses the cluster
     once; duplicate small-side keys resolve last-occurrence-wins
     (deduped ONCE on the driver before the broadcast, not per
-    consumer)."""
+    consumer); NULL small-side keys are dropped (SQL: NULL matches
+    nothing). Runs in TASK mode deliberately (the probe state is a
+    lazily-resolved broadcast ref, zero-copy from local plasma) — no
+    actor-pool ramp, full width on warm workers; there is no
+    concurrency knob because the measured-best config is the
+    scheduler's own."""
     import ray
 
     if how not in ("left", "inner"):
@@ -373,21 +385,19 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     semi_shape = how in ("semi", "anti")
     out_names = out_l_names if semi_shape else [on] + payload_l + payload_r
 
-    # Ray's map_groups emits a SCHEMA-LESS empty block for an empty input
-    # partition (it never calls the UDF), and when every group returns 0
-    # rows that naked block poisons downstream schema resolution — an
-    # all-empty join result then loses its columns entirely. Pin the
-    # output schema by retyping empty blocks; non-empty blocks pass
-    # through untouched (zero-copy).
-    def _pin_schema(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.nulls(0, type=types[c]) for c in out_names],
-                names=out_names,
-            )
-        return batch
+    # Schema anchor for the ALL-EMPTY join result: Ray 2.49's fused map
+    # operator short-circuits 0-row blocks to SCHEMA-LESS output without
+    # invoking the UDF (measured — a trailing "retype" map_batches never
+    # sees them, so it cannot pin anything), and when every group returns
+    # 0 rows the naked blocks poison downstream schema resolution — an
+    # all-empty join result then loses its columns entirely. The
+    # guarantee has to come from a block no map ever touches: one 0-row
+    # `from_arrow` block unioned onto the output (the same pattern as
+    # `partition_apply` below). Non-empty results are unaffected.
+    import ray.data as _rd
 
-    joined = joined.map_batches(_pin_schema, batch_format="pyarrow")
+    joined = joined.union(_rd.from_arrow(pa.Table.from_arrays(
+        [pa.nulls(0, type=types[c]) for c in out_names], names=out_names)))
 
     def null_rows(side_payload):
         def fn(batch: pa.Table) -> pa.Table:

@@ -130,11 +130,20 @@ def encode_token_ids(ds, vocab, *, text_col: str = "text",
     """Encode every document as (doc_id, pos, token_id) rows against a
     ``(word, token_id)`` vocabulary Dataset.
 
-    MEASURED transport switch: the vocab row count (already materialized
-    by :func:`vocab_ids`) picks broadcast (``ray.put`` once + vectorized
-    ``pc.index_in`` per batch) below ``max_broadcast``, else a keyed
-    ``hash_join`` exchange on ``word`` — the vocabulary never folds
-    through the driver on that path.
+    MEASURED transport switch: the vocab row count picks broadcast
+    (``ray.put`` once + vectorized ``pc.index_in`` + id gather per
+    batch) below ``max_broadcast``, else a keyed ``hash_join`` exchange
+    on ``word`` — the vocabulary never folds through the driver on that
+    path. The vocab Dataset is materialized ONCE here (``vocab_ids``
+    returns a lazy stage; counting then shipping/joining it unmaterialized
+    would execute that stage twice).
+
+    Accepts ANY ``(word, token_id)`` mapping — ids need not be the
+    contiguous sorted-order ranks ``vocab_ids`` emits (a filtered or
+    offset vocabulary encodes correctly on both paths). Words absent
+    from the vocabulary are DROPPED on both paths (SQL INNER JOIN
+    semantics — the hash_join path's behavior, mirrored by the
+    broadcast path).
     """
     import ray
 
@@ -142,36 +151,46 @@ def encode_token_ids(ds, vocab, *, text_col: str = "text",
         lambda b: explode_words(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow")
 
+    vocab = vocab.materialize()
     n_vocab = vocab.count()
     if n_vocab <= max_broadcast:
         vt = pa.concat_tables(
             [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows],
         ) if n_vocab else pa.table({"word": pa.array([], type=pa.string()),
                                     "token_id": pa.array([], type=pa.int64())})
-        # token ids are contiguous ranks of the sorted word order, so
-        # index_in against the SORTED word array IS the token id — ship
-        # the words sorted and drop the id column from the broadcast
-        idx = pc.sort_indices(vt, sort_keys=[("token_id", "ascending")])
-        words_ref = ray.put(vt.take(idx).column("word").combine_chunks())
+        # ship the (word -> token_id) mapping verbatim: index_in gives
+        # the word's POSITION in the broadcast word array, the take()
+        # gathers that position's actual token_id — correct for any id
+        # assignment, not just vocab_ids' contiguous ranks
+        vocab_ref = ray.put((vt.column("word").combine_chunks(),
+                             vt.column("token_id").cast(pa.int64())
+                             .combine_chunks()))
 
         class Encoder:
             def __init__(self, ref):
                 self.ref = ref
                 self.words = None
+                self.ids = None
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 if self.words is None:
                     import ray as _ray
 
-                    self.words = _ray.get(self.ref)
-                tid = pc.index_in(b.column("word"), value_set=self.words)
-                return pa.table({
+                    self.words, self.ids = _ray.get(self.ref)
+                idx = pc.index_in(b.column("word"), value_set=self.words)
+                out = pa.table({
                     id_col: b.column(id_col),
                     "pos": b.column("pos"),
-                    "token_id": tid.cast(pa.int64()),
+                    "token_id": self.ids.take(idx),
                 })
+                # OOV words (null idx -> null token_id): drop, matching
+                # the hash_join path's inner semantics
+                tid = out.column("token_id")
+                if tid.null_count:
+                    out = out.filter(pc.is_valid(tid))
+                return out
 
-        return exploded.map_batches(Encoder(words_ref),
+        return exploded.map_batches(Encoder(vocab_ref),
                                     batch_format="pyarrow")
 
     from webextract.functions.joins import hash_join

@@ -92,7 +92,7 @@ BROADCAST_DIM_MAX_ROWS = 1 << 20
 
 
 def join_dim(fact_ds, dim_path: str, *, key: str, cols, fact_schema,
-             how: str = "inner", concurrency=None,
+             how: str = "inner",
              max_rows: int = BROADCAST_DIM_MAX_ROWS):
     """MEASURED broadcast-vs-shuffle join against a dimension parquet.
 
@@ -108,8 +108,7 @@ def join_dim(fact_ds, dim_path: str, *, key: str, cols, fact_schema,
 
     if pq.read_metadata(dim_path).num_rows <= max_rows:
         dim = pq.read_table(dim_path, columns=[key, *cols])
-        return broadcast_join(fact_ds, dim, key=key, how=how,
-                              concurrency=concurrency or _conc())
+        return broadcast_join(fact_ds, dim, key=key, how=how)
     dim_ds = ray.data.read_parquet(dim_path, columns=[key, *cols])
     dim_schema = pa.schema(
         [(key, fact_schema.field(key).type)]

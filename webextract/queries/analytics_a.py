@@ -514,8 +514,7 @@ def q_revenue_by_nation(sf_dir: str):
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    named = broadcast_join(joined, nation, key="n_nationkey",
-                           concurrency=_conc())
+    named = broadcast_join(joined, nation, key="n_nationkey")
     return (
         named.groupby("n_name")
         .aggregate(
@@ -933,7 +932,7 @@ def q_supplier_balance_by_region(sf_dir: str):
         )
         .map_batches(cents, batch_format="pyarrow")
     )
-    named = broadcast_join(sup, dim, key="s_nationkey", concurrency=_conc())
+    named = broadcast_join(sup, dim, key="s_nationkey")
     return (
         named.groupby("r_name")
         .aggregate(Count(), Sum("cents", alias_name="balance_cents"))

@@ -1681,8 +1681,7 @@ def q_segment_avg_order(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg = broadcast_join(orders, cust, key="c_custkey",
-                         concurrency=_conc())
+    seg = broadcast_join(orders, cust, key="c_custkey")
     agg = (
         seg.groupby("c_mktsegment")
         .aggregate(Count(), Sum("cents", alias_name="total_cents"))

@@ -388,7 +388,7 @@ def q_revenue_by_region(sf_dir: str):
             [by_rk[k] for k in nation.column("n_regionkey").to_pylist()],
             type=pa.string()),
     })
-    named = broadcast_join(j2, dim, key="n_nationkey", concurrency=_conc())
+    named = broadcast_join(j2, dim, key="n_nationkey")
     return (
         named.groupby("r_name")
         .aggregate(Sum("cents", alias_name="revenue_cents"))

@@ -54,8 +54,7 @@ def q_orders_by_segment(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     ).rename_columns({"o_custkey": "c_custkey"})
-    joined = broadcast_join(orders, cust, key="c_custkey",
-                            concurrency=_conc())
+    joined = broadcast_join(orders, cust, key="c_custkey")
     return (
         joined.groupby("c_mktsegment")
         .aggregate(Count())
