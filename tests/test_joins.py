@@ -338,6 +338,43 @@ def test_hash_join_all_empty_result_keeps_schema(ray_session):
     assert merged.schema.names == ["k", "a", "b"]
 
 
+def test_hash_join_all_empty_semi_anti_keep_schema(ray_session):
+    """The schema-anchor union must also cover the semi/anti output
+    shape (left columns only, no right payload)."""
+    import ray
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "a": pa.array(["x", "y"])})
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.float64())])
+
+    # semi vs a right side sharing NO keys -> 0 rows, left schema
+    semi = hash_join(
+        ray.data.from_arrow(lt),
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([8], pa.int64()), "b": pa.array([1.0])})),
+        on="k", how="semi", left_schema=ls, right_schema=rs)
+    assert semi.take_all() == []
+    tbls = [t for t in ray.get(semi.to_arrow_refs()) if t.num_columns]
+    assert pa.concat_tables(
+        tbls, promote_options="default").schema.names == ["k", "a"]
+
+    # anti vs a right side covering ALL keys -> 0 rows, left schema
+    anti = hash_join(
+        ray.data.from_arrow(lt),
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "b": pa.array([1.0, 2.0])})),
+        on="k", how="anti", left_schema=ls, right_schema=rs)
+    assert anti.take_all() == []
+    tbls = [t for t in ray.get(anti.to_arrow_refs()) if t.num_columns]
+    assert pa.concat_tables(
+        tbls, promote_options="default").schema.names == ["k", "a"]
+
+
 def test_broadcast_join_null_dim_key_dropped(ray_session):
     """Review fix: a NULL dimension key must not crash the last-wins
     dedup (NaN dictionary code -> IndexError) — SQL semantics drop it."""
