@@ -395,3 +395,60 @@ def test_broadcast_join_null_dim_key_dropped(ray_session):
         ((r["v"], r["name"]) for r in
          broadcast_join(big, dim, key="k", how="inner").take_all()))
     assert inner == [("a", "one")]
+
+
+def test_hash_join_duplicate_keys_both_sides_with_nulls(ray_session):
+    """Cartesian-per-key fan-out with duplicate keys on BOTH sides plus
+    NULL keys on both sides: left keeps null-keyed left rows unmatched,
+    full additionally keeps null-keyed right rows."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+
+    def sides():
+        l = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, None, 2], pa.int64()),
+            "a": pa.array(["p", "q", "r", "s"])}))
+        r = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, 3, None], pa.int64()),
+            "b": pa.array([10, 20, 30, 40], pa.int64())}))
+        return l, r
+
+    l, r = sides()
+    out = sorted((x["a"], x["b"]) for x in hash_join(
+        l, r, on="k", how="left",
+        left_schema=ls, right_schema=rs).take_all())
+    assert out == sorted([("p", 10), ("p", 20), ("q", 10), ("q", 20),
+                          ("r", None), ("s", None)])
+
+    l, r = sides()
+    out = sorted((str(x["a"]), str(x["b"])) for x in hash_join(
+        l, r, on="k", how="full",
+        left_schema=ls, right_schema=rs).take_all())
+    assert out == sorted([("p", "10"), ("p", "20"), ("q", "10"),
+                          ("q", "20"), ("r", "None"), ("s", "None"),
+                          ("None", "30"), ("None", "40")])
+
+
+def test_broadcast_join_empty_and_all_null_dim(ray_session):
+    """A 0-row dimension (or one whose keys are ALL null, which the
+    null-key filter reduces to 0 rows) must behave like a dim with no
+    matches — left fills nulls, inner drops everything."""
+    import ray.data
+
+    from webextract.functions.joins import broadcast_join
+
+    big = lambda: ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "v": pa.array(["a"])}))
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    allnull = pa.table({"k": pa.array([None, None], pa.int64()),
+                        "name": pa.array(["x", "y"])})
+    for dim in (empty, allnull):
+        assert broadcast_join(big(), dim, key="k").take_all() == [
+            {"k": 1, "v": "a", "name": None}]
+        assert broadcast_join(big(), dim, key="k",
+                              how="inner").take_all() == []

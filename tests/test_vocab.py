@@ -102,3 +102,19 @@ def test_encode_arbitrary_vocab_and_oov_parity():
                        max_broadcast=0).take_all())
     assert got_b == expect
     assert got_j == expect
+
+
+def test_encode_empty_vocab_both_transports():
+    """An empty vocabulary encodes every word as OOV -> zero rows, on
+    both the broadcast and the hash_join transport."""
+    import ray.data
+
+    def empty_vocab():
+        return ray.data.from_arrow(pa.table({
+            "word": pa.array([], type=pa.string()),
+            "token_id": pa.array([], type=pa.int64()),
+        }))
+
+    assert encode_token_ids(_docs_ds(["a b"]), empty_vocab()).take_all() == []
+    assert encode_token_ids(_docs_ds(["a b"]), empty_vocab(),
+                            max_broadcast=0).take_all() == []
