@@ -304,3 +304,41 @@ def q_simhash(sf_dir: str):
         simhash_batch, batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "simhash"])
+
+
+def q_substring_dedup(sf_dir: str):
+    """ExactSubstr-style duplicated-substring removal (Lee et al. 2022,
+    word-5-gram bounded variant — functions/substring.py): every word
+    position covered by a word 5-gram occurring >= 2 times anywhere in
+    the corpus is removed from ALL its occurrences, and documents are
+    reassembled. Decision is one keys-only (gfp, n) exchange; the
+    duplicated-gram set broadcasts (measured ArrayIndex / hash-bucket
+    switch) and the probe+mask+reassemble stage is fused — document
+    payload never shuffles."""
+    from webextract.functions.substring import substring_dedup
+
+    return substring_dedup(lambda: _docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
+_SQL_SUBSTRING_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT w.doc_id, t.i AS pos,
+             array_to_string(w.words[t.i+1 : t.i+5], ' ') AS gram
+      FROM w, unnest(range(0, greatest(coalesce(len(w.words), 0) - 4, 0)))
+           AS t(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.pos + j.j AS wpos
+        FROM g JOIN dup USING (gram), unnest(range(0, 5)) AS j(j)),
+wp AS (SELECT w.doc_id, t.i AS wpos, w.words[t.i+1] AS word
+       FROM w, unnest(range(0, coalesce(len(w.words), 0))) AS t(i)),
+kept AS (SELECT wp.doc_id, wp.wpos, wp.word FROM wp
+         LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.wpos = wp.wpos
+         WHERE cov.doc_id IS NULL),
+wl AS (SELECT doc_id, coalesce(len(words), 0) AS nw FROM w)
+SELECT wl.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.wpos), '') AS text_kept,
+       count(k.wpos)::BIGINT AS n_kept,
+       (wl.nw - count(k.wpos))::BIGINT AS n_removed
+FROM wl LEFT JOIN kept k ON k.doc_id = wl.doc_id
+GROUP BY wl.doc_id, wl.nw
+"""
