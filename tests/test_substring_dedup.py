@@ -96,3 +96,33 @@ def test_forced_bucket_path(monkeypatch):
 
     monkeypatch.setattr(dd, "_SMALL_WINNERS_MAX", 0)  # force bucket path
     assert _run(DOCS, 5) == _ref(DOCS, 5)
+
+
+def test_ssjoin_verify_transport_parity(ray_session):
+    """The measured broadcast-texts verify path and the hash_join verify
+    path return identical pairs and jac values."""
+    import pandas as pd
+
+    from webextract.functions.ssjoin import ssjoin_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(10):
+        words = [base[(j * (i + 3) + i) % len(base)] for j in range(30)]
+        texts.append(" ".join(words))
+        mut = list(words)
+        mut[7] = "CHANGED"
+        texts.append(" ".join(mut))
+    t = pa.table({"doc_id": pa.array(range(20), type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run(bmax):
+        df = ssjoin_pairs(ray.data.from_arrow(t).repartition(4),
+                          threshold=0.7,
+                          broadcast_texts_max=bmax).to_pandas()
+        return df.sort_values(["id_a", "id_b"], ignore_index=True)
+
+    broadcast, joined = run(1 << 16), run(0)
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(broadcast) >= 1

@@ -55,13 +55,22 @@ def _ceil_mul(frac: Fraction, n: int) -> int:
 
 def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
                  max_group: int = 100_000, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text",
+                 broadcast_texts_max: int = 1 << 16):
     """All (id_a < id_b, jac) pairs with word-n-gram Jaccard >= threshold.
 
     EXACT: prefix-filter candidate generation (complete by construction)
     + integer-count verification; ``jac`` is the single IEEE division
     intersection/union, bit-identical to a SQL mirror computing the same
     integer counts.
+
+    Verification transport is MEASURED (round-5): when the corpus has at
+    most ``broadcast_texts_max`` documents, the (id, text) table ships
+    once as a broadcast object-store block and candidates verify
+    map-side — zero join exchanges (the `join_dim` dimension-broadcast
+    convention). Above the bound, two `hash_join` exchanges retrieve the
+    pair texts — the only shape that holds when the text table itself is
+    the 100 TB side. The two paths are pytest-identical.
     """
     from .joins import hash_join
 
@@ -193,28 +202,15 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
         .select_columns(["id_a", "id_b"])
     )
 
-    texts_a = docs.rename_columns({id_col: "id_a", text_col: "text_a"})
-    texts_b = docs.rename_columns({id_col: "id_b", text_col: "text_b"})
-    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
-    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
-    j1 = hash_join(cand, texts_a, on="id_a",
-                   left_schema=pair_schema, right_schema=s_ta)
-    s_j1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                      ("text_a", pa.string())])
-    j2 = hash_join(j1, texts_b, on="id_b",
-                   left_schema=s_j1, right_schema=s_tb)
-
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                             ("jac", pa.float64())])
 
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return out_schema.empty_table()
+    def _verify_pairs(ids_a, ids_b, texts_a, texts_b) -> pa.Table:
+        """Shared verify core: exact integer-count Jaccard per candidate
+        pair (per-pair Python set work is inherent — candidates are the
+        prefix-filtered few)."""
         o_a, o_b, o_j = [], [], []
-        for a, bb, ta, tb in zip(b.column("id_a").to_pylist(),
-                                 b.column("id_b").to_pylist(),
-                                 b.column("text_a").to_pylist(),
-                                 b.column("text_b").to_pylist()):
+        for a, bb, ta, tb in zip(ids_a, ids_b, texts_a, texts_b):
             sa = set(_shingles(ta or "", n))
             sb = set(_shingles(tb or "", n))
             inter = len(sa & sb)
@@ -229,5 +225,57 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
                          "id_b": pa.array(o_b, type=pa.int64()),
                          "jac": pa.array(o_j, type=pa.float64())},
                         schema=out_schema)
+
+    # measured broadcast verify: parquet-metadata-cheap count picks the
+    # zero-exchange path for dimension-sized corpora
+    if docs.count() <= broadcast_texts_max:
+        import ray
+
+        parts = [tb for tb in ray.get(docs.select_columns(
+            [id_col, text_col]).to_arrow_refs()) if tb.num_rows]
+        if parts:
+            tt = pa.concat_tables(parts)
+            all_ids = np.asarray(
+                tt.column(id_col).cast(pa.int64()).combine_chunks())
+            order = np.argsort(all_ids, kind="stable")
+            ids_sorted = all_ids[order]
+            texts_sorted = (tt.column(text_col).combine_chunks()
+                            .take(pa.array(order)))
+        else:
+            ids_sorted = np.empty(0, dtype=np.int64)
+            texts_sorted = pa.array([], type=pa.string())
+        ref = ray.put((ids_sorted, texts_sorted))
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            ids_s, texts_s = ray.get(ref)
+            a = np.asarray(b.column("id_a").combine_chunks())
+            bb = np.asarray(b.column("id_b").combine_chunks())
+            ta = texts_s.take(pa.array(np.searchsorted(ids_s, a)))
+            tb = texts_s.take(pa.array(np.searchsorted(ids_s, bb)))
+            return _verify_pairs(a.tolist(), bb.tolist(),
+                                 ta.to_pylist(), tb.to_pylist())
+
+        return cand.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    texts_a = docs.rename_columns({id_col: "id_a", text_col: "text_a"})
+    texts_b = docs.rename_columns({id_col: "id_b", text_col: "text_b"})
+    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    j1 = hash_join(cand, texts_a, on="id_a",
+                   left_schema=pair_schema, right_schema=s_ta)
+    s_j1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                      ("text_a", pa.string())])
+    j2 = hash_join(j1, texts_b, on="id_b",
+                   left_schema=s_j1, right_schema=s_tb)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        return _verify_pairs(b.column("id_a").to_pylist(),
+                             b.column("id_b").to_pylist(),
+                             b.column("text_a").to_pylist(),
+                             b.column("text_b").to_pylist())
 
     return j2.map_batches(verify, batch_format="pyarrow")
