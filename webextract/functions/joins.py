@@ -840,3 +840,79 @@ def hash_join_on(left, right, *, on: "List[str]", how: str = "inner",
     joined = hash_join(lpacked, rpacked, on="_ck", how=how,
                        max_group=max_group, left_schema=ls, right_schema=rs)
     return joined.drop_columns(["_ck"])
+
+
+def attach_pair_texts(cand, docs, *, cand_schema: pa.Schema,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      broadcast_max: int = 1 << 16,
+                      max_group: int = 100_000):
+    """Attach ``text_a``/``text_b`` payload columns to a candidate-pair
+    Dataset ``cand(id_a, id_b)`` from the ``docs(id, text)`` table — the
+    shared verify-side transport of the pair-dedup family (ssjoin,
+    LSH-exact verify).
+
+    MEASURED switch: when ``docs`` has at most ``broadcast_max`` rows
+    (parquet-metadata-cheap ``count()``), the (id, text) table ships once
+    as a broadcast object-store block and each candidate batch gathers
+    its texts map-side with two sorted ``searchsorted`` takes — ZERO join
+    exchanges. Above the bound, two `hash_join` exchanges retrieve the
+    texts — the only shape that holds when the text table itself is the
+    100 TB side. Both paths emit the same (id_a, id_b, text_a, text_b)
+    rows (pytest-pinned parity at the call sites). Candidate ids that
+    don't exist in ``docs`` are dropped by the join path; the broadcast
+    path asserts instead (candidates are generated FROM docs, so a miss
+    is a bug, not data).
+    """
+    import numpy as np
+
+    if docs.count() <= broadcast_max:
+        import ray
+
+        parts = [tb for tb in ray.get(docs.select_columns(
+            [id_col, text_col]).to_arrow_refs()) if tb.num_rows]
+        if parts:
+            tt = pa.concat_tables(parts)
+            all_ids = np.asarray(
+                tt.column(id_col).cast(pa.int64()).combine_chunks())
+            order = np.argsort(all_ids, kind="stable")
+            ids_sorted = all_ids[order]
+            texts_sorted = (tt.column(text_col).combine_chunks()
+                            .take(pa.array(order)))
+        else:
+            ids_sorted = np.empty(0, dtype=np.int64)
+            texts_sorted = pa.array([], type=pa.string())
+        ref = ray.put((ids_sorted, texts_sorted))
+        out_schema = cand_schema.append(
+            pa.field("text_a", pa.string())).append(
+            pa.field("text_b", pa.string()))
+
+        def gather(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            ids_s, texts_s = ray.get(ref)
+            a = np.asarray(b.column("id_a").combine_chunks())
+            bb = np.asarray(b.column("id_b").combine_chunks())
+            pa_idx = np.searchsorted(ids_s, a)
+            pb_idx = np.searchsorted(ids_s, bb)
+            if ids_s.size == 0 or not (
+                np.array_equal(ids_s[np.clip(pa_idx, 0, ids_s.size - 1)], a)
+                and np.array_equal(
+                    ids_s[np.clip(pb_idx, 0, ids_s.size - 1)], bb)):
+                raise ValueError(
+                    "attach_pair_texts: candidate id missing from docs")
+            return (b.append_column("text_a", texts_s.take(pa.array(pa_idx)))
+                     .append_column("text_b", texts_s.take(pa.array(pb_idx))))
+
+        return cand.map_batches(gather, batch_format="pyarrow")
+
+    texts_a = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_a", text_col: "text_a"})
+    texts_b = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_b", text_col: "text_b"})
+    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    j1 = hash_join(cand, texts_a, on="id_a", max_group=max_group,
+                   left_schema=cand_schema, right_schema=s_ta)
+    s_j1 = pa.schema(list(cand_schema) + [pa.field("text_a", pa.string())])
+    return hash_join(j1, texts_b, on="id_b", max_group=max_group,
+                     left_schema=s_j1, right_schema=s_tb)

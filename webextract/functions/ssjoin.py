@@ -72,7 +72,6 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
     pair texts — the only shape that holds when the text table itself is
     the 100 TB side. The two paths are pytest-identical.
     """
-    from .joins import hash_join
 
     t = Fraction(threshold).limit_denominator(10_000)
 
@@ -226,49 +225,14 @@ def ssjoin_pairs(docs, *, threshold: float = 0.8, n: int = 3,
                          "jac": pa.array(o_j, type=pa.float64())},
                         schema=out_schema)
 
-    # measured broadcast verify: parquet-metadata-cheap count picks the
-    # zero-exchange path for dimension-sized corpora
-    if docs.count() <= broadcast_texts_max:
-        import ray
+    # measured transport (attach_pair_texts): broadcast map-side gather
+    # for dimension-sized corpora, two hash_join exchanges above
+    from .joins import attach_pair_texts
 
-        parts = [tb for tb in ray.get(docs.select_columns(
-            [id_col, text_col]).to_arrow_refs()) if tb.num_rows]
-        if parts:
-            tt = pa.concat_tables(parts)
-            all_ids = np.asarray(
-                tt.column(id_col).cast(pa.int64()).combine_chunks())
-            order = np.argsort(all_ids, kind="stable")
-            ids_sorted = all_ids[order]
-            texts_sorted = (tt.column(text_col).combine_chunks()
-                            .take(pa.array(order)))
-        else:
-            ids_sorted = np.empty(0, dtype=np.int64)
-            texts_sorted = pa.array([], type=pa.string())
-        ref = ray.put((ids_sorted, texts_sorted))
-
-        def verify_broadcast(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return out_schema.empty_table()
-            ids_s, texts_s = ray.get(ref)
-            a = np.asarray(b.column("id_a").combine_chunks())
-            bb = np.asarray(b.column("id_b").combine_chunks())
-            ta = texts_s.take(pa.array(np.searchsorted(ids_s, a)))
-            tb = texts_s.take(pa.array(np.searchsorted(ids_s, bb)))
-            return _verify_pairs(a.tolist(), bb.tolist(),
-                                 ta.to_pylist(), tb.to_pylist())
-
-        return cand.map_batches(verify_broadcast, batch_format="pyarrow")
-
-    texts_a = docs.rename_columns({id_col: "id_a", text_col: "text_a"})
-    texts_b = docs.rename_columns({id_col: "id_b", text_col: "text_b"})
-    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
-    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
-    j1 = hash_join(cand, texts_a, on="id_a",
-                   left_schema=pair_schema, right_schema=s_ta)
-    s_j1 = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                      ("text_a", pa.string())])
-    j2 = hash_join(j1, texts_b, on="id_b",
-                   left_schema=s_j1, right_schema=s_tb)
+    j2 = attach_pair_texts(cand, docs, cand_schema=pair_schema,
+                           id_col=id_col, text_col=text_col,
+                           broadcast_max=broadcast_texts_max,
+                           max_group=max_group)
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -138,40 +138,24 @@ def q_neardup_pairs_exact(sf_dir: str):
     """LSH candidates verified with EXACT n-gram Jaccard, fully distributed.
 
     Candidate (id_a, id_b) pairs from MinHash+LSH (bands=16 for ~1.0 recall
-    at j>=0.9) are joined BACK to their texts with two hash joins — the
-    shuffle moves (doc_id, text) pairs, never a driver-side dict — then each
-    row computes exact word-3-gram Jaccard and keeps pairs >= 0.8. On the
-    deterministic corpus every planted near-dup sits at j>=0.9 and every
-    non-dup below 0.3, so the result equals the all-pairs SQL oracle.
+    at j>=0.9) get their texts back through `attach_pair_texts` — a
+    MEASURED transport: dimension-sized corpora broadcast the (id, text)
+    table once and gather map-side (zero join exchanges); above the bound,
+    two hash joins move (doc_id, text) pairs, never a driver-side dict.
+    Each row then computes exact word-3-gram Jaccard and keeps pairs >=
+    0.8. On the deterministic corpus every planted near-dup sits at j>=0.9
+    and every non-dup below 0.3, so the result equals the all-pairs SQL
+    oracle.
     """
     from webextract.functions.dedup import jaccard, neardup_pairs
-    from webextract.functions.joins import hash_join
+    from webextract.functions.joins import attach_pair_texts
 
-    # Join keys are renamed ONCE on the parquet side (id_a/id_b) — never a
-    # swap-style rename chain on the lazy join output: Ray 2.49's metadata
-    # schema propagation mis-composes chained renames that reintroduce a
-    # removed name (the round-2 driver crash). Schemas are passed
-    # explicitly so no hash_join partially executes its input subgraph
-    # just to discover columns.
     cand = neardup_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, bands=16
     ).drop_columns(["est_jaccard"])
-    texts_a = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"doc_id": "id_a", "text": "text_a"}
-    )
-    texts_b = _docs(sf_dir, ["doc_id", "text"]).rename_columns(
-        {"doc_id": "id_b", "text": "text_b"}
-    )
     s_cand = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    s_ta = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
-    s_tb = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
-    j1 = hash_join(cand, texts_a, on="id_a",
-                   left_schema=s_cand, right_schema=s_ta)
-    s_j1 = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("text_a", pa.string())]
-    )
-    j2 = hash_join(j1, texts_b, on="id_b",
-                   left_schema=s_j1, right_schema=s_tb)
+    j2 = attach_pair_texts(cand, _docs(sf_dir, ["doc_id", "text"]),
+                           cand_schema=s_cand)
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
