@@ -162,6 +162,34 @@ GROUP BY doc_id
 """
 
 
+def q_lm_bigram_scores(sf_dir: str):
+    """Bits-per-bigram under the corpus BIGRAM LM (functions/lm.py
+    `bigram_lm_scores`): one context-word-keyed exchange computes both
+    the bigram counts and the conditional's denominator in place;
+    integer-quantized conditional information so doubles match the
+    oracle bit-for-bit."""
+    from webextract.functions.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+_SQL_LM_BIGRAM_SCORES = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bg AS (SELECT w.doc_id, w.words[t.i+1] AS w1, w.words[t.i+2] AS w2
+       FROM w, unnest(range(0, greatest(coalesce(len(w.words), 0) - 1, 0)))
+            AS t(i)),
+tf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bg
+       GROUP BY 1, 2, 3),
+cbg AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2),
+cctx AS (SELECT w1, count(*)::BIGINT AS ctx FROM bg GROUP BY 1)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+  sum(tf * length(bin(cctx.ctx // cbg.cnt)))::BIGINT AS lm2_bits,
+  sum(tf * length(bin(cctx.ctx // cbg.cnt)))::DOUBLE / sum(tf) AS avg_bits2
+FROM tf JOIN cbg USING (w1, w2) JOIN cctx USING (w1)
+GROUP BY doc_id
+"""
+
+
 def _dsir_scored(sf_dir: str):
     """Shared DSIR scoring subgraph (functions/dsir.py): target slice =
     English documents, raw = whole corpus; integer-quantized unigram
