@@ -169,6 +169,31 @@ def test_triangle_count_known_graphs(ray_session):
     assert got0.n_triangles.tolist() == [0]
 
 
+def test_triangle_count_transport_parity(ray_session):
+    """The measured one-task broadcast path (default for dimension-sized
+    oriented sets) and the forced two-join exchange path
+    (broadcast_max=0) must count identically on a random multigraph,
+    and the chunked cross product must agree across chunk boundaries
+    (5k edges over 200 nodes spans many apex groups)."""
+    import numpy as np
+
+    from webextract.functions.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    t = _tbl(src=rng.integers(0, 200, 5000).tolist(),
+             dst=rng.integers(0, 200, 5000).tolist())
+    ds = ray.data.from_arrow(t).repartition(4)
+    fast = triangle_count(ds).to_pandas().n_triangles[0]
+    dist = triangle_count(ds, broadcast_max=0).to_pandas().n_triangles[0]
+    assert fast == dist > 0
+    # apex-degree guard raises on the local path too (star hub)
+    star = _tbl(src=[0] * 50, dst=list(range(1, 51)))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_group"):
+        triangle_count(ray.data.from_arrow(star),
+                       max_group=10).to_pandas()
+
+
 # ------------------------------------------------------------------- ffill
 
 

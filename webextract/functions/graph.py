@@ -285,7 +285,8 @@ def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
 
 
 def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
-                   max_group: int = 100_000):
+                   max_group: int = 100_000,
+                   broadcast_max: int | None = None):
     """Exact triangle count of the UNDIRECTED graph induced by an edge
     list — the classic two-join formulation (node-iterator with the
     degree-free apex orientation):
@@ -299,11 +300,22 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
        single int64 composite key, both sides) against the oriented edge
        set, then count.
 
-    Scale shape: two `hash_join` exchanges over (int64, int64) rows —
-    keys only, never payload. The wedge step is quadratic in the apex's
-    oriented degree; a power-law hub exceeds ``max_group`` and RAISES
-    (no silent caps) — mitigate upstream by degree-capping or salting,
-    as with any skewed hash join.
+    Scale shape picked from the MEASURED distinct-edge count (the
+    oriented set materializes for reuse anyway, so the count is free —
+    the same measure-then-pick contract as `khop_distances` /
+    `dedup.publish_winners`):
+
+    * oriented set fits one block (`broadcast_max` edges, default
+      `dedup._SMALL_WINNERS_MAX`): steps 2+3 fuse into ONE single-task
+      map — chunked vectorized cross product per apex group + sorted
+      searchsorted closure probe — skipping BOTH hash_join exchanges.
+    * otherwise the distributed two-join path: two `hash_join`
+      exchanges over (int64, int64) rows — keys only, never payload.
+
+    Either way the wedge step is quadratic in the apex's oriented
+    degree; a power-law hub exceeds ``max_group`` and RAISES (no silent
+    caps) — mitigate upstream by degree-capping or salting, as with any
+    skewed hash join.
 
     Returns a one-row Dataset ``(n_triangles,)``.
     """
@@ -339,6 +351,63 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
         edges.map_batches(canon, batch_format="pyarrow")
         .groupby(["u", "v"]).count().select_columns(["u", "v"])
     ).materialize()
+
+    if broadcast_max is None:
+        from webextract.functions.dedup import _SMALL_WINNERS_MAX
+        broadcast_max = _SMALL_WINNERS_MAX
+
+    count_schema = pa.schema([("n_triangles", pa.int64())])
+
+    if oriented.count() <= broadcast_max:
+        def local_count(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"n_triangles": pa.array([0], pa.int64())},
+                                schema=count_schema)
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            pk = u * (1 << 31) + v  # ascending (lexsort by (u, v))
+            starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+            m = np.diff(np.r_[starts, len(u)]).astype(np.int64)
+            if int(m.max()) > max_group:
+                hub = int(starts[int(np.argmax(m))])
+                raise ValueError(
+                    f"triangle_count: apex {int(u[hub])} has "
+                    f"{int(m.max())} oriented neighbors > max_group="
+                    f"{max_group}; degree-cap or salt upstream")
+            total = 0
+            # chunk apex groups so each chunk's cross product (sum m^2)
+            # stays bounded — vectorized within the chunk, never per-row
+            msq = m * m
+            cum = np.cumsum(msq)
+            lim = 1 << 24
+            gs = 0
+            while gs < len(m):
+                base = int(cum[gs] - msq[gs])
+                ge = max(int(np.searchsorted(cum, base + lim,
+                                             side="right")), gs + 1)
+                mm, ss = m[gs:ge], starts[gs:ge]
+                M2 = mm * mm
+                off2 = np.cumsum(M2) - M2
+                t = np.arange(int(M2.sum()), dtype=np.int64)
+                gi = np.repeat(np.arange(len(mm)), M2)
+                loc = t - off2[gi]
+                li = ss[gi] + loc // mm[gi]
+                ri = ss[gi] + loc % mm[gi]
+                v1, v2 = v[li], v[ri]
+                keep = v1 < v2
+                wpk = v1[keep] * (1 << 31) + v2[keep]
+                pos = np.searchsorted(pk, wpk)
+                pos[pos >= len(pk)] = len(pk) - 1
+                total += int((pk[pos] == wpk).sum())
+                gs = ge
+            return pa.table(
+                {"n_triangles": pa.array([total], pa.int64())},
+                schema=count_schema)
+
+        return oriented.repartition(1).map_batches(
+            local_count, batch_format="pyarrow", batch_size=None)
 
     wedges = hash_join(
         oriented, oriented.rename_columns({"v": "v2"}),
