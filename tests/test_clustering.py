@@ -70,6 +70,18 @@ def test_kmeans_layout_invariant(ray_session):
     assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0), atol=1e-9)
 
 
+def test_kmeans_transport_parity(ray_session):
+    """The measured in-process path (default for dimension-sized tables)
+    and the forced distributed per-pass path (local_max=0) must produce
+    the same centroids — identical seeds by construction, fp-identical
+    updates at these magnitudes."""
+    t, _ = _blob_table(n_per=25)
+    ds = ray.data.from_arrow(t).repartition(4)
+    local = kmeans_fit(ds, k=3, n_iter=3)            # in-process path
+    dist = kmeans_fit(ds, k=3, n_iter=3, local_max=0)  # distributed path
+    assert np.allclose(local, dist, atol=1e-9)
+
+
 def test_kmeans_k_exceeds_rows_raises(ray_session):
     t = pa.table({
         "vec_id": pa.array([1, 2], type=pa.int64()),

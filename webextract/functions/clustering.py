@@ -9,9 +9,10 @@ path a 100 TB embedding table needs:
 * :func:`kmeans_fit` — Lloyd's iterations where every pass is one
   `map_batches` over the whole dataset: centroids are broadcast once per
   iteration (`ray.put`), each batch emits ONE partial row (k x d float64
-  sums + k counts), and the partials are folded with DISTRIBUTED `Sum`
-  aggregates — no O(n_blocks) driver materialization (the round-2 HLL
-  lesson), driver state is exactly one k x d matrix.
+  sums + k counts), and the partial fold is MEASURED (the `_guarded_agg`
+  discipline): block-count-bounded row sets fold driver-side in the same
+  execution, anything larger goes through the distributed `Sum`
+  aggregate — driver state stays one k x d matrix either way.
 * :func:`kmeans_assign` — final assignment pass, (id, cluster) rows.
 * :func:`cluster_neardup` — SemDeDup (Abbas et al., 2023,
   arXiv:2303.09540) shape: k-means buckets replace LSH buckets, pairwise
@@ -35,7 +36,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .joins import _splitmix64
-from .treeagg import tree_combine
+#: Single-execution driver-fold ceiling for the per-pass partial rows.
+#: Partials are <= k (seeding) / exactly 1 (Lloyd's) rows PER BLOCK, so
+#: this bounds by BLOCK COUNT — 64k blocks is far beyond any real
+#: cluster's block count for one table; above it the distributed
+#: aggregate finish runs instead (no silent caps).
+_DRIVER_FOLD_MAX = 1 << 16
+
+#: Row ceiling for the in-process Lloyd's path: 64k rows x d=64 float64
+#: is ~32 MB — a dimension-sized table whose per-pass Ray execution
+#: overhead would dwarf the matmul. Above it, the distributed per-pass
+#: map_batches + measured fold runs.
+_KMEANS_LOCAL_MAX = 1 << 16
 
 
 def _batch_vectors(batch: pa.Table, col: str) -> np.ndarray:
@@ -67,7 +79,8 @@ def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
-               k: int = 8, n_iter: int = 5) -> np.ndarray:
+               k: int = 8, n_iter: int = 5,
+               local_max: int | None = None) -> np.ndarray:
     """Fit k centroids with `n_iter` full-data Lloyd's passes; returns the
     (k, d) float64 centroid matrix.
 
@@ -77,6 +90,17 @@ def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
     seeds — deterministic under any partitioning, no RNG
     (mindocr analog: none; IVF trainer in functions/similarity.py uses a
     driver-side sample instead).
+
+    Scale shape picked from the MEASURED row count (free — the input
+    materializes for iterative reuse anyway): a dimension-sized vector
+    table (<= ``local_max`` rows, default `_KMEANS_LOCAL_MAX`) gathers
+    once and runs every Lloyd's pass in-process — iterative barriers
+    cost one Ray execution EACH, so at that size the per-pass fixed
+    cost dominates the math by orders of magnitude. Above the bound the
+    distributed path runs: one map_batches per pass, one partial row
+    per block, measured fold. Same seeds either way; centroid floats
+    can differ at the ulp level between paths (accumulation order), the
+    caveat already pinned in the module docstring.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -99,18 +123,40 @@ def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
     # object-store blocks instead of re-executing the read subgraph
     ds = ds.materialize()
 
-    def seed_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        order = pc.array_sort_indices(t.column("_prio"))[:k]
-        return t.take(order)
+    if local_max is None:
+        local_max = _KMEANS_LOCAL_MAX
+    if ds.count() <= local_max:
+        tbl = pa.concat_tables(
+            t for t in ray.get(ds.to_arrow_refs()) if t.num_columns)
+        vecs = _batch_vectors(tbl.select([col]), col)
+        ids = np.asarray(tbl.column(id_col).cast(pa.int64())
+                         .to_numpy(zero_copy_only=False)).astype(np.uint64)
+        prio = _splitmix64(ids).astype(np.int64)
+        take = np.argsort(prio, kind="stable")[:k]
+        cents = vecs[take].astype(np.float64)
+        if cents.shape[0] < k:
+            raise ValueError(f"k={k} but only {cents.shape[0]} rows")
+        kd = cents.shape[1]
+        for _ in range(n_iter):
+            lab = _assign(vecs, cents)
+            sums = np.zeros((k, kd), dtype=np.float64)
+            np.add.at(sums, lab, vecs)
+            counts = np.bincount(lab, minlength=k).astype(np.int64)
+            nz = counts > 0
+            cents = cents.copy()
+            cents[nz] = sums[nz] / counts[nz, None]
+        return cents
 
-    seeds_tbl = tree_combine(
-        ds.map_batches(nominate, batch_format="pyarrow"),
-        seed_topk,
-        agg_fallback=lambda p: p.sort("_prio").limit(k),
-        what="kmeans seed nomination",
-    ).take_all()
+    # nominations are <= k rows per block — the fold is bounded by the
+    # BLOCK COUNT (cluster size), not data size. Measure it in the
+    # object store and fold driver-side when it fits (one Ray execution
+    # per pass instead of the tree's materialize + 2-exchange finish);
+    # above the bound, the distributed sort/aggregate finish.
+    nom = ds.map_batches(nominate, batch_format="pyarrow").materialize()
+    if nom.count() > _DRIVER_FOLD_MAX:
+        seeds_tbl = nom.sort("_prio").limit(k).take_all()
+    else:
+        seeds_tbl = nom.take_all()
     seeds_tbl.sort(key=lambda r: r["_prio"])
     seeds_tbl = seeds_tbl[:k]
     cents = np.asarray([r["_vec"] for r in seeds_tbl], dtype=np.float64)
@@ -162,16 +208,16 @@ def kmeans_fit(ds, *, col: str = "embedding", id_col: str = "vec_id",
                 | {nm: pa.array([a[nm] or 0], type=pa.int64())
                    for nm in cnt_names}))
 
-        # the partials are ONE row per block — the measured tree combine
-        # (two narrow repartitions) replaces a 90-column sort-based
-        # Aggregate exchange per Lloyd's pass; above the bound the
-        # fallback is the original distributed Sum aggregate
-        rows = tree_combine(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            sum_rows,
-            agg_fallback=agg_fb,
-            what="kmeans partial fold",
-        ).take_all()
+        # the partials are ONE row per block — bounded by the block
+        # count, not data size. Measured driver fold (blocks are already
+        # materialized, take_all is a plain ray.get — ONE execution per
+        # Lloyd's pass, no exchange at all); above the bound the
+        # fallback is the original distributed Sum aggregate.
+        p = ds.map_batches(partial, batch_format="pyarrow").materialize()
+        if p.count() > _DRIVER_FOLD_MAX:
+            rows = agg_fb(p).take_all()
+        else:
+            rows = p.take_all()
         agg = {nm: sum(r[nm] for r in rows)
                for nm in sum_names + cnt_names}
         sums = np.array([float(agg[nm] or 0.0) for nm in sum_names],
