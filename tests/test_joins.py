@@ -452,3 +452,70 @@ def test_broadcast_join_empty_and_all_null_dim(ray_session):
             {"k": 1, "v": "a", "name": None}]
         assert broadcast_join(big(), dim, key="k",
                               how="inner").take_all() == []
+
+
+def test_broadcast_full_join_parity_with_hash_join(ray_session):
+    """broadcast_full_join must match hash_join(how="full") exactly on
+    a case mixing duplicate LEFT keys, NULL keys on both sides, and
+    right-only keys (unique right keys — the broadcast contract)."""
+    import ray.data
+
+    from webextract.functions.joins import broadcast_full_join, hash_join
+
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+    lt = pa.table({"k": pa.array([1, 1, None, 2, 5], pa.int64()),
+                   "a": pa.array(["p", "q", "r", "s", "t"])})
+    rt = pa.table({"k": pa.array([1, 3, None], pa.int64()),
+                   "b": pa.array([10, 30, 40], pa.int64())})
+
+    def norm(rows):
+        return sorted((str(x["k"]), str(x["a"]), str(x["b"]))
+                      for x in rows)
+
+    got_b = norm(broadcast_full_join(
+        ray.data.from_arrow(lt).repartition(3), rt, on="k",
+        left_schema=ls, right_schema=rs).take_all())
+    got_h = norm(hash_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt), on="k", how="full",
+        left_schema=ls, right_schema=rs).take_all())
+    assert got_b == got_h
+    # every left row present; right-only key 3 and NULL-keyed right row
+    # emitted with NULL left payload
+    assert ("3", "None", "30") in got_b
+    assert ("None", "None", "40") in got_b
+
+
+def test_broadcast_full_join_duplicate_right_keys_raise(ray_session):
+    import ray.data
+
+    from webextract.functions.joins import broadcast_full_join
+
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+    lt = pa.table({"k": pa.array([1], pa.int64()), "a": pa.array(["p"])})
+    rt = pa.table({"k": pa.array([1, 1], pa.int64()),
+                   "b": pa.array([10, 11], pa.int64())})
+    with pytest.raises(ValueError, match="duplicate right keys"):
+        broadcast_full_join(ray.data.from_arrow(lt), rt, on="k",
+                            left_schema=ls, right_schema=rs)
+
+
+def test_broadcast_full_join_empty_right(ray_session):
+    """A 0-row right side degrades to the identity-with-null-payload
+    shape (every left row, b=NULL) with no extras block."""
+    import ray.data
+
+    from webextract.functions.joins import broadcast_full_join
+
+    ls = pa.schema([("k", pa.int64()), ("a", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("b", pa.int64())])
+    lt = pa.table({"k": pa.array([1, None], pa.int64()),
+                   "a": pa.array(["p", "q"])})
+    rt = pa.table({"k": pa.array([], pa.int64()),
+                   "b": pa.array([], pa.int64())})
+    got = sorted((str(x["k"]), x["a"], x["b"]) for x in broadcast_full_join(
+        ray.data.from_arrow(lt), rt, on="k",
+        left_schema=ls, right_schema=rs).take_all())
+    assert got == [("1", "p", None), ("None", "q", None)]

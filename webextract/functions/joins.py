@@ -143,6 +143,119 @@ def broadcast_join(ds, small_table: pa.Table, *, key: str,
     )
 
 
+def broadcast_full_join(left, right_table: pa.Table, *, on: str,
+                        left_schema: pa.Schema, right_schema: pa.Schema):
+    """FULL OUTER join against a dimension-sized right side with ZERO
+    exchange — the broadcast analog of ``hash_join(how="full")`` (the
+    CDC merge/upsert shape: a huge base table full-joined to a small
+    change set).
+
+    Right keys must be UNIQUE (raises otherwise — SQL full join with
+    duplicate dimension keys would need per-key cross products; use
+    `hash_join` there). NULL right keys match nothing and are emitted as
+    unmatched right rows (NULL left payload); NULL left keys keep NULL
+    right payload — identical semantics to `hash_join(how="full")`.
+
+    Scale shape: the right table ships once (`ray.put`). The unmatched
+    right set needs to know which right rows matched ANY left row, so
+    `left` is consumed TWICE, both passes map-side and exchange-free:
+
+    * a keys-only pass (select_columns([on]) — column-pruned at the
+      read) emits ONE matched-row bitmap per block (|right|/8 bytes),
+      OR-folded through the two-level tree of `bloom_bits`;
+    * the join pass probes the broadcast table per batch
+      (`pc.index_in` take — the `_BroadcastJoiner` kernel) and emits
+      left rows with right payload; the unmatched right rows join the
+      output as one typed driver block.
+
+    Materialize `left` upstream if it is an expensive subgraph rather
+    than a scan — the double consumption re-executes it otherwise.
+    """
+    import ray
+    import ray.data as _rd
+
+    payload_l = [c for c in left_schema.names if c != on]
+    payload_r = [c for c in right_schema.names if c != on]
+    overlap = (set(payload_l) & set(payload_r))
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    out_names = [on] + payload_l + payload_r
+    types = {c: left_schema.field(c).type for c in left_schema.names}
+    for c in right_schema.names:
+        types[c] = right_schema.field(c).type
+
+    rt = right_table.combine_chunks()
+    rkey = rt.column(on).combine_chunks()
+    null_mask = pc.is_null(rkey)
+    r_null = rt.filter(null_mask)        # unmatched by definition
+    r = rt.filter(pc.invert(null_mask))
+    rkeys = r.column(on).combine_chunks()
+    n_right = len(rkeys)
+    if n_right != len(pc.unique(rkeys)):
+        raise ValueError(
+            "broadcast_full_join: duplicate right keys — full-join "
+            "fan-out needs the keyed-exchange hash_join")
+    ref = ray.put(r)
+    n_words = max((n_right + 63) // 64, 1)
+
+    def match_bits(b: pa.Table) -> pa.Table:
+        rr = ray.get(ref)
+        bits = np.zeros(n_words, dtype=np.uint64)
+        idx = pc.index_in(b.column(on).combine_chunks(),
+                          value_set=rr.column(on).combine_chunks())
+        hit = np.asarray(idx.drop_null()).astype(np.int64)
+        if hit.size:
+            np.bitwise_or.at(bits, hit >> 6,
+                             np.uint64(1) << (hit.astype(np.uint64)
+                                              & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    def or_fold(b: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for blob in b.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          type=pa.binary())})
+
+    folded = (
+        left.select_columns([on])
+        .map_batches(match_bits, batch_format="pyarrow", batch_size=None)
+        .repartition(16)
+        .map_batches(or_fold, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(or_fold, batch_format="pyarrow", batch_size=None)
+        .take(1)
+    )
+    matched = np.frombuffer(folded[0]["bits"], dtype=np.uint64)
+    pos = np.arange(n_right, dtype=np.int64)
+    unmatched_mask = (matched[pos >> 6]
+                      & (np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))) == 0
+    r_unmatched = r.filter(pa.array(unmatched_mask))
+    extras = pa.concat_tables([r_unmatched, r_null]) \
+        if r_null.num_rows else r_unmatched
+    extras_tbl = pa.Table.from_arrays(
+        [extras.column(on).cast(types[on])]
+        + [pa.nulls(extras.num_rows, type=types[c]) for c in payload_l]
+        + [extras.column(c).cast(types[c]) for c in payload_r],
+        names=out_names)
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        rr = ray.get(ref)
+        idx = pc.index_in(b.column(on).combine_chunks(),
+                          value_set=rr.column(on).combine_chunks())
+        return pa.Table.from_arrays(
+            [b.column(on).cast(types[on])]
+            + [b.column(c).cast(types[c]) for c in payload_l]
+            + [rr.column(c).combine_chunks().take(idx).cast(types[c])
+               for c in payload_r],
+            names=out_names)
+
+    return (left.map_batches(join_batch, batch_format="pyarrow")
+            .union(_rd.from_arrow(extras_tbl)))
+
+
 def hash_join(left, right, *, on: str, max_group: int = 100_000,
               how: str = "inner",
               left_schema: Optional[pa.Schema] = None,

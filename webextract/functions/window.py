@@ -104,7 +104,13 @@ def running_agg(ds, *, by: str, order: str, val: str,
             "_bucket", pc.floor(pc.divide(o, pa.scalar(bucket_width)))
             .cast(pa.int64()))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # materialize ONCE: phase A (guarded bucket totals) and phase B (the
+    # partition apply) both consume `bucketed` — without the pin, the
+    # whole upstream subgraph (which may be an expensive dedup/join
+    # pipeline, not a raw read) executes twice. The input is the narrow
+    # (by, order, val) projection by contract, so the pinned copy is
+    # keys+metadata, spillable.
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     totals, n_buckets = _guarded_agg(
         bucketed, [by, "_bucket"],
@@ -214,6 +220,11 @@ def rank_agg(ds, *, by: str, val: str, tiebreak: str, n_tiles: int = 4,
     import ray
     from ray.data.aggregate import Count
 
+    # materialize ONCE: phase A (the guarded CDF histogram) and phase B
+    # (the per-(by, val) group pass) both consume `ds` — without the pin
+    # an expensive upstream subgraph would execute twice. Narrow
+    # (by, val, tiebreak) projection by contract.
+    ds = ds.materialize()
     hist, n_pairs = _guarded_agg(ds, [by, val], (Count(),), max_distinct,
                                  "rank_agg")
     if hist is None:

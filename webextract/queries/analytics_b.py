@@ -267,14 +267,20 @@ def q_merge_upsert(sf_dir: str):
     """MERGE INTO / upsert (the CDC-apply step): a deterministic change
     set — updates for doc_id%11==0 (n_chars+1000), inserts keyed
     doc_id+10^7 for doc_id%13==0 — applied to the base table via ONE
-    full-outer hash join on the key; the action column falls out of
+    full-outer join on the key; the action column falls out of
     the null pattern (both→updated, right-only→inserted,
     left-only→unchanged). Output is the per-action row count + final
     char total, so the whole merged table is verified without shipping
-    it."""
-    from ray.data.aggregate import Count, Sum
+    it.
 
-    from webextract.functions.joins import hash_join
+    MEASURED transport: a dimension-sized change set (the normal CDC
+    case — changes are tiny vs the base) gathers once and full-joins
+    map-side (`broadcast_full_join`, zero exchange; the base scan is
+    the only data motion); above the bound, the keyed-exchange
+    `hash_join(how="full")`. The 3-row action summary finishes with a
+    per-block partial + measured tree fold, not a sort exchange."""
+    from webextract.functions.joins import broadcast_full_join, hash_join
+    from webextract.functions.treeagg import tree_combine
 
     base = _docs(sf_dir, ["doc_id", "n_chars"])
 
@@ -290,18 +296,23 @@ def q_merge_upsert(sf_dir: str):
             "new_chars": pa.array(out_ch, type=pa.int64()),
         })
 
+    import ray
+    import ray.data
+
     upd = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
         changes, batch_format="pyarrow"
-    )
-    merged = hash_join(
-        base, upd, on="doc_id", how="full",
-        left_schema=pa.schema(
-            [("doc_id", pa.int64()), ("n_chars", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("doc_id", pa.int64()), ("new_chars", pa.int64())]
-        ),
-    )
+    ).materialize()
+    l_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    r_schema = pa.schema([("doc_id", pa.int64()), ("new_chars", pa.int64())])
+    if upd.count() <= 1 << 20:
+        upd_tbl = pa.concat_tables(
+            t for t in ray.get(upd.to_arrow_refs()) if t.num_columns)
+        merged = broadcast_full_join(
+            base, upd_tbl, on="doc_id",
+            left_schema=l_schema, right_schema=r_schema)
+    else:
+        merged = hash_join(base, upd, on="doc_id", how="full",
+                           left_schema=l_schema, right_schema=r_schema)
 
     def act(b: pa.Table) -> pa.Table:
         has_old = pc.is_valid(b.column("n_chars"))
@@ -311,17 +322,38 @@ def q_merge_upsert(sf_dir: str):
             pc.if_else(has_new, "inserted", "unchanged"),
         )
         final = pc.coalesce(b.column("new_chars"), b.column("n_chars"))
-        return pa.table({
+        # map-side partial: at most 3 (action) rows leave each block
+        t = pa.table({
             "action": action,
             "final_chars": pc.cast(final, pa.int64()),
         })
+        g = t.group_by("action", use_threads=False).aggregate(
+            [("final_chars", "count"), ("final_chars", "sum")])
+        return pa.table({
+            "action": g.column("action"),
+            "n_rows": g.column("final_chars_count").cast(pa.int64()),
+            "total_chars": g.column("final_chars_sum").cast(pa.int64()),
+        })
 
-    return (
-        merged.map_batches(act, batch_format="pyarrow")
-        .groupby("action")
-        .aggregate(Count(), Sum("final_chars", alias_name="total_chars"))
-        .rename_columns({"count()": "n_rows"})
-    )
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("action", use_threads=False).aggregate(
+            [("n_rows", "sum"), ("total_chars", "sum")])
+        return pa.table({
+            "action": g.column("action"),
+            "n_rows": g.column("n_rows_sum").cast(pa.int64()),
+            "total_chars": g.column("total_chars_sum").cast(pa.int64()),
+        })
+
+    def agg_fb(p):
+        from ray.data.aggregate import Sum
+
+        return (p.groupby("action")
+                .aggregate(Sum("n_rows", alias_name="n_rows"),
+                           Sum("total_chars", alias_name="total_chars")))
+
+    return tree_combine(
+        merged.map_batches(act, batch_format="pyarrow"),
+        combine, agg_fallback=agg_fb, what="merge_upsert action summary")
 
 
 _SQL_MERGE_UPSERT = """
