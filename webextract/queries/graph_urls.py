@@ -162,6 +162,69 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, LREC —
+    cited by the C4/CCNet lineage in PAPERS.md): every document is
+    assigned a head/middle/tail TERCILE of bits-per-token WITHIN ITS
+    LANGUAGE — the selection signal CCNet thresholds on. Pipeline
+    composition: `unigram_lm_scores` (two keys-only exchanges) ->
+    exact-integer quantization q = lm_bits * 10^6 // n_tokens (so the
+    tercile order is integer-exact in both engines) -> lang attach via
+    the measured `join_dim` -> per-lang NTILE(3) through `rank_agg`'s
+    one-histogram-row-per-distinct-(lang, q) exchange."""
+    from webextract.functions.lm import corpus_token_count, unigram_lm_scores
+    from webextract.functions.window import rank_agg
+    from webextract.queries._shared import join_dim
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n = corpus_token_count(docs)
+    scored = unigram_lm_scores(docs, total_tokens=n)
+
+    q_schema = pa.schema([("doc_id", pa.int64()), ("q", pa.int64())])
+
+    def quant(b: pa.Table) -> pa.Table:
+        lm = b.column("lm_bits").cast(pa.int64())
+        nt = b.column("n_tokens").cast(pa.int64())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "q": pc.divide(pc.multiply(lm, pa.scalar(1_000_000, pa.int64())),
+                           nt).cast(pa.int64()),
+        }, schema=q_schema)
+
+    with_lang = join_dim(
+        scored.map_batches(quant, batch_format="pyarrow"),
+        f"{sf_dir}/documents.parquet", key="doc_id", cols=["lang"],
+        fact_schema=q_schema)
+    ranked = rank_agg(with_lang, by="lang", val="q", tiebreak="doc_id",
+                      n_tiles=3)
+    return (ranked.select_columns(["lang", "doc_id", "q", "tile"])
+            .rename_columns({"tile": "ppl_bucket"}))
+
+
+_SQL_CCNET_BUCKETS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM w),
+s AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         sum(tf * length(bin(n.n // cnt.cnt)))::BIGINT AS lm_bits
+  FROM tf JOIN cnt USING (word), n
+  GROUP BY doc_id
+),
+b AS (
+  SELECT d.lang, s.doc_id, (s.lm_bits * 1000000 // s.n_tokens)::BIGINT AS q
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, q,
+       ntile(3) OVER (PARTITION BY lang ORDER BY q, doc_id)::BIGINT
+         AS ppl_bucket
+FROM b
+"""
+
+
 def q_lm_bigram_scores(sf_dir: str):
     """Bits-per-bigram under the corpus BIGRAM LM (functions/lm.py
     `bigram_lm_scores`): one context-word-keyed exchange computes both
