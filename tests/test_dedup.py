@@ -273,3 +273,62 @@ def test_array_index_membership_exact():
     empty = ArrayIndex(ray.put(np.empty(0, dtype=np.int64)), 0)
     assert empty.allowed(probe).tolist() == [False] * probe.size
     assert idx.allowed(np.empty(0, dtype=np.int64)).size == 0
+
+
+def test_incremental_dedup_planted_cross_snapshot(tmp_path):
+    """Planted cross-snapshot duplicates: prior slice (doc_id % 4 != 3)
+    already holds texts "dup-A" and "dup-B"; the new slice (doc_id % 4
+    == 3) re-crawls both, carries one internal duplicate pair, and two
+    genuinely new texts. Survivors = first-by-id of each unseen text."""
+    import duckdb
+    import pandas as pd
+
+    from webextract.queries.dedup import (
+        _SQL_INCREMENTAL_DEDUP,
+        q_incremental_dedup,
+    )
+
+    rows = [
+        # prior corpus (doc_id % 4 != 3)
+        (0, "dup-A", "en"),
+        (1, "dup-B", "en"),
+        (2, "prior only text", "en"),
+        # new slice (doc_id % 4 == 3)
+        (3, "dup-A", "en"),          # seen in prior -> dropped
+        (7, "fresh text one", "en"),  # kept
+        (11, "fresh text one", "de"),  # internal dup -> dropped (7 wins)
+        (15, "dup-B", "fr"),          # seen in prior -> dropped
+        (19, "fresh text two", "en"),  # kept
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (
+        q_incremental_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [7, 19]
+    assert got["text"].tolist() == ["fresh text one", "fresh text two"]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.sql(_SQL_INCREMENTAL_DEDUP)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

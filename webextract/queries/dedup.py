@@ -326,3 +326,78 @@ SELECT wl.doc_id,
 FROM wl LEFT JOIN kept k ON k.doc_id = wl.doc_id
 GROUP BY wl.doc_id, wl.nw
 """
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental snapshot ingestion: dedup a NEW crawl slice against the
+    already-ingested PRIOR corpus, then within itself — the
+    continuous-ingestion shape a web-scale pipeline runs per crawl dump
+    (the new slice is a day's crawl; the prior corpus is the whole lake).
+    Slices are deterministic over the synthetic table: prior =
+    ``doc_id % 4 != 3`` (75%), new = the rest. Reference analog: the
+    keep-first content-hash discipline of the converters' duplicate-label
+    drop (mindocr/data/utils dict building), lifted to cross-snapshot
+    ingestion.
+
+    Scale shape: both sides are projected to content-fingerprint KEYS
+    before anything moves — the cross-snapshot probe is a keys-only
+    ``hash_join(how="anti")`` exchange, the within-slice keep-first is the
+    keys-only ``exact_dedup``, and the surviving FULL rows come back
+    through ``winner_filter``'s object-store buckets, so the text payload
+    never crosses an all-to-all at any corpus size. The prior side is
+    per-batch pre-distincted map-side (a batch-local combiner) before the
+    exchange.
+    """
+    from webextract.functions.dedup import exact_dedup, winner_filter
+    from webextract.functions.joins import hash_join
+    from webextract.functions.textstats import fingerprint_batch
+
+    keys = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fp"])
+    )
+
+    def _slice(new: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_new = pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), pa.scalar(3)), 3)
+            return b.filter(is_new if new else pc.invert(is_new))
+
+        return fn
+
+    new_keys = keys.map_batches(_slice(True), batch_format="pyarrow")
+
+    def _prior_fps(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_new = pc.equal(
+            pc.bit_wise_and(b.column("doc_id"), pa.scalar(3)), 3)
+        t = b.filter(pc.invert(is_new)).select(["fp"])
+        # batch-local combiner: distinct fps before the keys-only exchange
+        return t.group_by("fp").aggregate([])
+
+    prior_fps = keys.map_batches(_prior_fps, batch_format="pyarrow")
+
+    unseen = hash_join(
+        new_keys, prior_fps, on="fp", how="anti",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("fp", pa.string())]),
+        right_schema=pa.schema([("fp", pa.string())]),
+    )
+    winners = exact_dedup(unseen, "fp", "doc_id").select_columns(["doc_id"])
+    out = winner_filter(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), winners, "doc_id",
+    )
+    return out.select_columns(["doc_id", "text", "lang"])
+
+
+_SQL_INCREMENTAL_DEDUP = """
+SELECT d.doc_id, d.text, d.lang FROM documents d
+WHERE d.doc_id % 4 = 3
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id % 4 <> 3 AND md5(p.text) = md5(d.text))
+QUALIFY row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1
+"""
