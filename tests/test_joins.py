@@ -519,3 +519,69 @@ def test_broadcast_full_join_empty_right(ray_session):
         ray.data.from_arrow(lt), rt, on="k",
         left_schema=ls, right_schema=rs).take_all())
     assert got == [("1", "p", None), ("None", "q", None)]
+
+
+def test_semi_anti_transport_parity(ray_session):
+    """The measured semi/anti broadcast path, the forced keyed exchange,
+    and the forced broadcast-overflow fallback (exchange over the
+    block-deduped keys) must return identical rows — int and string
+    keys, NULLs and duplicates on both sides."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.string())])
+    rs = pa.schema([("k", pa.int64()), ("rv", pa.string())])
+    lt = pa.table({"k": [1, None, 2, 2, 5, None], "lv": list("abccde")})
+    rt = pa.table({"k": [2, 2, None, 5, 7], "rv": list("vwxyz")})
+
+    def run(how, bmax):
+        got = hash_join(
+            ray.data.from_arrow(lt).repartition(3),
+            ray.data.from_arrow(rt).repartition(2),
+            on="k", how=how, left_schema=ls, right_schema=rs,
+            semi_broadcast_max=bmax).take_all()
+        return sorted((str(r["k"]), r["lv"]) for r in got)
+
+    for how in ("semi", "anti"):
+        bcast, exch, spill = run(how, None), run(how, 0), run(how, 1)
+        assert bcast == exch == spill
+    assert run("semi", None) == [("2", "c"), ("2", "c"), ("5", "d")]
+    assert run("anti", None) == [("1", "a"), ("None", "b"), ("None", "e")]
+
+    # string keys through all three transports
+    ls2 = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs2 = pa.schema([("k", pa.string())])
+    lt2 = pa.table({"k": ["a", None, "b", "a"], "lv": [1, 2, 3, 4]})
+    rt2 = pa.table({"k": ["a", "z", None]})
+
+    def run2(how, bmax):
+        got = hash_join(
+            ray.data.from_arrow(lt2), ray.data.from_arrow(rt2),
+            on="k", how=how, left_schema=ls2, right_schema=rs2,
+            semi_broadcast_max=bmax).take_all()
+        return sorted((str(r["k"]), r["lv"]) for r in got)
+
+    for how in ("semi", "anti"):
+        assert run2(how, None) == run2(how, 0) == run2(how, 1)
+    assert run2("semi", None) == [("a", 1), ("a", 4)]
+    assert run2("anti", None) == [("None", 2), ("b", 3)]
+
+
+def test_semi_anti_broadcast_empty_right(ray_session):
+    """Empty right set: semi keeps nothing, anti keeps everything
+    (including NULL-keyed lefts) — on the broadcast path."""
+    import ray.data
+
+    from webextract.functions.joins import hash_join
+
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.string())])
+    rs = pa.schema([("k", pa.int64())])
+    lt = pa.table({"k": [1, None], "lv": ["a", "b"]})
+    rt = pa.table({"k": pa.array([], pa.int64())})
+    semi = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     on="k", how="semi", left_schema=ls, right_schema=rs)
+    assert semi.take_all() == []
+    anti = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     on="k", how="anti", left_schema=ls, right_schema=rs)
+    assert sorted(str(r["k"]) for r in anti.take_all()) == ["1", "None"]

@@ -256,10 +256,88 @@ def broadcast_full_join(left, right_table: pa.Table, *, on: str,
             .union(_rd.from_arrow(extras_tbl)))
 
 
+# Measured semi/anti broadcast bound: a block-deduped right key set at or
+# below this many rows ships as ONE ``ray.put`` array and the existence
+# probe runs map-side over the left — ZERO exchanges (the left payload
+# never moves at all, which beats even the keys+payload semi shuffle).
+# Read at call time so tests can force either path.
+_SEMI_BROADCAST_MAX = 1 << 22
+
+
+def _semi_anti_broadcast(left, right, *, on: str, how: str,
+                         lschema: pa.Schema, rschema: pa.Schema,
+                         broadcast_max: int):
+    """Measured transport for the semi/anti existence probe.
+
+    Block-dedupes the (already keys-only) right side map-side and counts
+    it. At or below ``broadcast_max`` rows the deduped key set ships once
+    via ``ray.put`` and the probe is one vectorized ``is_in`` filter per
+    left batch — no shuffle on either side. Above the bound, returns the
+    materialized deduped-keys Dataset so the caller's keyed exchange runs
+    over a strictly smaller right side (never a wasted pass).
+
+    NULL-key semantics match the exchange path (SQL EXISTS / NOT EXISTS):
+    right NULL keys are dropped from the set; a NULL-keyed left row is
+    dropped by semi and KEPT by anti.
+    """
+    import ray
+    import ray.data as _rd
+
+    ktype = rschema.field(on).type
+
+    def blk_unique(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            col = pa.nulls(0, type=ktype)
+        else:
+            col = pc.unique(
+                b.column(on).combine_chunks().cast(ktype).drop_null())
+        return pa.Table.from_arrays([col], names=[on])
+
+    keys = right.map_batches(blk_unique, batch_format="pyarrow").materialize()
+    if keys.count() > broadcast_max:
+        return keys, pa.schema([(on, ktype)])
+
+    parts = [t.column(on).combine_chunks().cast(ktype)
+             for t in ray.get(keys.to_arrow_refs()) if t.num_rows]
+    vals = (pc.unique(pa.concat_arrays(parts)) if parts
+            else pa.nulls(0, type=ktype))
+    ref = ray.put(vals)
+
+    payload = [c for c in lschema.names if c != on]
+    types = {c: lschema.field(c).type for c in payload}
+    out_names = [on] + payload
+    keep_in = how == "semi"
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=ktype)]
+                + [pa.nulls(0, type=types[c]) for c in payload],
+                names=out_names)
+        vset = ray.get(ref)  # zero-copy from the node-local plasma segment
+        key = batch.column(on).combine_chunks().cast(ktype)
+        m = pc.is_in(key, value_set=vset)
+        m = pc.fill_null(m if keep_in else pc.invert(m), not keep_in)
+        b = batch.filter(m)
+        return pa.Table.from_arrays(
+            [b.column(on).combine_chunks().cast(ktype)]
+            + [b.column(c).cast(types[c]) for c in payload],
+            names=out_names)
+
+    # Same all-empty schema anchor as the exchange path: Ray 2.49's fused
+    # map operator short-circuits 0-row blocks without invoking the UDF.
+    anchor = pa.Table.from_arrays(
+        [pa.nulls(0, type=ktype)]
+        + [pa.nulls(0, type=types[c]) for c in payload], names=out_names)
+    return (left.map_batches(flt, batch_format="pyarrow")
+            .union(_rd.from_arrow(anchor)))
+
+
 def hash_join(left, right, *, on: str, max_group: int = 100_000,
               how: str = "inner",
               left_schema: Optional[pa.Schema] = None,
-              right_schema: Optional[pa.Schema] = None):
+              right_schema: Optional[pa.Schema] = None,
+              semi_broadcast_max: Optional[int] = None):
     """Big-big join on `on`: one hash shuffle, per-key combine.
 
     `how`:
@@ -286,9 +364,16 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
     this, all NULL keys would collapse into one shuffle group and
     inner-join each other (round-3 ADVICE).
 
-    Semi/anti move only the key + left payload through the shuffle — the
-    existence probe never materializes right payloads per match, so a hot
-    right key costs nothing extra (no cross-product term at all).
+    Semi/anti pick their transport by MEASURE: the right side is
+    block-deduped to keys map-side and counted; at or below
+    ``semi_broadcast_max`` (default ``_SEMI_BROADCAST_MAX`` = 4M keys,
+    read at call time) the key set broadcasts once via ``ray.put`` and
+    the probe is a vectorized map-side ``is_in`` over the left — ZERO
+    exchanges, the left payload never moves. Above the bound the keyed
+    exchange runs over the deduped keys; it moves only key + left
+    payload — the existence probe never materializes right payloads per
+    match, so a hot right key costs nothing extra (no cross-product term
+    at all). Pass ``semi_broadcast_max=0`` to force the exchange.
 
     Column name collisions (other than the key) must be resolved by the
     caller beforehand (select/rename) — overlapping names raise.
@@ -318,6 +403,22 @@ def hash_join(left, right, *, on: str, max_group: int = 100_000,
             right_schema = pa.schema([right_schema.field(on)])
     lschema = left_schema or left.schema().base_schema
     rschema = right_schema or right.schema().base_schema
+    if how in ("semi", "anti"):
+        # MEASURED transport switch for the existence probe (mirrors
+        # publish_winners / join_dim): a dimension-sized key set
+        # broadcasts and the probe runs map-side with ZERO exchanges;
+        # larger sets fall through to the keyed exchange below, reusing
+        # the already-deduped keys so the measuring pass is never wasted.
+        # ``semi_broadcast_max=0`` forces the exchange (parity tests).
+        bmax = (_SEMI_BROADCAST_MAX if semi_broadcast_max is None
+                else semi_broadcast_max)
+        if bmax > 0:
+            res = _semi_anti_broadcast(left, right, on=on, how=how,
+                                       lschema=lschema, rschema=rschema,
+                                       broadcast_max=bmax)
+            if not isinstance(res, tuple):
+                return res
+            right, rschema = res
     lcols = lschema.names
     rcols = rschema.names
     overlap = (set(lcols) & set(rcols)) - {on}
