@@ -267,3 +267,27 @@ def test_kmeans_matches_reference_on_planted_blobs(ray_session):
     assert [got[i] for i in ids] == ref_assign
     assert np.allclose(np.asarray(cents), np.asarray(ref_cents),
                        atol=1e-9)
+
+
+def test_pagerank_transport_parity(ray_session):
+    """The measured in-process path (default for a dimension-sized edge
+    set) and the forced distributed path agree to float tolerance, and
+    both match the dense reference."""
+    import ray.data
+
+    from webextract.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (2, 3), (5, 1), (4, 4)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(3)
+    inproc = {int(r["node"]): float(r["rank"])
+              for r in pagerank(ds, n_iter=7).take_all()}
+    dist = {int(r["node"]): float(r["rank"])
+            for r in pagerank(ds, n_iter=7, broadcast_max=0).take_all()}
+    ref = ref_pagerank(edges, n_iter=7)
+    assert set(inproc) == set(dist) == set(ref)
+    for node in ref:
+        assert inproc[node] == pytest.approx(dist[node], abs=1e-12)
+        assert inproc[node] == pytest.approx(ref[node], abs=1e-12)

@@ -22,6 +22,7 @@ Each round shuffles only (node, label) pairs — never document payloads.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -141,8 +142,45 @@ def degree_stats(edges, *, src_col: str = "src", dst_col: str = "dst"):
 _S_RANKS = pa.schema([("src", pa.int64()), ("rank", pa.float64())])
 
 
+def _pagerank_inprocess(e, *, n_iter: int, damping: float):
+    """One-task power iteration for a DIMENSION-SIZED edge set (the
+    in-process Lloyd's / fused-triangle discipline): gather the already-
+    materialized (src, dst) blocks, integer-code the node set once, and
+    run every iteration as two ``np.bincount`` kernels — no per-round
+    joins, groupbys, or materializations. Bit-for-bit this differs from
+    the distributed path only in float summation order (both are
+    rows-only-tolerance ops)."""
+    import ray
+    import ray.data
+
+    tbls = [t for t in ray.get(e.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.float64())}))
+    t = pa.concat_tables(tbls)
+    src = np.asarray(t.column("src").combine_chunks(), dtype=np.int64)
+    dst = np.asarray(t.column("dst").combine_chunks(), dtype=np.int64)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = int(nodes.size)
+    sc, dc = codes[:src.size], codes[src.size:]
+    out_deg = np.bincount(sc, minlength=n).astype(np.float64)
+    dangling = out_deg == 0.0
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dm = float(rank[dangling].sum())
+        contrib = rank[sc] / out_deg[sc]
+        inmass = np.bincount(dc, weights=contrib, minlength=n)
+        rank = damping * inmass + (base + damping * dm / n)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, type=pa.int64()),
+        "rank": pa.array(rank, type=pa.float64())}))
+
+
 def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst"):
+             src_col: str = "src", dst_col: str = "dst",
+             broadcast_max: int | None = None):
     """Distributed PageRank by power iteration over an edge Dataset
     (DISTINCT edges; multi-edges should be deduped upstream).
 
@@ -159,6 +197,14 @@ def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
     mass is one scalar. Float sums across blocks are order-dependent, so
     ranks are approximate at the last bit — validate against a local
     reference within tolerance (rows-only op, like the LSH/IVF family).
+
+    Scale shape picked from the MEASURED distinct-edge count (the same
+    measure-then-pick contract as `triangle_count` / `khop_distances`):
+    an edge set at or below ``broadcast_max`` (default
+    `dedup._SMALL_WINNERS_MAX` = 4M rows) runs the whole iteration
+    in-process as bincount kernels; larger graphs take the per-round
+    keyed exchanges below. ``broadcast_max=0`` forces the distributed
+    path (parity tests).
     """
     from ray.data.aggregate import Sum
 
@@ -171,7 +217,21 @@ def pagerank(edges, *, n_iter: int = 10, damping: float = 0.85,
         })
 
     e = edges.map_batches(eprep, batch_format="pyarrow").materialize()
-    nparts = max(2, min(64, e.count() // 4096 + 1))
+    n_edges = e.count()
+
+    # MEASURED scale switch (the e.count() above is free — the edge set
+    # materializes for iteration reuse anyway): a dimension-sized edge
+    # set (host graphs, site link graphs) runs the whole power iteration
+    # in ONE process — two bincount kernels per round instead of a join,
+    # two groupbys and a materialize. The distributed path below is the
+    # web-graph shape (billions of (node, double) pairs per exchange).
+    if broadcast_max is None:
+        from webextract.functions.dedup import _SMALL_WINNERS_MAX
+        broadcast_max = _SMALL_WINNERS_MAX
+    if n_edges <= broadcast_max:
+        return _pagerank_inprocess(e, n_iter=n_iter, damping=damping)
+
+    nparts = max(2, min(64, n_edges // 4096 + 1))
     e = e.repartition(nparts).materialize()
 
     # out-degree per src, attached to the edge list ONCE (rank/out_deg is

@@ -1266,17 +1266,38 @@ FROM events GROUP BY user_id
 
 
 def q_promo_share_monthly(sf_dir: str):
-    """TPC-H Q14 analog: monthly promo revenue share. Lineitem cents are
-    pre-aggregated per (partkey, month) in-scan, ONE hash exchange joins
-    the part type, the month rollup is keys-only, and the share is a
-    single IEEE division of two exact int64 sums (cast to double, both
-    exactly representable) — bit-identical to the SQL mirror."""
+    """TPC-H Q14 analog: monthly promo revenue share, transport picked
+    by the part table's parquet-METADATA row count (the `join_dim`
+    measure):
+
+    * dimension-sized part table: the (partkey -> is-promo) flag ships
+      once as a broadcast sorted array, each lineitem block folds to
+      (month, promo_cents, cents) partials map-side, and the only
+      exchange is the calendar-bounded month rollup — the
+      (partkey, month) pre-aggregate exchange disappears entirely;
+    * huge part table: lineitem cents pre-aggregate per
+      (partkey, month) in-scan, ONE hash exchange joins the part type,
+      then the same month rollup.
+
+    Either way the share is a single IEEE division of two exact int64
+    sums (cast to double, both exactly representable) — bit-identical
+    to the SQL mirror."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from webextract.functions.joins import hash_join
+    from webextract.queries._shared import BROADCAST_DIM_MAX_ROWS, join_dim
 
-    def cents(b: pa.Table) -> pa.Table:
+    part_path = f"{sf_dir}/part.parquet"
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def cents_cols(b: pa.Table):
         rev = pc.multiply(
             b.column("l_extendedprice"),
             pc.subtract(1.0, b.column("l_discount")),
@@ -1284,46 +1305,86 @@ def q_promo_share_monthly(sf_dir: str):
         c = pc.cast(
             pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()
         )
-        return pa.table({
-            "p_partkey": b.column("l_partkey"),
-            "month": pc.strftime(b.column("l_shipdate"), format="%Y-%m"),
-            "cents": c,
-        })
+        return c, pc.strftime(b.column("l_shipdate"), format="%Y-%m")
 
-    per_pm = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_partkey", "l_shipdate", "l_extendedprice",
-                     "l_discount"],
+    if pq.read_metadata(part_path).num_rows <= BROADCAST_DIM_MAX_ROWS:
+        pt = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        keys = np.asarray(pt.column("p_partkey").combine_chunks(),
+                          dtype=np.int64)
+        promo = np.asarray(
+            pc.equal(pt.column("p_type").combine_chunks(), "PROMO"))
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], promo[order]))
+
+        def fold(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "month": pa.array([], type=pa.string()),
+                    "promo_cents": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64()),
+                })
+            k, flags = ray.get(ref)
+            c, month = cents_cols(b)
+            lk = np.asarray(b.column("l_partkey").combine_chunks(),
+                            dtype=np.int64)
+            pos = np.clip(np.searchsorted(k, lk), 0, k.size - 1)
+            is_promo = flags[pos] & (k[pos] == lk)  # FK always present
+            cn = np.asarray(c)
+            blk = pa.table({
+                "month": month,
+                "promo_cents": pa.array(np.where(is_promo, cn, 0),
+                                        type=pa.int64()),
+                "cents": c,
+            })
+            agg = blk.group_by("month").aggregate(
+                [("promo_cents", "sum"), ("cents", "sum")])
+            # select BY NAME — pyarrow versions disagree on whether the
+            # group key or the aggregates come first (round-4 ADVICE)
+            return pa.table({
+                "month": agg.column("month"),
+                "promo_cents": agg.column("promo_cents_sum"),
+                "cents": agg.column("cents_sum"),
+            })
+
+        split_src = lineitem.map_batches(fold, batch_format="pyarrow")
+    else:
+        def cents(b: pa.Table) -> pa.Table:
+            c, month = cents_cols(b)
+            return pa.table({
+                "p_partkey": b.column("l_partkey"),
+                "month": month,
+                "cents": c,
+            })
+
+        per_pm = (
+            lineitem.map_batches(cents, batch_format="pyarrow")
+            .groupby(["p_partkey", "month"])
+            .aggregate(Sum("cents", alias_name="cents"))
         )
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby(["p_partkey", "month"])
-        .aggregate(Sum("cents", alias_name="cents"))
-    )
-    from webextract.queries._shared import join_dim
-
-    joined = join_dim(
-        per_pm, f"{sf_dir}/part.parquet", key="p_partkey",
-        cols=["p_type"],
-        fact_schema=pa.schema([
-            ("p_partkey", pa.int64()), ("month", pa.string()),
-            ("cents", pa.int64()),
-        ]),
-    )
-
-    def split(b: pa.Table) -> pa.Table:
-        promo = pc.if_else(
-            pc.equal(b.column("p_type"), "PROMO"),
-            b.column("cents"), pa.scalar(0, type=pa.int64()),
+        joined = join_dim(
+            per_pm, part_path, key="p_partkey",
+            cols=["p_type"],
+            fact_schema=pa.schema([
+                ("p_partkey", pa.int64()), ("month", pa.string()),
+                ("cents", pa.int64()),
+            ]),
         )
-        return pa.table({
-            "month": b.column("month"),
-            "promo_cents": promo,
-            "cents": b.column("cents"),
-        })
+
+        def split(b: pa.Table) -> pa.Table:
+            promo = pc.if_else(
+                pc.equal(b.column("p_type"), "PROMO"),
+                b.column("cents"), pa.scalar(0, type=pa.int64()),
+            )
+            return pa.table({
+                "month": b.column("month"),
+                "promo_cents": promo,
+                "cents": b.column("cents"),
+            })
+
+        split_src = joined.map_batches(split, batch_format="pyarrow")
 
     monthly = (
-        joined.map_batches(split, batch_format="pyarrow")
+        split_src
         .groupby("month")
         .aggregate(
             Sum("promo_cents", alias_name="promo_cents"),
