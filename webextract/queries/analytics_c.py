@@ -1699,3 +1699,57 @@ WITH o AS (
 )
 SELECT n_lines, count(*)::BIGINT AS n_orders FROM o GROUP BY n_lines
 """
+
+
+def q_user_decay_score(sf_dir: str):
+    """Half-life-decayed per-user activity score — the freshness-weighted
+    engagement fold every recency-aware sampler/ranker runs. Each event
+    contributes ``floor(1000 * 2^-k + 0.5)`` milli-units where
+    ``k = min(age_days // 3, 10)`` against a fixed anchor instant; the
+    weight table is exact in IEEE (integer multiples of powers of two),
+    so per-row quantize-to-int64 THEN sum is bit-identical to the SQL
+    mirror regardless of summation order.
+
+    Scale shape: one vectorized weight kernel per block, a block-local
+    (user_id, sum) combiner, then ONE user-keyed keys-only exchange —
+    nothing else moves."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    anchor_us = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC
+
+    def weigh(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        ts = np.asarray(
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .combine_chunks())
+        k = np.minimum((anchor_us - ts) // 86_400_000_000 // 3, 10)
+        w = np.floor(np.ldexp(1000.0, -k.astype(np.int64)) + 0.5) \
+            .astype(np.int64)
+        blk = pa.table({"user_id": b.column("user_id"),
+                        "w": pa.array(w, type=pa.int64())})
+        agg = blk.group_by("user_id").aggregate([("w", "sum")])
+        return pa.table({"user_id": agg.column("user_id"),
+                         "w": agg.column("w_sum")})
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts"])
+        .map_batches(weigh, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("w", alias_name="decayed_milli"))
+    )
+
+
+_SQL_USER_DECAY_SCORE = """
+SELECT user_id,
+       sum(CAST(floor(1000.0 * pow(2.0, -least(
+             (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+               // 86400000000 // 3, 10)) + 0.5) AS BIGINT))::BIGINT
+         AS decayed_milli
+FROM events
+GROUP BY user_id
+"""

@@ -177,3 +177,112 @@ def q_lang_id(sf_dir: str):
         lang_id_batch, batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_vocab_novelty(sf_dir: str):
+    """Cross-snapshot vocabulary novelty at the word-trigram level:
+    3-gram shingles appearing in the NEW crawl slice (``doc_id % 2 = 1``)
+    that the PRIOR slice never saw, with their new-slice occurrence
+    counts — top 50 by (count desc, gram asc). The drift probe a
+    continuously-ingesting corpus runs per dump (spam campaigns,
+    template changes, new junk phrasings); pairs with
+    `incremental_dedup`'s document-level cross-snapshot anti join.
+    (Trigrams, not unigrams: single-word novelty saturates on any
+    bounded vocabulary — phrase-level novelty is what actually drifts.)
+
+    Scale shape: both sides build trigrams map-side with vectorized
+    kernels (``split_pattern`` explode + ``binary_join_element_wise``
+    over three shifted views of the flat word array — no per-row
+    Python); the prior side is per-block DISTINCTed before anything
+    moves; the unseen-gram probe is ``hash_join(how="anti")`` whose
+    transport is picked by MEASURE (broadcast key set when the prior
+    gram vocabulary is dimension-sized, keys-only exchange beyond);
+    the count side is one gram-keyed exchange fed by block-local
+    combiners; the finish is a per-block top-k prefilter + bounded
+    global sort."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from webextract.functions.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _trigrams_flat(t: pa.Table) -> pa.Array:
+        texts = t.column("text").combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        n = len(flat)
+        if n < 3:
+            return pa.array([], type=pa.string())
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2),
+            flat.slice(2, n - 2), " ")
+        # Mask out trigrams that straddle a document boundary: position
+        # j (0-based in the flat array) is valid iff j+3 <= end-of-doc.
+        offs = np.asarray(lists.offsets)
+        ends = np.repeat(offs[1:], np.diff(offs))[: n - 2]
+        valid = (np.arange(n - 2) + 3) <= ends
+        return grams.filter(pa.array(valid))
+
+    def _slice(b: pa.Table, new: bool) -> pa.Table:
+        odd = pc.equal(
+            pc.bit_wise_and(b.column("doc_id"), pa.scalar(1)), 1)
+        return b.filter(odd if new else pc.invert(odd))
+
+    def new_counts(b: pa.Table) -> pa.Table:
+        t = _slice(b, True)
+        grams = _trigrams_flat(t) if t.num_rows else None
+        if grams is None or len(grams) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        agg = (pa.table({"gram": grams})
+               .group_by("gram").aggregate([([], "count_all")]))
+        return pa.table({"gram": agg.column("gram"),
+                         "n": agg.column("count_all").cast(pa.int64())})
+
+    def prior_vocab(b: pa.Table) -> pa.Table:
+        t = _slice(b, False)
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        return pa.table({"gram": pc.unique(_trigrams_flat(t))})
+
+    new_cnt = (docs.map_batches(new_counts, batch_format="pyarrow")
+               .groupby("gram").aggregate(Sum("n", alias_name="n")))
+    prior = docs.map_batches(prior_vocab, batch_format="pyarrow")
+    unseen = hash_join(
+        new_cnt, prior, on="gram", how="anti",
+        left_schema=pa.schema([("gram", pa.string()), ("n", pa.int64())]),
+        right_schema=pa.schema([("gram", pa.string())]),
+    )
+
+    def blk_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 50:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("gram", "ascending")])
+        return t.take(idx.slice(0, 50))
+
+    return (unseen.map_batches(blk_topk, batch_format="pyarrow")
+            .sort(["n", "gram"], descending=[True, False]).limit(50))
+
+
+_SQL_VOCAB_NOVELTY = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tri AS (
+  SELECT doc_id, ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS gram
+  FROM tok CROSS JOIN LATERAL unnest(range(1, len(ws)-1)) AS u(i)
+), newc AS (
+  SELECT gram, count(*)::BIGINT AS n FROM tri
+  WHERE doc_id % 2 = 1 GROUP BY gram
+), oldv AS (
+  SELECT DISTINCT gram FROM tri WHERE doc_id % 2 = 0
+)
+SELECT gram, n FROM newc
+WHERE NOT EXISTS (SELECT 1 FROM oldv WHERE oldv.gram = newc.gram)
+ORDER BY n DESC, gram
+LIMIT 50
+"""
