@@ -28,6 +28,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+def explode_lang_words(b: pa.Table) -> pa.Table:
+    """Vectorized (lang, word) explode for per-language vocabulary
+    statistics: ``split_pattern`` list-explode plus a lang ``take``
+    repeated by the per-document word counts — no per-row Python.
+    (SQL mirror: ``SELECT lang, unnest(string_split(text, ' '))``.)"""
+    texts = b.column("text").combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    counts = np.diff(np.asarray(lists.offsets))
+    langs = b.column("lang").combine_chunks().take(
+        pa.array(np.repeat(np.arange(len(counts)), counts)))
+    return pa.table({"lang": langs, "word": lists.flatten()})
+
+
 def _conc():
     """Actor-pool bounds for the oracle queries: (1, 4) measured-best.
 

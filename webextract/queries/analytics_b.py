@@ -748,20 +748,14 @@ def q_rare_words_by_lang(sf_dir: str):
     filter, per-lang count."""
     from ray.data.aggregate import Count
 
-    def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            ws = t.split(" ")
-            langs.extend([lg] * len(ws))
-            words.extend(ws)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
-        })
+    from webextract.queries._shared import explode_lang_words as explode
 
+    import ray.data
+
+    # schema anchor: with a bounded synthetic vocabulary every word can
+    # exceed the cutoff, so the HAVING filter legitimately empties the
+    # final aggregate — union one 0-row typed block so the result keeps
+    # (lang, n_rare) instead of Ray 2.49's schema-less empty
     return (
         _docs(sf_dir, ["lang", "text"])
         .map_batches(explode, batch_format="pyarrow")
@@ -772,6 +766,8 @@ def q_rare_words_by_lang(sf_dir: str):
         .groupby("lang")
         .aggregate(Count())
         .rename_columns({"count()": "n_rare"})
+        .union(ray.data.from_arrow(pa.schema(
+            [("lang", pa.string()), ("n_rare", pa.int64())]).empty_table()))
     )
 
 

@@ -841,19 +841,7 @@ def q_lang_word_simpson(sf_dir: str):
     per lang; no division emitted, so no float anywhere."""
     from ray.data.aggregate import Count, Sum
 
-    def explode(b: pa.Table) -> pa.Table:
-        langs: list = []
-        words: list = []
-        for lg, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
-        ):
-            ws = t.split(" ")
-            langs.extend([lg] * len(ws))
-            words.extend(ws)
-        return pa.table({
-            "lang": pa.array(langs, type=pa.string()),
-            "word": pa.array(words, type=pa.string()),
-        })
+    from webextract.queries._shared import explode_lang_words as explode
 
     counts = (
         _docs(sf_dir, ["lang", "text"])
@@ -1595,22 +1583,28 @@ FROM lineitem GROUP BY tax_band, disc_band
 
 
 def q_word_length_hist(sf_dir: str):
-    """Corpus-wide word-length distribution: explode map-side, one
-    keys-only groupby over ~a dozen length keys."""
-    from ray.data.aggregate import Count
+    """Corpus-wide word-length distribution: vectorized explode
+    (split_pattern + utf8_length) pre-folded to a per-block histogram,
+    so the single keys-only groupby exchanges ~a dozen (wlen, count)
+    rows per block instead of one row per word."""
+    from ray.data.aggregate import Sum
 
-    def explode(b: pa.Table) -> pa.Table:
-        lens: list = []
-        for t in b.column("text").to_pylist():
-            lens.extend(len(w) for w in t.split(" "))
-        return pa.table({"wlen": pa.array(lens, type=pa.int64())})
+    def block_hist(b: pa.Table) -> pa.Table:
+        texts = b.column("text").combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.utf8_length(lists.flatten()).cast(pa.int64())
+        agg = (pa.table({"wlen": lens})
+               .group_by("wlen").aggregate([([], "count_all")]))
+        return pa.table({"wlen": agg.column("wlen"),
+                         "n_words": agg.column("count_all").cast(pa.int64())})
 
     return (
         _docs(sf_dir, ["text"])
-        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(block_hist, batch_format="pyarrow")
         .groupby("wlen")
-        .aggregate(Count())
-        .rename_columns({"count()": "n_words"})
+        .aggregate(Sum("n_words", alias_name="n_words"))
     )
 
 
