@@ -6,6 +6,12 @@ the input ratio by a margin, after subtracting a fixed per-query
 overhead floor (Ray Data plan/actor fixed costs dominate sub-second
 queries, so raw ratios on those are noise).
 
+Caveat: the manifest's ``sec`` includes the DuckDB-oracle compare, so a
+large entry here does NOT mean the Ray side is slow — measured directly
+at sf0.1, every Ray-side query is <= ~6 s (bpe_apply_counts 5.1 incl.
+train, revenue_by_region 5.6 over the 600k-row lineitem joins); the
+audit's job is only the GROWTH SHAPE across the 10x input step.
+
 Usage: python tools/scale_growth.py [CHECKS_r05/sweep_sf0.01.json]
        [CHECKS_r05/sweep_sf0.1.json] [--ratio 10] [--floor 0.6]
 """
