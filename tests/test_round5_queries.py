@@ -157,3 +157,44 @@ def test_user_decay_score_matches_duckdb_mirror(ray_session, tmp_path):
     want = {int(u): int(v)
             for u, v in con.sql(_SQL_USER_DECAY_SCORE).fetchall()}
     assert got == want == ref_decay(list(zip(uid.tolist(), ts.tolist())))
+
+
+# --- budget_select -----------------------------------------------------------
+
+
+def test_budget_select_boundary_and_order(ray_session, tmp_path):
+    # lang 'en': quality order by n_chars DESC, doc_id ASC; budget 2000.
+    # doc 2 (8 tokens each 100 chars...) — plant exact token counts so
+    # the inclusive boundary (running == 2000) is exercised.
+    rows = [
+        # (doc_id, n_tokens, n_chars) — text is n_tokens words
+        (1, 900, 500),
+        (2, 1100, 400),   # running 2000 exactly -> kept (inclusive)
+        (3, 1, 300),      # running 2001 -> dropped
+        (4, 50, 200),
+    ]
+    texts = [" ".join(["w"] * n) for _, n, _ in rows]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _, _ in rows], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(rows), type=pa.string()),
+        "n_chars": pa.array([c for _, _, c in rows], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    from webextract.queries.windows_ml import q_budget_select
+
+    got = sorted((r["doc_id"], r["running_tokens"])
+                 for r in q_budget_select(str(tmp_path)).take_all())
+    assert got == [(1, 900), (2, 2000)]
+
+
+def test_budget_select_packing_guard_raises(ray_session, tmp_path):
+    from webextract.queries.windows_ml import _BSEL_CMAX, q_budget_select
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["a b"], type=pa.string()),
+        "lang": pa.array(["en"], type=pa.string()),
+        "n_chars": pa.array([_BSEL_CMAX], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="order-key packing"):
+        q_budget_select(str(tmp_path)).take_all()

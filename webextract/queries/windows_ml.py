@@ -162,6 +162,192 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
 )
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Quality-priority near-dedup retention: identical cluster graph to
+    `neardup_keep` (LSH -> exact-Jaccard verify -> connected components)
+    but each cluster keeps its HIGHEST-QUALITY member (longest n_chars,
+    doc_id tiebreak) instead of the min-id one — the representative-
+    selection rule production dedup actually wants (keep the richest
+    copy of a boilerplate family, not the earliest-crawled stub).
+
+    Scale shape: cluster labels are (node, component) keys-only; member
+    quality attaches via ONE doc_id-keyed exchange of (doc_id, n_chars);
+    the per-cluster argmax is `first_by` (per-block partial arg-min of
+    (-n_chars, doc_id), then a block-count-bounded group pick); losers
+    and the final anti join move ids only — text never shuffles."""
+    from webextract.functions.agg import first_by
+    from webextract.functions.graph import connected_components
+    from webextract.functions.joins import hash_join
+
+    pairs = _neardup_pairs_exact_mat(sf_dir)
+    comp = connected_components(pairs)  # (node, component)
+
+    def as_doc(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("node").cast(pa.int64()),
+                         "component": b.column("component").cast(pa.int64())})
+
+    members = hash_join(
+        comp.map_batches(as_doc, batch_format="pyarrow"),
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_chars", pa.int64())]),
+    ).materialize()  # consumed twice: winner argmax + loser anti join
+
+    def neg_quality(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": b.column("component"),
+            "neg_chars": pc.subtract(pa.scalar(0, type=pa.int64()),
+                                     b.column("n_chars").cast(pa.int64())),
+            "doc_id": b.column("doc_id"),
+        })
+
+    winners = first_by(
+        members.map_batches(neg_quality, batch_format="pyarrow"),
+        by="component", order=["neg_chars", "doc_id"])
+
+    def ids_only(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64())})
+
+    losers = hash_join(
+        members.map_batches(ids_only, batch_format="pyarrow"),
+        winners.map_batches(ids_only, batch_format="pyarrow"),
+        on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    return hash_join(
+        _docs(sf_dir, ["doc_id", "lang"]), losers, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
+_SQL_NEARDUP_KEEP_BEST = (
+    "WITH RECURSIVE pairs AS (" + _SQL_NEARDUP_EXACT + "),\n"
+    + r"""
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+),
+w AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+    FROM comp c JOIN documents d USING (doc_id))
+  WHERE rnk = 1
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+   OR d.doc_id IN (SELECT doc_id FROM w)
+"""
+)
+
+
+#: budget_select: per-language token budget (inclusive prefix cap).
+_BUDGET_TOKENS = 2000
+#: order-key packing: (CMAX - n_chars) * 2^32 + doc_id is int64, unique,
+#: and ascending == (quality DESC, doc_id ASC). Bounds raise visibly.
+_BSEL_CMAX = 1 << 20
+_BSEL_STRIDE = 1 << 32
+
+
+def q_budget_select(sf_dir: str):
+    """Token-budget corpus selection — the "data mixing under budget"
+    op: per language, take documents in quality order (n_chars DESC,
+    doc_id tiebreak) while the INCLUSIVE running token count stays
+    within the budget. The selection rule every fixed-token-budget
+    training mix applies per source/language.
+
+    Scale shape: quality order is packed into one int64 key
+    ((CMAX - n_chars) * 2^32 + doc_id — ascending == quality DESC), so
+    the distributed bucketed prefix sum (`running_agg`) orders by it
+    directly; `bucket_width = 2^42` makes a bucket a ~1024-wide
+    QUALITY BAND, so the driver's offset fold is O(langs x 1024)
+    regardless of corpus size. The token count is vectorized
+    (split_pattern value_lengths); text never enters the exchange."""
+    from webextract.functions.window import running_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column("text").combine_chunks(), "")
+        lists = pc.split_pattern(texts, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_tokens = lists.value_lengths().cast(pa.int64())
+        nc = b.column("n_chars").cast(pa.int64())
+        did = b.column("doc_id").cast(pa.int64())
+        if b.num_rows:
+            if pc.max(nc).as_py() >= _BSEL_CMAX:
+                raise ValueError(
+                    f"budget_select: n_chars >= {_BSEL_CMAX} breaks the "
+                    "order-key packing; raise _BSEL_CMAX")
+            if (pc.max(did).as_py() >= _BSEL_STRIDE
+                    or pc.min(did).as_py() < 0):
+                raise ValueError(
+                    "budget_select: doc_id outside [0, 2^32) breaks the "
+                    "order-key packing; raise _BSEL_STRIDE")
+        order_key = pc.add(
+            pc.multiply(pc.subtract(pa.scalar(_BSEL_CMAX, type=pa.int64()),
+                                    nc),
+                        pa.scalar(_BSEL_STRIDE, type=pa.int64())),
+            did)
+        return pa.table({"lang": b.column("lang"),
+                         "order_key": order_key,
+                         "n_tokens": n_tokens})
+
+    ran = running_agg(
+        _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow"),
+        by="lang", order="order_key", val="n_tokens",
+        bucket_width=1 << 42)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("running_n_tokens"),
+                             pa.scalar(_BUDGET_TOKENS, type=pa.int64()))
+        t = b.filter(keep)
+        doc_id = pc.subtract(
+            t.column("order_key"),
+            pc.multiply(pc.divide(t.column("order_key"),
+                                  pa.scalar(_BSEL_STRIDE, type=pa.int64())),
+                        pa.scalar(_BSEL_STRIDE, type=pa.int64())))
+        return pa.table({"lang": t.column("lang"),
+                         "doc_id": doc_id,
+                         "n_tokens": t.column("n_tokens"),
+                         "running_tokens": t.column("running_n_tokens")})
+
+    return ran.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_BUDGET_SELECT = f"""
+WITH t AS (
+  SELECT lang, doc_id, n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens, running_tokens FROM (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id)::BIGINT
+           AS running_tokens
+  FROM t)
+WHERE running_tokens <= {_BUDGET_TOKENS}
+"""
+
+
 def _assign_packs(ds, cap: int = 8192):
     """(lang, doc_id, n_chars) -> + pack_id via the bucketed distributed
     prefix sum: pack_id = (exclusive running char count) // cap per
