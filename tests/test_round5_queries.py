@@ -198,3 +198,48 @@ def test_budget_select_packing_guard_raises(ray_session, tmp_path):
     }), str(tmp_path / "documents.parquet"))
     with pytest.raises(Exception, match="order-key packing"):
         q_budget_select(str(tmp_path)).take_all()
+
+
+def test_budget_select_property_vs_bruteforce(ray_session, tmp_path):
+    """Randomized (seeded) corpora vs a pure-Python reference: per-lang
+    quality order (n_chars DESC, doc_id ASC), inclusive prefix cap.
+    One Ray run per corpus (hypothesis-per-example would pay Ray fixed
+    costs 100x; three seeded draws cover the shapes: ties in n_chars,
+    single-doc langs, over-budget first doc)."""
+    import numpy as np
+
+    from webextract.queries.windows_ml import _BUDGET_TOKENS
+
+    for seed in (3, 11, 42):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(20, 120))
+        doc_id = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        langs = rng.choice(["en", "de", "zh"], size=n)
+        # heavy-tailed token counts so some docs alone bust the budget
+        n_tok = np.minimum(
+            rng.geometric(1.0 / 300, size=n), 4000).astype(np.int64)
+        n_chars = rng.randint(0, 50, size=n).astype(np.int64)  # many ties
+        texts = [" ".join(["w"] * int(k)) for k in n_tok]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(doc_id), "text": pa.array(texts),
+            "lang": pa.array(langs), "n_chars": pa.array(n_chars),
+        }), str(d / "documents.parquet"))
+
+        want = []
+        for lg in ("en", "de", "zh"):
+            idx = [i for i in range(n) if langs[i] == lg]
+            idx.sort(key=lambda i: (-n_chars[i], doc_id[i]))
+            run = 0
+            for i in idx:
+                run += int(n_tok[i])
+                if run <= _BUDGET_TOKENS:
+                    want.append((lg, int(doc_id[i]), int(n_tok[i]), run))
+
+        from webextract.queries.windows_ml import q_budget_select
+
+        got = sorted((r["lang"], r["doc_id"], r["n_tokens"],
+                      r["running_tokens"])
+                     for r in q_budget_select(str(d)).take_all())
+        assert got == sorted(want), f"seed {seed}"
