@@ -401,3 +401,107 @@ WHERE d.doc_id % 4 = 3
                   WHERE p.doc_id % 4 <> 3 AND md5(p.text) = md5(d.text))
 QUALIFY row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1
 """
+
+
+def q_dedup_report(sf_dir: str):
+    """Dedup telemetry — the per-stage removal summary a 100 TB dedup
+    run prints before anyone trusts it: for each dedup granularity
+    (exact text, canonicalized text, word/vocabulary), total units,
+    distinct units and the implied removal count, as one fixed
+    (stage, n_total, n_distinct, n_removed) table.
+
+    Scale shape: each stage is one column-pruned scan with a BLOCK-LOCAL
+    pre-distinct (unique fingerprints / words per block), then a
+    keys-only distinct groupby whose `.count()` is the only driver
+    value — six scalars total cross to the driver, never rows. Text
+    identity travels as md5 fingerprints (the `doc_fingerprint`
+    convention, mirrored literally in the SQL), so the exchanges carry
+    32-byte keys, not documents."""
+    import hashlib
+    import re
+    import unicodedata
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ws = re.compile(r"\s+")
+
+    def _distinct_count(ds) -> int:
+        return int(ds.count())
+
+    def fp_exact(b: pa.Table) -> pa.Table:
+        fps = {hashlib.md5((t or "").encode()).hexdigest()
+               for t in b.column("text").to_pylist()}
+        return pa.table({"fp": pa.array(sorted(fps), type=pa.string())})
+
+    def fp_norm(b: pa.Table) -> pa.Table:
+        fps = {hashlib.md5(
+            ws.sub(" ", unicodedata.normalize("NFC", (t or "")).lower())
+            .strip().encode()).hexdigest()
+               for t in b.column("text").to_pylist()}
+        return pa.table({"fp": pa.array(sorted(fps), type=pa.string())})
+
+    def words_block(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column("text").combine_chunks(), "")
+        lists = pc.split_pattern(texts, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pa.table({"word": pc.unique(lists.flatten())})
+
+    def word_totals(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column("text").combine_chunks(), "")
+        lists = pc.split_pattern(texts, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pa.table({"n": pa.array(
+            [int(pc.sum(lists.value_lengths()).as_py() or 0)],
+            type=pa.int64())})
+
+    docs = _docs(sf_dir, ["text"])
+    n_docs = int(docs.count())
+    from ray.data.aggregate import Count
+
+    d_exact = _distinct_count(
+        docs.map_batches(fp_exact, batch_format="pyarrow")
+        .groupby("fp").aggregate(Count()))
+    d_norm = _distinct_count(
+        docs.map_batches(fp_norm, batch_format="pyarrow")
+        .groupby("fp").aggregate(Count()))
+    d_word = _distinct_count(
+        docs.map_batches(words_block, batch_format="pyarrow")
+        .groupby("word").aggregate(Count()))
+    n_words = int(
+        docs.map_batches(word_totals, batch_format="pyarrow")
+        .aggregate(Sum("n"))["sum(n)"])
+
+    stages = [("exact_text", n_docs, d_exact),
+              ("norm_text", n_docs, d_norm),
+              ("word", n_words, d_word)]
+    return pa.table({
+        "stage": pa.array([s for s, _, _ in stages], type=pa.string()),
+        "n_total": pa.array([t for _, t, _ in stages], type=pa.int64()),
+        "n_distinct": pa.array([d for _, _, d in stages], type=pa.int64()),
+        "n_removed": pa.array([t - d for _, t, d in stages],
+                              type=pa.int64()),
+    })
+
+
+_SQL_DEDUP_REPORT = r"""
+WITH n AS (
+  SELECT trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+           AS nt
+  FROM documents
+), w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT 'exact_text' AS stage, count(*)::BIGINT AS n_total,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_removed
+FROM documents
+UNION ALL
+SELECT 'norm_text', count(*)::BIGINT, count(DISTINCT md5(nt))::BIGINT,
+       (count(*) - count(DISTINCT md5(nt)))::BIGINT FROM n
+UNION ALL
+SELECT 'word', count(*)::BIGINT, count(DISTINCT word)::BIGINT,
+       (count(*) - count(DISTINCT word))::BIGINT FROM w
+"""
